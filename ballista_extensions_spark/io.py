@@ -1,0 +1,59 @@
+"""Table loading — the engine's scan layer.
+
+Reference equivalent: ``ctx.read_parquet("data/", Default::default())``
+(examples/datafusion.rs:26, examples/ballista_client.rs:36) — schema from
+parquet footers, directory scans. Spark's parquet source gives the same
+plus vectorized reads, predicate pushdown and partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Driver-provided tables (TESTDATA.md). One parquet file per table at
+#: sf0.001/0.01/0.1; at production scale each would be a partitioned
+#: directory — ``spark.read.parquet`` handles both identically.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at any scale factor the
+#: TPC-H-ish generator produces (region=5 rows, nation=25 always; supplier/
+#: customer/part grow with sf but stay << fact tables). Operators consult
+#: this to decide broadcast hints.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Columns are pruned and filters pushed down by
+    Catalyst as long as callers keep the plan declarative."""
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the file; with nanosAsLong (set by the
+        # session factory) it scans as long ns-since-epoch. Integer-divide
+        # to µs (DIV, not /, to stay exact above 2^53) — identical to the
+        # ns->µs truncation every µs-native engine (Spark, DuckDB) applies.
+        from pyspark.sql import functions as F  # local: io imports stay light
+
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Scan all driver tables lazily (no IO until an action runs)."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -1,0 +1,282 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of these ops is the 100 TB corpus case):
+
+- exact dedup: one hash-shuffle on the (normalized) text — Spark's
+  group-by does map-side partial aggregation of the min-id per key, so
+  the exchange carries one row per distinct document, not per input row.
+- MinHash+LSH: signatures are computed per-row (narrow, codegen'd
+  xxhash64); banding explodes each doc into B rows; the candidate join is
+  an equi-join on (band, band_hash) whose bucket sizes are controlled by
+  the LSH parameters, never an all-pairs product. Verification joins
+  shingle sets back only for candidate pairs.
+- SimHash: one 64-bit signature per doc computed in a single fold; near
+  neighbors found by banding the signature into 16-bit chunks (exact for
+  Hamming distance <= 3 with 4 chunks, by pigeonhole).
+- exact n-gram Jaccard is O(probe x corpus) — kept correct-but-bounded by
+  an explicit probe predicate; the LSH variants are the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ballista_extensions_spark.operators.text import (
+    TOKENS_SQL,
+    normalize,
+    shingle_expr,
+)
+
+
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalized: bool = False,
+) -> DataFrame:
+    """Exact dedup: one representative (min id) per distinct text.
+
+    Returns (keep_id, n_copies, text_hash) — the md5 keeps the output
+    narrow regardless of document size. Scale: single shuffle, map-side
+    combine; the heavy `text` column is reduced to its hash before the
+    exchange when possible (group key is the text itself, so at true 100
+    TB you'd group by (length, md5) to avoid shuffling full texts — we
+    group by md5 here for exactly that reason; md5 collisions are
+    negligible and acceptable for dedup semantics).
+    """
+    key = normalize(F.col(text_col)) if normalized else F.col(text_col)
+    return (
+        df.select(F.col(id_col), F.md5(key).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).cast("long").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+        .select("keep_id", "n_copies", "text_hash")
+    )
+
+
+def _with_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    tok_sql = TOKENS_SQL.format(col=text_col)
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(shingle_expr(tok_sql, n)).alias("shingles"),
+    )
+
+
+def near_dup_pairs_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+    probe_mod: int = 10,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity of a probe subset vs the corpus.
+
+    For each probe doc (id % probe_mod == 0), every corpus doc with
+    jaccard(shingles_a, shingles_b) >= threshold. Jaccard is a ratio of
+    small ints -> bit-exact across engines (oracle-checkable).
+
+    Scale: O(|probe| x |corpus|) — correct but bounded; the probe
+    predicate keeps the broadcast side small. Use the MinHash path for
+    corpus-vs-corpus dedup at scale.
+    """
+    sh = _with_shingles(df, text_col, id_col, n)
+    probe = sh.filter((F.col("doc") % probe_mod) == 0).select(
+        F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    corpus = sh.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = (
+        F.size(F.col("sh_a")).cast("double")
+        + F.size(F.col("sh_b")).cast("double")
+        - inter
+    )
+    return (
+        F.broadcast(probe)
+        .join(corpus, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Per-doc MinHash signature: for each hash function h_i (xxhash64
+    seeded by i), the minimum over the doc's shingle set. Narrow op —
+    everything happens inside the row's projection (codegen), no shuffle.
+    Docs with no shingles get NULL minhashes and are excluded."""
+    sh = _with_shingles(df, text_col, id_col, n).filter(F.size("shingles") > 0)
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(shingles, s -> xxhash64({i}, s)))"
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.select("doc", *sig_cols)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: hash each band of the signature, explode to
+    (band_id, band_hash, doc), self-join per bucket -> candidate pairs
+    (doc_a < doc_b, distinct).
+
+    Scale: the join key (band_id, band_hash) spreads uniformly (band_hash
+    is a 64-bit hash); bucket skew only happens for genuinely identical
+    band signatures, i.e. actual near-dups — bounded by cluster size, and
+    AQE skew-join splits pathological buckets."""
+    band_structs = []
+    for b in range(bands):
+        cols = ", ".join(
+            f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        band_structs.append(f"struct({b}L AS band_id, xxhash64({cols}) AS band_hash)")
+    exploded = signatures.select(
+        "doc",
+        F.explode(F.expr(f"array({', '.join(band_structs)})")).alias("band"),
+    ).select("doc", "band.band_id", "band.band_hash")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def dedup_near_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
+
+    Pipeline: shingle -> minhash signature (narrow) -> LSH banding ->
+    bucket equi-join -> exact Jaccard verification on candidates only.
+    Output: (doc_a, doc_b, jaccard) pairs with jaccard >= threshold.
+    Deterministic (xxhash64 fixed seeds) but engine-specific hash -> no
+    SQL oracle; pytest checks recall vs near_dup_pairs_exact.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    sh = _with_shingles(df, text_col, id_col, n)
+    a = sh.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = (
+        F.size(F.col("sh_a")).cast("double")
+        + F.size(F.col("sh_b")).cast("double")
+        - inter
+    )
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit SimHash per document over whitespace tokens.
+
+    For each bit position, sum +1/-1 votes of each token's xxhash64 bit,
+    then take the sign. Computed as a single fold over the token array
+    into a 64-int vote vector (JVM higher-order functions; narrow, no
+    shuffle), then packed into one BIGINT.
+    """
+    tok_sql = TOKENS_SQL.format(col=text_col)
+    votes = (
+        f"aggregate({tok_sql}, "
+        f"transform(sequence(0, 63), i -> 0L), "
+        f"(acc, t) -> zip_with(acc, "
+        f"  transform(sequence(0, 63), i -> CASE WHEN (shiftright(xxhash64(t), "
+        f"    CAST(i AS INT)) & 1) = 1 THEN 1L ELSE -1L END), "
+        f"  (a, v) -> a + v))"
+    )
+    packed = (
+        f"aggregate(zip_with({votes}, sequence(0, 63), "
+        f"(v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, CAST(i AS INT)) ELSE 0L END), "
+        f"0L, (acc, x) -> acc | x)"
+    )
+    return df.select(
+        F.col(id_col).alias("doc"), F.expr(packed).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Banding: split the 64-bit signature into 4 x 16-bit chunks; any pair
+    with Hamming distance <= 3 must agree exactly on at least one chunk
+    (pigeonhole), so candidates come from 4 equi-joins (union), then are
+    verified with bit_count(xor) — no all-pairs product.
+    """
+    sh = simhash64(df, text_col, id_col)
+    chunks = sh.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct({c}L AS chunk_id, "
+                    f"(shiftright(simhash, {c * 16}) & 65535L) AS chunk_val)"
+                    for c in range(4)
+                )
+                + ")"
+            )
+        ).alias("ch"),
+    ).select("doc", "simhash", "ch.chunk_id", "ch.chunk_val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

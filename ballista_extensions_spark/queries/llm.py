@@ -1,0 +1,295 @@
+"""LLM training-data pipeline queries (SURVEY.md §7 step 4 — our
+extension operators built with the Tier-D mechanism, over the driver's
+documents/embeddings tables).
+
+Oracle policy: deterministic ops whose arithmetic is ANSI-expressible get
+exact DuckDB oracles (integer ratios and sequential double folds are
+bit-identical — see operators/similarity.py and functions/exact.py).
+Hash-based ops (MinHash/SimHash/LSH use Spark's xxhash64) are
+deterministic but engine-specific -> rows-only driver check + pytest
+recall tests against the exact variants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ballista_extensions_spark.io import load_table
+from ballista_extensions_spark.operators import dedup as D
+from ballista_extensions_spark.operators import similarity as S
+from ballista_extensions_spark.operators import text as T
+from ballista_extensions_spark.queries.registry import register
+
+# DuckDB fragments mirroring operators/text.py definitions.
+_DD_TOKS = r"string_split_regex(text, '\s+')"
+_DD_NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+
+
+def _dd_shingles_sql(toks: str, n: int = 3) -> str:
+    joined = " || ' ' || ".join(f"{toks}[i + {k}]" for k in range(n))
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_distinct(list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> {joined})) ELSE [] END"
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           md5(text) AS text_hash
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (operators/dedup.py:dedup_exact)."""
+    return D.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle=f"""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           md5({_DD_NORM}) AS text_hash
+    FROM documents
+    GROUP BY md5({_DD_NORM})
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after whitespace/case normalization."""
+    return D.dedup_exact(load_table(spark, sf_dir, "documents"), normalized=True)
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id, CAST(len({_DD_TOKS}) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count per document (operators/text.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
+
+
+@register(
+    "text_stats_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len({_DD_TOKS}) AS BIGINT) AS n_tokens,
+             CAST(list_aggregate(list_transform({_DD_TOKS}, t -> length(t)), 'sum')
+                  AS BIGINT) AS sum_token_len,
+             CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+             CAST(len(list_filter({_DD_TOKS},
+                  t -> list_contains(['the','a','of','and','to','in','is'], t)))
+                  AS BIGINT) AS n_stopwords,
+             CAST(len(list_distinct({_DD_TOKS})) AS BIGINT) AS n_distinct_tokens
+      FROM documents)
+    SELECT doc_id, n_chars, n_tokens,
+           CAST(sum_token_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+           n_punct,
+           CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+           CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+           (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
+             + (CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.4
+             + (CAST(LEAST(n_tokens, 100) AS DOUBLE) / 100.0) * 0.3 AS quality_score
+    FROM t
+    """,
+)
+def text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics (operators/text.py:text_stats)."""
+    return T.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _dd_lang_oracle() -> str:
+    hit_exprs = []
+    for code, markers in T.LANG_MARKERS:
+        lst = ", ".join(f"'{w}'" for w in markers)
+        hit_exprs.append(
+            f"CAST(len(list_filter({_DD_TOKS}, t -> list_contains([{lst}], t))) "
+            f"AS BIGINT) AS hits_{code}"
+        )
+    mx = "GREATEST(" + ", ".join(f"hits_{c}" for c, _ in T.LANG_MARKERS) + ")"
+    whens = "".join(
+        f" WHEN hits_{c} = {mx} THEN '{c}'" for c, _ in T.LANG_MARKERS
+    )
+    hits_out = ", ".join(f"hits_{c}" for c, _ in T.LANG_MARKERS)
+    return f"""
+    WITH h AS (SELECT doc_id, {", ".join(hit_exprs)} FROM documents)
+    SELECT doc_id,
+           CASE WHEN {mx} = 0 THEN 'und'{whens} END AS lang_pred,
+           {hits_out}
+    FROM h
+    """
+
+
+@register("lang_id_heuristic", oracle=_dd_lang_oracle())
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID (operators/text.py:lang_id)."""
+    return T.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_DD_NORM}) AS fp_md5,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, length({_DD_NORM})),
+               i -> CAST(ascii(({_DD_NORM})[i]) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_rolling
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 + polynomial rolling hash of the
+    normalized text (operators/text.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.fingerprint_md5(F.col("text")).alias("fp_md5"),
+        T.fingerprint_rolling("text").alias("fp_rolling"),
+    )
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS sha_hex,
+           md5(text) AS md5_hex
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary plumbing: treat text payload as bytes and compute
+    typed metadata (size, digests) — the deterministic core of the
+    multimodal column pattern (operators/multimodal.py holds the decode
+    stubs)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("byte_len"),
+        F.sha2(payload, 256).alias("sha_hex"),
+        F.md5(payload).alias("md5_hex"),
+    )
+
+
+@register(
+    "near_dup_pairs_exact",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, {_dd_shingles_sql(_DD_TOKS)} AS shingles
+      FROM documents),
+    probe AS (SELECT doc AS doc_a, shingles AS sh_a FROM sh WHERE doc % 10 = 0),
+    pairs AS (
+      SELECT doc_a, doc AS doc_b,
+             CAST(len(list_intersect(sh_a, shingles)) AS DOUBLE) AS i,
+             CAST(len(sh_a) AS DOUBLE) + CAST(len(shingles) AS DOUBLE)
+               - CAST(len(list_intersect(sh_a, shingles)) AS DOUBLE) AS u
+      FROM probe JOIN sh ON doc_a < doc)
+    SELECT doc_a, doc_b, i / u AS jaccard
+    FROM pairs WHERE i / u >= 0.2
+    """,
+)
+def near_dup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard of a probe subset vs the corpus
+    (operators/dedup.py:near_dup_pairs_exact). The LSH variants below are
+    the at-scale path; this is the correctness baseline."""
+    return D.near_dup_pairs_exact(
+        load_table(spark, sf_dir, "documents"), threshold=0.2, probe_mod=10
+    )
+
+
+@register("dedup_near_minhash")  # xxhash64-based -> rows-only check
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs verified by exact Jaccard
+    (operators/dedup.py:dedup_near_minhash). Deterministic, but hash
+    functions are Spark-specific -> no SQL oracle; pytest checks recall
+    against near_dup_pairs_exact."""
+    return D.dedup_near_minhash(
+        load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+@register("dedup_simhash")  # xxhash64-based -> rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance <= 3
+    (operators/dedup.py:simhash_near_pairs)."""
+    return D.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+             (acc, v) -> acc + v)) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms of the embedding vectors — bit-exact parity via
+    sequential double fold (operators/similarity.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.with_norm(e).select("vec_id", "dim", "l2_norm")
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+          FROM e),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_zip(q.v, c.v), s -> s[1] * s[2])),
+               (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cosine
+      FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT q_id, c_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, c_id) AS BIGINT) AS rn
+      FROM scored)
+    SELECT q_id, c_id, cosine, rn FROM ranked WHERE rn <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for query vectors vec_id < 10 —
+    the similarity-search correctness baseline
+    (operators/similarity.py:brute_force_topk)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=10)
+
+
+@register("ann_lsh_topk")  # xxhash64-derived hyperplanes -> rows-only
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH buckets — the scale
+    path for similarity search (operators/similarity.py:lsh_topk);
+    pytest measures recall vs ann_cosine_topk."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_topk(e, e.filter(F.col("vec_id") < 10), dim=64, k=10, n_planes=8)
+
+
+@register("embedding_near_dup")  # xxhash64-derived hyperplanes -> rows-only
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets
+    (operators/similarity.py:embedding_cosine_near_dup)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_cosine_near_dup(e, dim=64, threshold=0.9, n_planes=8)

@@ -1,0 +1,451 @@
+"""Core relational operator surface (SURVEY.md §2 Tiers A/B/C).
+
+One registered query per operator family the reference exercises or its
+wire format declares: scan/project/alias (Tier B1/B4), unnest/explode
+(B3), sample (Tier A, rows-only check), every join type (Tier C join
+enum, proto/datafusion_common.proto:78-88), aggregation, window, sort/
+limit, distinct, set operations, JSON extraction and time bucketing over
+the events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ballista_extensions_spark.functions.exact import dsum, lcount
+from ballista_extensions_spark.io import load_table
+from ballista_extensions_spark.operators.sample import sample
+from ballista_extensions_spark.queries.registry import register
+
+
+@register(
+    "scan_project_alias",
+    oracle="""
+    SELECT l_orderkey AS okey, l_linenumber AS lineno,
+           l_quantity AS qty, l_returnflag AS flag
+    FROM lineitem
+    WHERE l_orderkey < 1000 AND l_returnflag <> 'N'
+    """,
+)
+def scan_project_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan -> filter -> projection with aliases (reference Tier
+    B1/B4: examples/datafusion.rs:26 read_parquet + `as a` aliasing).
+
+    Scale: both predicates and the 4-column projection reach the scan
+    (PushedFilters + ReadSchema in explain) — no full-width read.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter((F.col("l_orderkey") < 1000) & (F.col("l_returnflag") != "N"))
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_linenumber").alias("lineno"),
+            F.col("l_quantity").alias("qty"),
+            F.col("l_returnflag").alias("flag"),
+        )
+    )
+
+
+@register(
+    "explode_unnest",
+    oracle="""
+    SELECT CAST(unnest([1,2,3,4,5,6,7,8,9,0]) AS BIGINT) AS a
+    """,
+)
+def explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's e2e input: `select unnest([1,...,9,0]) as a`
+    (tests/e2e.rs:24, Tier B3) — Spark spells it explode(array(...))."""
+    return spark.sql(
+        "SELECT CAST(a AS BIGINT) AS a FROM "
+        "(SELECT explode(array(1,2,3,4,5,6,7,8,9,0)) AS a)"
+    )
+
+
+@register("sample_lineitem")  # randomized -> rows-only check (FIXTURES.md)
+def sample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier A flagship operator: Bernoulli sample, reference-exact
+    validation (src/dataframe/sample.rs:28-38). Deterministic for a fixed
+    seed but RNG-stream-specific, so no SQL oracle — the statistical and
+    validation contracts are pytest-checked (tests/test_sample.py)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return sample(l, 0.3, 42).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice AS total, c_name, c_mktsegment AS segment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 400000
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INNER join (proto JoinType INNER). Scale: shuffle hash/sort-merge
+    join on the key at fact scale; the o_totalprice filter pushes down."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("total"),
+        "c_name",
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@register(
+    "join_left_agg",
+    oracle="""
+    SELECT c_custkey,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers without orders (NULL-safe
+    count/sum semantics must match the oracle: COUNT skips NULLs, SUM of
+    empty is NULL)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").cast("long").alias("n_orders"),
+            dsum(F.col("o_totalprice"), "spend"),
+        )
+    )
+
+
+@register(
+    "join_right",
+    oracle="""
+    SELECT n_name, s_name, s_acctbal AS bal
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join (nations with no supplier keep NULL supplier
+    columns)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return s.join(n, F.col("s_nationkey") == F.col("n_nationkey"), "right").select(
+        "n_name", "s_name", F.col("s_acctbal").alias("bal")
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS k,
+                       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS cust_bal
+                FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS k,
+                       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS supp_bal
+                FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cn.k, sn.k) AS nationkey, cust_bal, supp_bal
+    FROM cn FULL OUTER JOIN sn ON cn.k = sn.k
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates (proto JoinType FULL)."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("k")).agg(
+        dsum(F.col("c_acctbal"), "cust_bal")
+    )
+    sn = s.groupBy(F.col("s_nationkey").alias("k")).agg(
+        dsum(F.col("s_acctbal"), "supp_bal")
+    )
+    return (
+        cn.join(sn, cn["k"] == sn["k"], "full")
+        .select(
+            F.coalesce(cn["k"], sn["k"]).alias("nationkey"),
+            "cust_bal",
+            "supp_bal",
+        )
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (proto :83): customers having a big order. Scale:
+    semi join only ships the probe key — no payload duplication."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(
+        o, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (proto :84): customers with no orders at all.
+    (RIGHT SEMI/ANTI from the proto enum are the same ops with sides
+    swapped — covered by construction.)"""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "agg_orders_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(o_totalprice) AS DOUBLE) AS avg_price,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregation with count/sum/min/max/avg/count-distinct.
+
+    Scale: partial aggregation collapses map-side except COUNT DISTINCT,
+    which Spark expands to a two-phase agg on (priority, custkey) — still
+    bounded by distinct pairs, not rows."""
+    o = load_table(spark, sf_dir, "orders")
+    num = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+    return o.groupBy("o_orderpriority").agg(
+        lcount("n_orders"),
+        dsum(F.col("o_totalprice"), "total"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        (num / F.count("o_totalprice").cast("double")).alias("avg_price"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+    )
+
+
+@register(
+    "window_top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice AS price, rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: top-3 orders per customer by price.
+
+    Scale: single shuffle on o_custkey; ORDER BY includes the unique
+    o_orderkey so row numbers are deterministic. At 100 TB a heavy-hitter
+    customer would skew one partition — AQE skew handling or pre-limit
+    per-key top-k (aggregate of a bounded heap) is the mitigation."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "sort_limit_expensive_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice AS price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def sort_limit_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    top-25 then a single 25-row reduce; no full sort materialization."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", F.col("o_totalprice").alias("price"))
+        .orderBy(F.col("price").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "distinct_segments_by_nation",
+    oracle="""
+    SELECT DISTINCT n_name, c_mktsegment AS segment
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def distinct_segments_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a broadcast dimension join."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", F.col("c_mktsegment").alias("segment"))
+        .distinct()
+    )
+
+
+@register(
+    "set_union_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) set operation."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+@register(
+    "set_intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set operation."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@register(
+    "set_except_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set operation: nations with customers but no suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.subtract(s)
+
+
+@register(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed rollup over the events stream table — the batch twin
+    of the streaming tumbling-window op in streaming/ops.py.
+
+    Scale: group keys (hour, type) are low-cardinality per partition ->
+    partial agg collapses; event-time bucketing needs no shuffle-ahead
+    sort. value has 6 decimal digits -> DECIMAL(18,6) exact sum."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+    ).agg(
+        lcount("n_events"),
+        dsum(F.col("value"), "total_value", 18, 6),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON property from the events payload
+    (Spark get_json_object ≙ DuckDB json_extract_string)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k_val"),
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 5 MINUTE THEN 0 ELSE 1 END
+               AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM marked GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (5-minute inactivity gap) via window
+    functions — the batch twin of stateful streaming sessionization.
+
+    Scale: one shuffle on user_id, per-user ordered scan; deterministic
+    tie-break on event_id for equal timestamps."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (
+        F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    ) <= 300
+    marked = e.select(
+        "user_id",
+        F.when(gap_ok, F.lit(0)).otherwise(F.lit(1)).alias("new_session"),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        lcount("n_events"),
+    )
