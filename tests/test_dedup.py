@@ -1,0 +1,97 @@
+"""Dedup operator tests: exact on constructed dups, MinHash/SimHash
+recall against the exact Jaccard baseline on the driver corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ballista_extensions_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),       # exact dup of 1
+        (3, "Alpha  beta GAMMA delta epsilon"),      # normalized dup of 1
+        (4, "completely different text entirely here"),
+        (5, "alpha beta gamma delta zeta"),          # near dup of 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact(dup_docs):
+    res = {r.keep_id: r.n_copies for r in D.dedup_exact(dup_docs).collect()}
+    assert res[1] == 2          # docs 1+2 collapse
+    assert res[3] == 1          # case difference survives exact mode
+    assert len(res) == 4
+
+
+def test_dedup_exact_normalized(dup_docs):
+    res = {r.keep_id: r.n_copies for r in D.dedup_exact(dup_docs, normalized=True).collect()}
+    assert res[1] == 3          # docs 1+2+3 collapse after normalization
+    assert len(res) == 3
+
+
+def test_near_dup_exact_pairs(spark):
+    rows = [
+        (0, "one two three four five six seven"),
+        (10, "one two three four five six eight"),   # high shingle overlap with 0
+        (20, "nothing in common with the others at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = D.near_dup_pairs_exact(df, threshold=0.2, probe_mod=10).collect()
+    keys = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (0, 10) in keys
+    assert all(p.jaccard >= 0.2 for p in pairs)
+    assert (0, 20) not in keys
+
+
+def test_minhash_detects_identical(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "entirely unrelated content goes here in this document now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in D.dedup_near_minhash(df, threshold=0.5).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) not in pairs
+
+
+def test_minhash_recall_vs_exact(documents):
+    """MinHash+LSH must recover a solid share of true near-dup pairs
+    among the probe subset (banding is probabilistic; 16 hashes / 4
+    bands at jaccard>=0.2 on word salad is a loose sieve, so assert
+    recall on the pairs both could see)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in D.near_dup_pairs_exact(documents, threshold=0.35, probe_mod=1).collect()
+    }
+    if not exact:
+        pytest.skip("no high-jaccard pairs at this sf")
+    mh = {
+        (r.doc_a, r.doc_b)
+        for r in D.dedup_near_minhash(documents, threshold=0.35).collect()
+    }
+    recall = len(exact & mh) / len(exact)
+    assert recall >= 0.5, f"recall {recall:.2f} over {len(exact)} true pairs"
+
+
+def test_simhash_identical_zero_distance(spark):
+    rows = [
+        (1, "aaa bbb ccc ddd eee"),
+        (2, "aaa bbb ccc ddd eee"),
+        (3, "zzz yyy xxx www vvv uuu ttt"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in D.simhash_near_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs
+
+
+def test_simhash_deterministic(documents):
+    a = {r.doc: r.simhash for r in D.simhash64(documents).collect()}
+    b = {r.doc: r.simhash for r in D.simhash64(documents).collect()}
+    assert a == b

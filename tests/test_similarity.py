@@ -1,0 +1,96 @@
+"""Similarity-search tests: known-answer geometry, determinism, and LSH
+recall vs the exact baseline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+from ballista_extensions_spark.operators import similarity as S
+
+SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def toy_vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        (4, [0.7, 0.7, 0.0, 0.0]),   # diagonal
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_norms(toy_vectors):
+    norms = {r.vec_id: r.l2_norm for r in S.with_norm(toy_vectors).collect()}
+    assert norms[0] == pytest.approx(1.0)
+    assert norms[4] == pytest.approx(0.7 * 2**0.5, rel=1e-6)
+
+
+def test_brute_force_ordering(toy_vectors):
+    res = S.brute_force_topk(
+        toy_vectors, toy_vectors.filter(F.col("vec_id") == 0), k=4
+    ).collect()
+    order = [r.c_id for r in sorted(res, key=lambda r: r.rn)]
+    assert order[0] == 1          # most similar
+    assert order[-1] == 3         # opposite vector ranks last
+    cos = {r.c_id: r.cosine for r in res}
+    assert cos[1] == pytest.approx(0.9 / (0.9**2 + 0.1**2) ** 0.5, rel=1e-6)
+    assert cos[3] == pytest.approx(-1.0)
+
+
+def test_topk_row_counts(embeddings):
+    out = S.brute_force_topk(embeddings, embeddings.filter(F.col("vec_id") < 5), k=7)
+    rows = out.collect()
+    assert len(rows) == 5 * 7
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r.rn)
+    for q, rns in per_q.items():
+        assert sorted(rns) == list(range(1, 8))
+
+
+def test_lsh_recall(embeddings):
+    """Bucketed ANN must recover a reasonable share of the true top-10
+    (8 hyperplanes on random 64-d vectors is a coarse sieve; recall
+    here is a determinism+sanity gate, not a quality benchmark)."""
+    q = embeddings.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.q_id, r.c_id)
+        for r in S.brute_force_topk(embeddings, q, k=10).collect()
+    }
+    approx = {
+        (r.q_id, r.c_id)
+        for r in S.lsh_topk(embeddings, q, dim=64, k=10, n_planes=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.15, f"recall {recall}"
+
+
+def test_lsh_deterministic(embeddings):
+    q = embeddings.filter(F.col("vec_id") < 5)
+    a = sorted(
+        (r.q_id, r.c_id, r.rn)
+        for r in S.lsh_topk(embeddings, q, dim=64, k=5, n_planes=8).collect()
+    )
+    b = sorted(
+        (r.q_id, r.c_id, r.rn)
+        for r in S.lsh_topk(embeddings, q, dim=64, k=5, n_planes=8).collect()
+    )
+    assert a == b
+
+
+def test_near_dup_threshold(toy_vectors):
+    pairs = S.embedding_cosine_near_dup(
+        toy_vectors, dim=4, threshold=0.95, n_planes=2
+    ).collect()
+    for p in pairs:
+        assert p.cosine >= 0.95

@@ -1,0 +1,98 @@
+"""Text operator unit tests on constructed inputs (known-answer) plus
+driver-corpus sanity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ballista_extensions_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "THE   Quick brown  fox "),
+        (3, "a b c d e f g h i j k"),
+        (4, "hello, world! the end."),
+        (5, "x"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_count(toy):
+    got = {r.doc_id: r.n for r in toy.select("doc_id", T.token_count(F.col("text")).alias("n")).collect()}
+    assert got[1] == 4
+    assert got[3] == 11
+    assert got[5] == 1
+
+
+def test_normalize(toy):
+    got = {
+        r.doc_id: r.n
+        for r in toy.select("doc_id", T.normalize(F.col("text")).alias("n")).collect()
+    }
+    assert got[2] == "the quick brown fox"
+    assert got[1] == got[2]
+
+
+def test_rolling_fingerprint_known_value(spark):
+    """'hello world' under base31/mod 1e9+7 == 204910434 (verified
+    independently against DuckDB's fold in tools/selfcheck)."""
+    df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    v = df.select(T.fingerprint_rolling("text").alias("fp")).collect()[0].fp
+    assert v == 204910434
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world")], ["doc_id", "text"]
+    )
+    fps = [r.fp for r in df.select(T.fingerprint_md5(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_text_stats_math(toy):
+    row = {r.doc_id: r for r in T.text_stats(toy).collect()}[1]
+    # "the quick brown fox": 4 tokens, 19 chars, stopword 'the' -> 1/4
+    assert row.n_tokens == 4
+    assert row.n_chars == 19
+    assert row.stopword_ratio == pytest.approx(0.25)
+    assert row.avg_token_len == pytest.approx((3 + 5 + 5 + 3) / 4)
+    assert row.distinct_ratio == pytest.approx(1.0)
+
+
+def test_punctuation_count(toy):
+    row = {r.doc_id: r for r in T.text_stats(toy).collect()}[4]
+    assert row.n_punct == 3  # comma, bang, period
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog"),
+            (2, "der hund und die katze ist"),
+            (3, "le chat et la maison est"),
+            (4, "xyzzy plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.lang_pred for r in T.lang_id(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[4] == "und"
+
+
+def test_lang_id_deterministic_tiebreak(spark):
+    # one en marker + one de marker -> 'en' wins by precedence order
+    df = spark.createDataFrame([(1, "the und")], ["doc_id", "text"])
+    assert T.lang_id(df).collect()[0].lang_pred == "en"
+
+
+def test_corpus_stats_no_nulls(documents):
+    stats = T.text_stats(documents)
+    n = stats.count()
+    assert n == documents.count()
+    assert stats.dropna().count() == n
