@@ -57,3 +57,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Scan all driver tables lazily (no IO until an action runs)."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition iff the input is under-parallel for CPU-heavy per-row
+    operators (small local files are single-row-group parquet -> 1 task
+    regardless of maxPartitionBytes). At production scale inputs already
+    carry many partitions, so this is a no-op — the check costs only plan
+    analysis, not a job."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

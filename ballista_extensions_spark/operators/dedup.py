@@ -22,11 +22,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ballista_extensions_spark.io import ensure_parallelism
 from ballista_extensions_spark.operators.text import (
     TOKENS_SQL,
     normalize,
     shingle_expr,
 )
+
+# Affine 64-bit rehash family for MinHash: one xxhash64 per shingle, then
+# mh_i = min(h * A_i + B_i) with odd multipliers (a bijection on Z_2^64,
+# wrapping multiply — Spark non-ANSI long arithmetic wraps like Java).
+# ~16x cheaper than hashing the shingle string once per hash function.
+_M64 = (1 << 64) - 1
+
+
+def _signed64(v: int) -> int:
+    v &= _M64
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _affine_consts(i: int) -> tuple[int, int]:
+    a = _signed64(0x9E3779B97F4A7C15 * (2 * i + 1))
+    b = _signed64(0xC2B2AE3D27D4EB4F * (i * i + i + 1))
+    return a, b
 
 
 def dedup_exact(
@@ -59,7 +77,7 @@ def dedup_exact(
 
 def _with_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     tok_sql = TOKENS_SQL.format(col=text_col)
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
         F.array_distinct(shingle_expr(tok_sql, n)).alias("shingles"),
     )
@@ -79,29 +97,41 @@ def near_dup_pairs_exact(
     jaccard(shingles_a, shingles_b) >= threshold. Jaccard is a ratio of
     small ints -> bit-exact across engines (oracle-checkable).
 
-    Scale: O(|probe| x |corpus|) — correct but bounded; the probe
-    predicate keeps the broadcast side small. Use the MinHash path for
-    corpus-vs-corpus dedup at scale.
+    Scale: inverted-index join — postings are keyed by shingle, so cost
+    is sum over shingles of (probe-df x corpus-df), not |probe|x|corpus|;
+    a stop-shingle cap would bound heavy hitters at web scale. Use the
+    MinHash path for corpus-vs-corpus dedup.
     """
     sh = _with_shingles(df, text_col, id_col, n)
-    probe = sh.filter((F.col("doc") % probe_mod) == 0).select(
-        F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a")
+    sizes = sh.select("doc", F.size("shingles").alias("sz"))
+    # Inverted index: explode shingles to postings, equi-join probe vs
+    # corpus postings on the shingle, count matches per pair = exact
+    # intersection size. Replaces the |probe| x |corpus| product with a
+    # shuffle join keyed by shingle — pairs sharing zero shingles (which
+    # can never reach a positive threshold) are never materialized.
+    posting = sh.select("doc", F.explode("shingles").alias("s"))
+    probe_post = posting.filter((F.col("doc") % probe_mod) == 0).select(
+        F.col("doc").alias("doc_a"), "s"
     )
-    corpus = sh.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
-    union = (
-        F.size(F.col("sh_a")).cast("double")
-        + F.size(F.col("sh_b")).cast("double")
-        - inter
-    )
-    return (
-        F.broadcast(probe)
-        .join(corpus, F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (inter / union).alias("jaccard"),
+    corpus_post = posting.select(F.col("doc").alias("doc_b"), "s")
+    inter = (
+        probe_post.join(
+            corpus_post,
+            (probe_post["s"] == corpus_post["s"]) & (F.col("doc_a") < F.col("doc_b")),
         )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    i_d = F.col("i").cast("double")
+    union = F.col("sz_a").cast("double") + F.col("sz_b").cast("double") - i_d
+    # no broadcast hint on the size joins: AQE picks broadcast while the
+    # size table fits and falls back to shuffle join at corpus scale
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", (i_d / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -118,13 +148,16 @@ def minhash_signatures(
     everything happens inside the row's projection (codegen), no shuffle.
     Docs with no shingles get NULL minhashes and are excluded."""
     sh = _with_shingles(df, text_col, id_col, n).filter(F.size("shingles") > 0)
-    sig_cols = [
-        F.expr(
-            f"array_min(transform(shingles, s -> xxhash64({i}, s)))"
-        ).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.select("doc", *sig_cols)
+    hashed = sh.select(
+        "doc", F.expr("transform(shingles, s -> xxhash64(s))").alias("hs")
+    )
+    sig_cols = []
+    for i in range(num_hashes):
+        a, b = _affine_consts(i)
+        sig_cols.append(
+            F.expr(f"array_min(transform(hs, h -> h * {a}L + {b}L))").alias(f"mh_{i}")
+        )
+    return hashed.select("doc", *sig_cols)
 
 
 def lsh_candidate_pairs(
@@ -146,10 +179,17 @@ def lsh_candidate_pairs(
             f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
         )
         band_structs.append(f"struct({b}L AS band_id, xxhash64({cols}) AS band_hash)")
-    exploded = signatures.select(
-        "doc",
-        F.explode(F.expr(f"array({', '.join(band_structs)})")).alias("band"),
-    ).select("doc", "band.band_id", "band.band_hash")
+    exploded = (
+        signatures.select(
+            "doc",
+            F.explode(F.expr(f"array({', '.join(band_structs)})")).alias("band"),
+        )
+        .select("doc", "band.band_id", "band.band_hash")
+        # cache: the self-join below would otherwise recompute the whole
+        # signature pipeline once per side (at corpus scale you'd persist
+        # the signature table explicitly — same idea)
+        .cache()
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -209,27 +249,31 @@ def simhash64(
     """64-bit SimHash per document over whitespace tokens.
 
     For each bit position, sum +1/-1 votes of each token's xxhash64 bit,
-    then take the sign. Computed as a single fold over the token array
-    into a 64-int vote vector (JVM higher-order functions; narrow, no
-    shuffle), then packed into one BIGINT.
+    then take the sign of the total. Computed by exploding tokens,
+    hashing each once, and aggregating 64 conditional sums per doc —
+    partial (map-side) aggregation collapses the exploded rows before the
+    one shuffle on doc id, and the single xxhash64 per token beats a
+    64-lane per-row fold by an order of magnitude.
+
+    Docs with zero tokens produce no output row (no signal to hash).
     """
     tok_sql = TOKENS_SQL.format(col=text_col)
-    votes = (
-        f"aggregate({tok_sql}, "
-        f"transform(sequence(0, 63), i -> 0L), "
-        f"(acc, t) -> zip_with(acc, "
-        f"  transform(sequence(0, 63), i -> CASE WHEN (shiftright(xxhash64(t), "
-        f"    CAST(i AS INT)) & 1) = 1 THEN 1L ELSE -1L END), "
-        f"  (a, v) -> a + v))"
+    hashed = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.expr(tok_sql)).alias("t"),
+    ).select("doc", F.xxhash64("t").alias("h"))
+    votes = hashed.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(h, {i}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
     )
-    packed = (
-        f"aggregate(zip_with({votes}, sequence(0, 63), "
-        f"(v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, CAST(i AS INT)) ELSE 0L END), "
-        f"0L, (acc, x) -> acc | x)"
+    packed = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN shiftleft(1L, {i}) ELSE 0L END" for i in range(64)
     )
-    return df.select(
-        F.col(id_col).alias("doc"), F.expr(packed).alias("simhash")
-    )
+    return votes.select("doc", F.expr(packed).alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -260,7 +304,7 @@ def simhash_near_pairs(
                 + ")"
             )
         ).alias("ch"),
-    ).select("doc", "simhash", "ch.chunk_id", "ch.chunk_val")
+    ).select("doc", "simhash", "ch.chunk_id", "ch.chunk_val").cache()
     a = chunks.alias("a")
     b = chunks.alias("b")
     return (

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ballista_extensions_spark.io import ensure_parallelism
+
 
 def as_double(vec_sql: str) -> str:
     """SQL fragment: cast array<float> -> array<double> (exact)."""
@@ -69,7 +71,7 @@ def brute_force_topk(
         F.expr(as_double(vec_col)).alias("q_vec"),
         F.expr(norm_sql(as_double(vec_col))).alias("q_norm"),
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("c_id"),
         F.expr(as_double(vec_col)).alias("c_vec"),
         F.expr(norm_sql(as_double(vec_col))).alias("c_norm"),
@@ -138,7 +140,7 @@ def lsh_topk(
     full-corpus product. Recall improves with fewer planes / multi-probe; pytest
     measures recall vs brute force.
     """
-    cb = lsh_bucket(corpus, dim, n_planes, id_col, vec_col)
+    cb = lsh_bucket(ensure_parallelism(corpus), dim, n_planes, id_col, vec_col)
     qb = lsh_bucket(queries, dim, n_planes, id_col, vec_col)
     q = qb.select(
         F.col(id_col).alias("q_id"),
@@ -178,13 +180,14 @@ def embedding_cosine_near_dup(
     """Embedding-based near-duplicate pairs: LSH-bucketed self-join, exact
     cosine verification >= threshold. Same shape as MinHash dedup but in
     embedding space."""
-    cb = lsh_bucket(df, dim, n_planes, id_col, vec_col)
+    cb = lsh_bucket(ensure_parallelism(df), dim, n_planes, id_col, vec_col)
+    # cache: both sides of the self-join read the bucketed projection
     enriched = cb.select(
         F.col(id_col).alias("id"),
         F.expr(as_double(vec_col)).alias("vec"),
         F.expr(norm_sql(as_double(vec_col))).alias("nrm"),
         "bucket",
-    )
+    ).cache()
     a = enriched.alias("a")
     b = enriched.alias("b")
     cos = F.expr(dot_sql("a.vec", "b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))

@@ -50,14 +50,21 @@ def normalize_sql(col: str) -> str:
 
 def shingle_expr(toks_sql: str, n: int = 3) -> Column:
     """Word n-gram shingles over a SQL expression producing an
-    array<string>; empty array when fewer than n tokens (guards Spark's
-    descending ``sequence`` when size-n+1 < 1). ``element_at`` is 1-based,
-    like DuckDB list indexing."""
-    joined = ", ".join(f"element_at({toks_sql}, CAST(i + {k} AS INT))" for k in range(n))
+    array<string>; empty array when fewer than n tokens.
+
+    Built as chained ``zip_with`` over ``slice``s rather than
+    ``transform(sequence, i -> element_at(...))``: higher-order functions
+    run interpreted (outside codegen) with no common-subexpression
+    elimination, so an element_at-based lambda would re-evaluate
+    ``toks_sql`` (typically a split()) per *element* — O(len^2) per row.
+    The slice form evaluates it a constant number of times per row."""
+    length = f"size({toks_sql}) - {n - 1}"
+    acc = f"slice({toks_sql}, 1, {length})"
+    for k in range(1, n):
+        nxt = f"slice({toks_sql}, {k + 1}, {length})"
+        acc = f"zip_with({acc}, {nxt}, (x, y) -> concat(x, ' ', y))"
     return F.expr(
-        f"CASE WHEN size({toks_sql}) >= {n} "
-        f"THEN transform(sequence(1, size({toks_sql}) - {n - 1}), "
-        f"i -> concat_ws(' ', {joined})) "
+        f"CASE WHEN size({toks_sql}) >= {n} THEN {acc} "
         f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
 
