@@ -1,0 +1,9 @@
+"""Structured Streaming operators (streaming twins of the batch ops)."""
+
+from ballista_extensions_spark.streaming.ops import (
+    hourly_rollup_stream,
+    sessionize_stream,
+    dedup_stream,
+)
+
+__all__ = ["hourly_rollup_stream", "sessionize_stream", "dedup_stream"]
