@@ -1,0 +1,362 @@
+"""Advanced analytics surface: multi-dimensional aggregation (ROLLUP/
+CUBE — the hypertable-rollup pattern), correlated subqueries, disjunctive
+predicate pushdown, pivot, and the scalar string/date function library.
+
+These extend the Tier-B/C operator coverage with plan shapes the TPC-H
+set doesn't exercise; every query here is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ballista_extensions_spark.functions.exact import dsum, lcount
+from ballista_extensions_spark.io import load_table
+from ballista_extensions_spark.queries.registry import register
+
+_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))"
+)
+
+
+@register(
+    "rollup_revenue",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation — subtotals per flag and the grand total (the
+    hypertable-rollup pattern: one scan produces every granularity;
+    Spark expands grouping sets in a single Expand+Aggregate, no rescan).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.expr(_DISC_PRICE)).cast("double").alias("revenue"),
+        lcount("n_items"),
+    )
+
+
+@register(
+    "cube_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation — all 2^2 grouping sets in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        lcount("n_orders"),
+        dsum(F.col("o_totalprice"), "total"),
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                                       / CAST(COUNT(l2.l_quantity) AS DOUBLE))
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated scalar subquery (avg per part) — Catalyst
+    decorrelates into an aggregate + join; the per-part average uses the
+    exact decimal-sum/count form on both sides."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    per_part = l.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count("l_quantity").cast("double")
+        ).alias("avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("ap_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS total,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 170)
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY total DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: HAVING-filtered semi join (large-quantity orders)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .filter(F.col("q") > 170)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            big.withColumnRenamed("l_orderkey", "big_key"),
+            F.col("o_orderkey") == F.col("big_key"),
+            "left_semi",
+        )
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity"), "sum_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("total"),
+            "sum_qty",
+        )
+        .orderBy(F.col("total").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 adapted: disjunctive multi-clause predicates — Catalyst
+    extracts the common p_partkey join and pushes the OR-of-ANDs below
+    the join where possible."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(F.expr(_DISC_PRICE)).cast("double").alias("revenue"),
+            lcount("n_items"),
+        )
+    )
+
+
+@register(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume by year — two aliases of the same
+    dimension joined under a symmetric disjunction."""
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    cond = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        s.join(l, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(cond)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(F.expr(_DISC_PRICE)).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "pivot_segment_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'  THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS building,
+           CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS machinery,
+           CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS automobile
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def pivot_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-nation account balance by market segment (fixed pivot
+    values -> stable schema; Spark's groupBy().pivot(values=...) plans a
+    single aggregate, no per-value rescan)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    piv = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .pivot("c_mktsegment", ["BUILDING", "MACHINERY", "AUTOMOBILE"])
+        .agg(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"))
+    )
+    return piv.select(
+        "n_name",
+        F.col("BUILDING").alias("building"),
+        F.col("MACHINERY").alias("machinery"),
+        F.col("AUTOMOBILE").alias("automobile"),
+    )
+
+
+@register(
+    "string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS up_name,
+           lower(c_mktsegment) AS lo_seg,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           substr(c_name, 1, 8) AS name_prefix,
+           replace(c_name, '#', '-') AS name_dash,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           reverse(c_mktsegment) AS rev_seg,
+           concat(c_mktsegment, ':', c_name) AS seg_name,
+           CAST(strpos(c_name, '1') AS BIGINT) AS pos_one,
+           trim(concat('  ', c_name, '  ')) AS trimmed
+    FROM customer
+    WHERE c_custkey <= 200
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function library parity (upper/lower/length/substr/
+    replace/lpad/reverse/concat/instr/trim)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up_name"),
+        F.lower("c_mktsegment").alias("lo_seg"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.regexp_replace("c_name", "#", "-").alias("name_dash"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.reverse("c_mktsegment").alias("rev_seg"),
+        F.concat_ws(":", "c_mktsegment", "c_name").alias("seg_name"),
+        F.instr(F.col("c_name"), "1").cast("long").alias("pos_one"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("trimmed"),
+    )
+
+
+@register(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(day(o_orderdate) AS BIGINT) AS d,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+             AS days_since_95
+    FROM orders
+    WHERE o_orderkey <= 1000
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date/time function library parity (year/month/day/quarter/
+    dayofyear/date_trunc/interval arithmetic/datediff)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).cast("long").alias("days_since_95"),
+    )
+
+
+@register(
+    "median_order_price",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(median(o_totalprice) AS DOUBLE) AS med_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def median_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group (Spark `median` == DuckDB `median`:
+    midpoint interpolation of two exact 2-decimal doubles is exact)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").cast("double").alias("med_price"),
+        lcount("n"),
+    )
