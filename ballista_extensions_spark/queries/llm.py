@@ -290,6 +290,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("embedding_near_dup")  # xxhash64-derived hyperplanes -> rows-only
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets
-    (operators/similarity.py:embedding_cosine_near_dup)."""
+    (operators/similarity.py:embedding_cosine_near_dup). Threshold 0.35
+    reflects the driver corpus: random synthetic embeddings top out near
+    cosine 0.5, so a production-style 0.9 matches nothing here."""
     e = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_cosine_near_dup(e, dim=64, threshold=0.9, n_planes=8)
+    return S.embedding_cosine_near_dup(e, dim=64, threshold=0.35, n_planes=8)
