@@ -59,6 +59,28 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 16,
+    sort_by: str | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Bucketing pre-shuffles data by key at write time so later equi-joins
+    and aggregations on that key are exchange-free — the 100 TB answer to
+    repeated joins on the same key (co-located joins). Both sides must
+    share the bucket count for the shuffle to be elided.
+    """
+    writer = df.write.mode("overwrite").format("parquet")
+    if sort_by:
+        writer = writer.bucketBy(buckets, key).sortBy(sort_by)
+    else:
+        writer = writer.bucketBy(buckets, key)
+    writer.saveAsTable(table)
+
+
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Repartition iff the input is under-parallel for CPU-heavy per-row
     operators (small local files are single-row-group parquet -> 1 task
