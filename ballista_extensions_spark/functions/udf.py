@@ -19,34 +19,51 @@ import re
 
 import pandas as pd
 
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql import Column
+
+# NOTE: the pandas_udf wrappers are built lazily at call time — the
+# decorator needs an active SparkSession, and this module must stay
+# importable (query registry import) before any session exists.
 
 
-@pandas_udf("long")
-def py_token_count(texts: pd.Series) -> pd.Series:
-    """Whitespace token count, computed in Python (vectorized batch).
-    Matches split-on-\\s+ semantics of the JVM/text.py implementation for
-    non-empty trimmed-or-not inputs."""
+def _token_count_batch(texts: pd.Series) -> pd.Series:
     pattern = re.compile(r"\s+")
     return texts.map(lambda t: 0 if t is None else len(pattern.split(t)))
 
 
-@pandas_udf("string")
-def py_normalize(texts: pd.Series) -> pd.Series:
-    """Python twin of operators/text.py:normalize (lower/trim/collapse)."""
+def _normalize_batch(texts: pd.Series) -> pd.Series:
     pattern = re.compile(r"\s+")
     return texts.map(
         lambda t: None if t is None else pattern.sub(" ", t).strip().lower()
     )
 
 
-@pandas_udf("double")
-def py_digit_ratio(texts: pd.Series) -> pd.Series:
-    """Share of digit characters — an exact small-int ratio in double."""
-
+def _digit_ratio_batch(texts: pd.Series) -> pd.Series:
     def ratio(t: str | None) -> float | None:
         if t is None or len(t) == 0:
             return None
         return sum(c.isdigit() for c in t) / len(t)
 
     return texts.map(ratio)
+
+
+def py_token_count(col: Column) -> Column:
+    """Whitespace token count in vectorized Python (matches the JVM
+    split-on-\\s+ semantics of operators/text.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(_token_count_batch, "long")(col)
+
+
+def py_normalize(col: Column) -> Column:
+    """Python twin of operators/text.py:normalize (lower/trim/collapse)."""
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(_normalize_batch, "string")(col)
+
+
+def py_digit_ratio(col: Column) -> Column:
+    """Share of digit characters — an exact small-int ratio in double."""
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(_digit_ratio_batch, "double")(col)
