@@ -71,3 +71,42 @@ def sample_op(fraction: float, seed: int | None = None):
         return sample(df, fraction, seed)
 
     return _apply
+
+
+def sample_by(
+    df: DataFrame,
+    key: str,
+    fractions: dict,
+    seed: int | None = None,
+) -> DataFrame:
+    """Stratified Bernoulli sampling: per-key fractions (the natural
+    extension of the reference's single-fraction operator). Same
+    validation contract applied to every fraction; missing keys default
+    to fraction 0 (dropped), matching ``DataFrame.sampleBy``."""
+    if not fractions:
+        raise PlanError("sample_by requires at least one key fraction")
+    for k, frac in fractions.items():
+        if not isinstance(frac, (int, float)) or isinstance(frac, bool):
+            raise PlanError(f"fraction for key {k!r} must be a number")
+        if frac < 0.0 or frac > 1.0:
+            # sampleBy permits 0 (drop stratum) — only >1 and <0 invalid
+            raise PlanError(
+                f"invalid fraction {frac} for key {k!r}: must be in [0, 1]"
+            )
+    if seed is not None:
+        if not isinstance(seed, int) or isinstance(seed, bool):
+            raise PlanError(f"sample seed must be an int, got {seed!r}")
+        if seed < 0:
+            raise PlanError(f"invalid seed {seed}: seed should not be negative")
+    return df.sampleBy(key, {k: float(v) for k, v in fractions.items()}, seed=seed)
+
+
+def install_dataframe_extensions() -> None:
+    """Monkey-patch the operators onto ``DataFrame`` as fluent methods —
+    the literal Spark equivalent of the reference's ``DataFrameExt``
+    trait injection (src/dataframe/sample.rs:11-26): after calling this,
+    ``df.bx_sample(0.3, 42)`` and ``df.bx_sample_by(...)`` work exactly
+    like the module functions. Namespaced with the ``bx_`` prefix so no
+    stock PySpark API is shadowed."""
+    DataFrame.bx_sample = sample
+    DataFrame.bx_sample_by = sample_by

@@ -287,6 +287,33 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(e, e.filter(F.col("vec_id") < 10), dim=64, k=10, n_planes=8)
 
 
+@register(
+    "multimodal_decode_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(16 + (octet_length(encode(text)) * 2654435761 % 1024) AS INT) AS width,
+           CAST(16 + (octet_length(encode(text)) * 40503 % 768) AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(NULL AS VARCHAR) AS decode_error
+    FROM documents
+    """,
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing, oracle-checked end-to-end: documents
+    as opaque binary payloads -> mapInPandas decode (deterministic fake
+    codec — the container ships no media libs, operators/multimodal.py)
+    -> typed metadata. The fake's arithmetic is SQL-expressible, so the
+    whole Arrow-batched Python path is hash-verified against DuckDB."""
+    from ballista_extensions_spark.operators.multimodal import (
+        decode_images,
+        docs_as_media,
+    )
+
+    media = docs_as_media(load_table(spark, sf_dir, "documents"))
+    return decode_images(media, fake=True)
+
+
 @register("embedding_near_dup")  # xxhash64-derived hyperplanes -> rows-only
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets

@@ -73,6 +73,36 @@ def sample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample(l, 0.3, 42).select("l_orderkey", "l_linenumber", "l_quantity")
 
 
+@register("sample_by_segment")  # randomized -> rows-only check
+def sample_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (operators/sample.py:sample_by): per-segment
+    fractions over customer — the multi-stratum extension of the Tier-A
+    operator. Deterministic per seed; statistical contract in pytest."""
+    from ballista_extensions_spark.operators.sample import sample_by
+
+    c = load_table(spark, sf_dir, "customer")
+    return sample_by(
+        c,
+        "c_mktsegment",
+        {"BUILDING": 0.5, "MACHINERY": 0.2, "AUTOMOBILE": 0.1},
+        seed=42,
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register("sketch_distinct_users")  # HLL sketch: engine-specific estimate
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct users per event type — the
+    sketch-aggregation surface (deterministic: HLL register merge is
+    commutative/idempotent, so results are partitioning-independent; the
+    estimate itself is engine-specific -> rows-only check + relative
+    error bound in pytest)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+    )
+
+
 @register(
     "join_inner",
     oracle="""

@@ -21,6 +21,8 @@ def test_registry_complete():
     no_oracle = set(qs) - set(oracles)
     assert no_oracle == {
         "sample_lineitem",
+        "sample_by_segment",
+        "sketch_distinct_users",
         "dedup_near_minhash",
         "dedup_simhash",
         "ann_lsh_topk",
