@@ -49,3 +49,39 @@ def column_stats(spark: SparkSession, name: str, column: str) -> dict:
     ANALYZE ... FOR COLUMNS — proto fields :560-574."""
     rows = spark.sql(f"DESCRIBE EXTENDED {name} {column}").collect()
     return {r.info_name: r.info_value for r in rows}
+
+
+def declare_constraints(
+    df: DataFrame,
+    primary_key: list[str] | None = None,
+    unique: list[list[str]] | None = None,
+) -> DataFrame:
+    """Attach PK/unique constraint declarations as column metadata.
+
+    The reference wire format carries constraints (proto
+    datafusion_common.proto:59-76) but no engine enforcement exists
+    there; Spark likewise doesn't enforce — per SURVEY.md §1.2 the
+    mapping is *metadata only*. Declarations survive schema round-trips
+    and are readable by planners/tools via ``constraints_of``."""
+    from pyspark.sql import functions as F
+
+    pk = set(primary_key or [])
+    uq = {c for grp in (unique or []) for c in grp}
+    cols = []
+    for field in df.schema.fields:
+        meta = dict(field.metadata or {})
+        if field.name in pk:
+            meta["constraint"] = "primary_key"
+        elif field.name in uq:
+            meta["constraint"] = "unique"
+        cols.append(F.col(field.name).alias(field.name, metadata=meta))
+    return df.select(*cols)
+
+
+def constraints_of(df: DataFrame) -> dict[str, str]:
+    """Read back declared constraints: {column: 'primary_key'|'unique'}."""
+    return {
+        f.name: f.metadata["constraint"]
+        for f in df.schema.fields
+        if f.metadata and "constraint" in f.metadata
+    }

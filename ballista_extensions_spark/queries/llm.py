@@ -314,6 +314,118 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(media, fake=True)
 
 
+@register(
+    "corpus_vocabulary",
+    oracle=f"""
+    SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM (SELECT doc_id, unnest({_DD_TOKS}) AS t FROM documents)
+    GROUP BY t
+    ORDER BY freq DESC, t
+    LIMIT 50
+    """,
+)
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: token frequency + document frequency,
+    top-50 (the unigram LM / tokenizer-training primitive).
+
+    Scale: explode -> partial-agg groupBy(token) -> TakeOrdered; heavy
+    hitters combine map-side so the exchange carries distinct tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.expr(T.TOKENS_SQL.format(col="text"))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+        )
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+    SELECT CAST(n_chars // 100 AS BIGINT) AS bucket_100,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY n_chars // 100
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document length distribution in 100-char buckets — the standard
+    pre-training corpus profile query."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / 100).cast("long").alias("bucket_100")
+    return d.groupBy(bucket).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+@register(
+    "dataset_split",
+    oracle="""
+    SELECT CASE WHEN doc_id % 10 <= 7 THEN 'train'
+                WHEN doc_id % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-free train/val/test split (80/10/10 by id
+    modulus) — reproducible across engines/runs by construction, the
+    property a training pipeline needs from its split."""
+    d = load_table(spark, sf_dir, "documents")
+    split = (
+        F.when(F.col("doc_id") % 10 <= 7, "train")
+        .when(F.col("doc_id") % 10 == 8, "val")
+        .otherwise("test")
+        .alias("split")
+    )
+    return d.groupBy(split).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@register(
+    "pii_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+'))
+                AS BIGINT) AS n_emails
+    FROM documents
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: email / SSN-pattern redaction with match
+    counts (regex kept to the dialect-portable subset so Spark and
+    DuckDB agree byte-for-byte)."""
+    d = load_table(spark, sf_dir, "documents")
+    email = r"[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+    ssn = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"), ssn, "<SSN>"
+        ).alias("scrubbed"),
+        F.size(F.expr(f"regexp_extract_all(text, '{email}', 0)"))
+        .cast("long")
+        .alias("n_emails"),
+    )
+
+
 @register("embedding_near_dup")  # xxhash64-derived hyperplanes -> rows-only
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets
