@@ -343,6 +343,156 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_running_totals",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS moving3_spend,
+           CAST(LAG(o_orderkey) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS prev_order,
+           CAST(LEAD(o_orderkey, 1, -1) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS next_order,
+           first_value(o_orderkey) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS first_order
+    FROM orders
+    WHERE o_custkey <= 100
+    """,
+)
+def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames: running + moving-window decimal-exact sums,
+    lag/lead with default, first_value — one shuffle on the partition
+    key, per-partition ordered evaluation (deterministic tie-break via
+    o_orderkey in the ORDER BY)."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    wb = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = wb.rowsBetween(-2, Window.currentRow)
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec).over(run).cast("double").alias("running_spend"),
+        F.sum(dec).over(mov).cast("double").alias("moving3_spend"),
+        F.lag("o_orderkey").over(wb).cast("long").alias("prev_order"),
+        F.lead("o_orderkey", 1, -1).over(wb).cast("long").alias("next_order"),
+        F.first("o_orderkey").over(wb).alias("first_order"),
+    )
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_type
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax dedup — keep each user's latest event (the canonical
+    compaction/upsert-read pattern; QUALIFY semantics via row_number)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+        )
+    )
+
+
+@register(
+    "unpivot_balances",
+    oracle="""
+    WITH agg AS (
+      SELECT n_name,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS customer_bal,
+             CAST(0.0 AS DOUBLE) AS placeholder
+      FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name)
+    SELECT n_name, kind, amount
+    FROM agg UNPIVOT (amount FOR kind IN (customer_bal, placeholder))
+    """,
+)
+def unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide per-nation aggregates to long (kind, amount)
+    rows — Spark's unpivot == DuckDB's UNPIVOT (both drop NULL cells by
+    default; none exist here)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    agg = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("customer_bal"),
+            F.lit(0.0).alias("placeholder"),
+        )
+    )
+    return agg.unpivot(
+        ids=["n_name"],
+        values=["customer_bal", "placeholder"],
+        variableColumnName="kind",
+        valueColumnName="amount",
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                'max') AS DOUBLE) AS max_val,
+           list_transform(list_sort(list_transform(embedding,
+                x -> CAST(x AS DOUBLE))), x -> round(x, 4))[1:3]
+             AS smallest3,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+    FROM embeddings
+    WHERE vec_id < 50
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function library parity over real vector data: element
+    access (1-based both engines), sort, slice, filter, max — rounded
+    where float->double formatting could differ textually (round(x,4) on
+    exact doubles is deterministic)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    dbl = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.expr("CAST(element_at(embedding, 1) AS DOUBLE)").alias("first_val"),
+        F.expr(f"array_max({dbl})").alias("max_val"),
+        F.expr(
+            f"transform(slice(array_sort({dbl}), 1, 3), x -> round(x, 4))"
+        ).alias("smallest3"),
+        F.expr("size(filter(embedding, x -> x > 0))").cast("long").alias(
+            "n_positive"
+        ),
+    )
+
+
+@register(
     "median_order_price",
     oracle="""
     SELECT o_orderpriority,

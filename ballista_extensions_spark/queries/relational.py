@@ -223,15 +223,17 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
     """,
 )
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join (proto :84): customers with no orders at all.
-    (RIGHT SEMI/ANTI from the proto enum are the same ops with sides
-    swapped — covered by construction.)"""
+    """LEFT ANTI join (proto :84): customers with no large order (the
+    unfiltered no-orders predicate is vacuous on driver data — every
+    customer has orders). RIGHT SEMI/ANTI from the proto enum are the
+    same ops with sides swapped — covered by construction."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return c.join(
         o, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name")

@@ -1,0 +1,186 @@
+"""Second TPC-H wave: plan shapes the first set doesn't cover —
+correlated min subquery (q2), outer-join distribution histogram (q13),
+view-style CTE with scalar-max subquery (q15), NOT EXISTS + scalar-avg
+subquery with string prefix matching (q22). All adapted to the driver
+schema (no ps_* partsupp table exists, so q2/q15/q20 use supplier-
+lineitem relationships instead) and all oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ballista_extensions_spark.functions.exact import dsum, lcount
+from ballista_extensions_spark.io import load_table
+from ballista_extensions_spark.queries.registry import register
+
+_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))"
+)
+
+
+@register(
+    "q2_cheapest_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT p_partkey, p_name, s_name, n_name,
+           CAST(cost.min_price AS DOUBLE) AS best_price
+    FROM part
+    JOIN cost ON pk = p_partkey
+    JOIN supplier ON sk = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_size <= 5
+      AND cost.min_price = (SELECT MIN(c2.min_price) FROM cost c2
+                            WHERE c2.pk = p_partkey)
+    """,
+)
+def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted (no partsupp: supplier cost = min lineitem price
+    per part-supplier pair): correlated MIN subquery selecting each small
+    part's cheapest supplier. Decorrelates to an aggregate + join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cost = l.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min("l_extendedprice").cast("double").alias("min_price"))
+    best = cost.groupBy(F.col("pk").alias("bpk")).agg(
+        F.min("min_price").alias("best")
+    )
+    return (
+        p.join(cost, F.col("pk") == F.col("p_partkey"))
+        .join(
+            best,
+            (F.col("bpk") == F.col("p_partkey"))
+            & (F.col("min_price") == F.col("best")),
+        )
+        .join(F.broadcast(s), F.col("sk") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.col("min_price").alias("best_price"),
+        )
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: orders-per-customer histogram through a filtered LEFT
+    OUTER join (customers with zero matching orders count as c_count=0)
+    then a second aggregation over the counts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(lcount("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: view-style CTE + scalar MAX subquery (the revenue view
+    is computed once and reused for both the max and the join — Spark
+    plans the reused subtree via a shared exchange or recompute; exact
+    decimal revenue makes the equality join safe)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.expr(_DISC_PRICE)).cast("double").alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH positive AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(COUNT(c_acctbal) AS DOUBLE) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT substr(c_name, 10, 1) AS name_digit,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, positive
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    GROUP BY substr(c_name, 10, 1)
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted (no phone column: grouping by a name substring):
+    scalar AVG subquery (decimal-exact on both sides, so the > boundary
+    is deterministic) + anti join against large orders (the driver data
+    gives every customer at least one order, so the classic no-orders
+    predicate would be vacuous)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("c_acctbal").cast("double")
+            ).alias("avg_bal")
+        )
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.substring("c_name", 10, 1).alias("name_digit"))
+        .agg(
+            lcount("numcust"),
+            dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )
