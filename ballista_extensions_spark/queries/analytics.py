@@ -118,7 +118,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: HAVING-filtered semi join (large-quantity orders)."""
+    """TPC-H Q18: HAVING-filtered semi join (large-quantity orders).
+
+    Scale: the semi join applies to ``orders`` BEFORE the customer and
+    lineitem joins — at fact scale the big-order filter is ~1e-4
+    selective, so filtering first shrinks both subsequent shuffles
+    instead of filtering the widest intermediate at the end."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
@@ -128,14 +133,14 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q") > 170)
         .select("l_orderkey")
     )
+    o_big = o.join(
+        big.withColumnRenamed("l_orderkey", "big_key"),
+        F.col("o_orderkey") == F.col("big_key"),
+        "left_semi",
+    )
     return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        c.join(o_big, F.col("c_custkey") == F.col("o_custkey"))
         .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(
-            big.withColumnRenamed("l_orderkey", "big_key"),
-            F.col("o_orderkey") == F.col("big_key"),
-            "left_semi",
-        )
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum(F.col("l_quantity"), "sum_qty"))
         .select(
