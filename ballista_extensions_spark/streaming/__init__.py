@@ -4,6 +4,12 @@ from ballista_extensions_spark.streaming.ops import (
     hourly_rollup_stream,
     sessionize_stream,
     dedup_stream,
+    view_purchase_join_stream,
 )
 
-__all__ = ["hourly_rollup_stream", "sessionize_stream", "dedup_stream"]
+__all__ = [
+    "hourly_rollup_stream",
+    "sessionize_stream",
+    "dedup_stream",
+    "view_purchase_join_stream",
+]

@@ -64,6 +64,54 @@ def sessionize_stream(
     )
 
 
+def view_purchase_join_stream(
+    events: DataFrame,
+    within_minutes: int = 10,
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each 'purchase' matched to the same
+    user's preceding 'view' events within N minutes (attribution join).
+
+    Both sides carry watermarks and the join has a two-sided time bound,
+    so state is evicted once the watermark passes view_ts + N — bounded
+    state, the requirement for an unbounded-runtime join at scale."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")
+        )
+    )
+    return views.join(purchases, cond).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        "value",
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming exact dedup on event_id within the watermark horizon —
     dropDuplicatesWithinWatermark bounds state (the unbounded-state

@@ -81,6 +81,49 @@ def test_sessionize_stream(spark, events_stream, events_dir):
         q.stop()
 
 
+def test_stream_stream_join_matches_batch(spark, events_stream, events_dir):
+    """Stream-stream interval join equals the same join computed in
+    batch over the full dataset."""
+    from ballista_extensions_spark.streaming.ops import view_purchase_join_stream
+
+    q = (
+        view_purchase_join_stream(events_stream)
+        .writeStream.format("memory")
+        .queryName("ssj_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = {
+            (r.view_id, r.purchase_id)
+            for r in spark.sql("SELECT view_id, purchase_id FROM ssj_sink").collect()
+        }
+        e = spark.read.parquet(events_dir)
+        v = e.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("vu"), F.col("ts").alias("vts"),
+            F.col("event_id").alias("view_id"),
+        )
+        p = e.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("pu"), F.col("ts").alias("pts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        expect = {
+            (r.view_id, r.purchase_id)
+            for r in v.join(
+                p,
+                (F.col("vu") == F.col("pu"))
+                & (F.col("pts") >= F.col("vts"))
+                & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 10 MINUTES")),
+            ).collect()
+        }
+        assert got == expect
+        assert len(got) > 0
+    finally:
+        q.stop()
+
+
 def test_dedup_stream_drops_dupes(spark, events_dir):
     schema = spark.read.parquet(events_dir).schema
     base = spark.read.parquet(events_dir).limit(100)
