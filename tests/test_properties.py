@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (SURVEY.md §5 notes it has none): algebraic invariants of the
+operators over generated inputs. Each property batches its generated
+rows into a single Spark job to keep runtime sane."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from ballista_extensions_spark.operators import dedup as D
+from ballista_extensions_spark.operators import text as T
+
+# printable-ish text without surrogates; includes whitespace runs
+TEXTS = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+    min_size=0,
+    max_size=80,
+)
+
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@SETTINGS
+@given(texts=st.lists(TEXTS, min_size=1, max_size=20))
+def test_dedup_exact_partitions_input(spark, texts):
+    """sum(n_copies) == input rows, and representatives are minimal ids."""
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = D.dedup_exact(df).collect()
+    assert sum(r.n_copies for r in rows) == len(texts)
+    firsts = {}
+    for i, t in enumerate(texts):
+        firsts.setdefault(t, i)
+    assert sorted(r.keep_id for r in rows) == sorted(firsts.values())
+
+
+@SETTINGS
+@given(texts=st.lists(TEXTS, min_size=1, max_size=15))
+def test_normalize_idempotent(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    once = df.select("doc_id", T.normalize(F.col("text")).alias("n"))
+    twice = once.select("doc_id", T.normalize(F.col("n")).alias("n"))
+    a = {r.doc_id: r.n for r in once.collect()}
+    b = {r.doc_id: r.n for r in twice.collect()}
+    assert a == b
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdef gh", min_size=0, max_size=60), min_size=2, max_size=12
+    )
+)
+def test_jaccard_bounds_and_reflexivity(spark, texts):
+    """Exact near-dup pairs: jaccard in [0,1]; a doc duplicated exactly
+    yields jaccard 1 with itself-as-other-id (when shingles exist)."""
+    rows = [(i * 10, t) for i, t in enumerate(texts)]
+    rows.append((5, texts[0]))  # duplicate of doc 0 at a probe-visible id
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = D.near_dup_pairs_exact(df, threshold=0.0, probe_mod=10, n=2).collect()
+    for p in pairs:
+        assert 0.0 <= p.jaccard <= 1.0
+    if len(texts[0].split()) >= 2:  # 2-gram shingles need >= 2 tokens
+        dup = [p for p in pairs if p.doc_a == 0 and p.doc_b == 5]
+        if dup:
+            assert dup[0].jaccard == 1.0
+
+
+@SETTINGS
+@given(texts=st.lists(TEXTS, min_size=1, max_size=15))
+def test_fingerprint_respects_normalization(spark, texts):
+    """Equal normalized text => equal md5 and rolling fingerprints."""
+    rows = []
+    for i, t in enumerate(texts):
+        rows.append((2 * i, t))
+        rows.append((2 * i + 1, "  " + t + " "))  # whitespace variant, same norm
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.fp, r.roll)
+        for r in df.select(
+            "doc_id",
+            T.fingerprint_md5(F.col("text")).alias("fp"),
+            T.fingerprint_rolling("text").alias("roll"),
+        ).collect()
+    }
+    norm = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", T.normalize(F.col("text")).alias("n")).collect()
+    }
+    by_norm: dict[str, tuple] = {}
+    for did, n in norm.items():
+        if n in by_norm:
+            assert by_norm[n] == got[did], f"fingerprint differs for equal norm {n!r}"
+        else:
+            by_norm[n] = got[did]
+
+
+@SETTINGS
+@given(
+    fracs=st.lists(
+        st.floats(min_value=0.05, max_value=1.0, allow_nan=False), min_size=1, max_size=3
+    )
+)
+def test_sample_subset_property(spark, fracs):
+    """Sampled rows are always a subset of the input; fraction 1 keeps
+    everything."""
+    from ballista_extensions_spark.operators.sample import sample
+
+    base = spark.range(0, 200).withColumnRenamed("id", "k")
+    universe = set(range(200))
+    for i, f in enumerate(fracs):
+        kept = {r.k for r in sample(base, f, seed=i).collect()}
+        assert kept <= universe
+    assert {r.k for r in sample(base, 1.0, seed=0).collect()} == universe
