@@ -169,6 +169,84 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    partitions the corpus into n_lists cells; each query searches only
+    its n_probe nearest cells.
+
+    Scale path: centroids are tiny (n_lists x dim, broadcast); the
+    corpus is assigned once (narrow after a small ML fit on a sample);
+    the candidate join is an equi-join on cell id touching
+    ~n_probe/n_lists of the corpus per query. Deterministic for a fixed
+    seed. Recall vs brute force is pytest-checked.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corpus = ensure_parallelism(corpus)
+    with_vec = corpus.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("fv")
+    )
+    km = KMeans(k=n_lists, seed=seed, featuresCol="fv", predictionCol="cell")
+    model = km.fit(with_vec.select("fv"))
+    assigned = model.transform(with_vec).select(id_col, vec_col, "cell")
+
+    # query-side: n_probe nearest centroids by euclidean distance
+    centroids = [
+        (int(ci), [float(x) for x in c]) for ci, c in enumerate(model.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(centroids, ["cell", "centroid"])
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.expr(as_double(vec_col)).alias("q_vec"),
+        F.expr(norm_sql(as_double(vec_col))).alias("q_norm"),
+    )
+    dist2 = (
+        "aggregate(zip_with(q_vec, transform(centroid, x -> CAST(x AS DOUBLE)), "
+        "(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    probe_w = Window.partitionBy("q_id").orderBy(F.col("d2"), F.col("cell"))
+    q_cells = (
+        q.crossJoin(F.broadcast(cent_df))
+        .select("q_id", "q_vec", "q_norm", "cell", F.expr(dist2).alias("d2"))
+        .select(
+            "*", F.row_number().over(probe_w).alias("probe_rank")
+        )
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("q_id", "q_vec", "q_norm", "cell")
+    )
+    c = assigned.select(
+        F.col(id_col).alias("c_id"),
+        F.expr(as_double(vec_col)).alias("c_vec"),
+        F.expr(norm_sql(as_double(vec_col))).alias("c_norm"),
+        "cell",
+    )
+    cos = F.expr(dot_sql("q_vec", "c_vec")) / (F.col("q_norm") * F.col("c_norm"))
+    scored = (
+        F.broadcast(q_cells)
+        .join(c, ["cell"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.select(
+            "q_id", "c_id", "cosine", F.row_number().over(w).cast("long").alias("rn")
+        )
+        .filter(F.col("rn") <= k)
+    )
+
+
 def embedding_cosine_near_dup(
     df: DataFrame,
     dim: int,

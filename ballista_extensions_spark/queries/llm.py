@@ -278,6 +278,17 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=10)
 
 
+@register("ann_ivf_topk")  # k-means cells: engine-specific -> rows-only
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: k-means coarse quantizer + n_probe cell
+    search (operators/similarity.py:ivf_topk) — the second scale path
+    for similarity search alongside LSH; recall vs exact in pytest."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), k=10, n_lists=16, n_probe=4
+    )
+
+
 @register("ann_lsh_topk")  # xxhash64-derived hyperplanes -> rows-only
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH buckets — the scale

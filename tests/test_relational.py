@@ -26,6 +26,7 @@ def test_registry_complete():
         "dedup_near_minhash",
         "dedup_simhash",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "embedding_near_dup",
     }
 

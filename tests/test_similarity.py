@@ -88,6 +88,23 @@ def test_lsh_deterministic(embeddings):
     assert a == b
 
 
+def test_ivf_recall_and_determinism(embeddings):
+    """IVF with n_probe=8 of 16 cells must recover most of the true
+    top-10 and be deterministic for a fixed seed."""
+    q = embeddings.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.q_id, r.c_id) for r in S.brute_force_topk(embeddings, q, k=10).collect()
+    }
+    a = S.ivf_topk(embeddings, q, k=10, n_lists=16, n_probe=8).collect()
+    b = S.ivf_topk(embeddings, q, k=10, n_lists=16, n_probe=8).collect()
+    assert sorted((r.q_id, r.c_id, r.rn) for r in a) == sorted(
+        (r.q_id, r.c_id, r.rn) for r in b
+    )
+    approx = {(r.q_id, r.c_id) for r in a}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
+
+
 def test_near_dup_threshold(toy_vectors):
     pairs = S.embedding_cosine_near_dup(
         toy_vectors, dim=4, threshold=0.95, n_planes=2
