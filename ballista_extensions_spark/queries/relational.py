@@ -401,6 +401,127 @@ def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_except_all_lineitems",
+    oracle="""
+    SELECT l_orderkey AS okey FROM lineitem
+    EXCEPT ALL
+    SELECT o_orderkey FROM orders
+    """,
+)
+def set_except_all_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset): lineitem order keys minus one occurrence
+    per orders row — preserves multiplicity, unlike set EXCEPT."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey")
+    )
+    return l.exceptAll(o)
+
+
+@register(
+    "set_intersect_all_keys",
+    oracle="""
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+    INTERSECT ALL
+    SELECT c_custkey FROM customer
+    """,
+)
+def set_intersect_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    ).select(F.col("o_custkey").alias("k"))
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    return o.intersectAll(c)
+
+
+@register(
+    "posexplode_tokens",
+    oracle=r"""
+    SELECT doc_id, CAST(u.pos AS INT) AS pos, u.token
+    FROM (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(toks)),
+                        i -> {'pos': i - 1, 'token': toks[i]})) AS u
+          FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                FROM documents WHERE doc_id < 20))
+    """,
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered unnest (posexplode ≙ UNNEST WITH ORDINALITY): token
+    positions are part of the output contract, 0-based in Spark."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\s+")).alias("pos", "token"),
+    ).select("doc_id", "pos", "token")
+
+
+@register(
+    "string_agg_segments",
+    oracle="""
+    SELECT n_name,
+           array_to_string(list_sort(list_distinct(list(c_mktsegment))), '|')
+             AS segments,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def string_agg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation with a deterministic contract: collect_set is
+    unordered, so the op sorts before joining (same rule an engine must
+    apply to make listagg reproducible under parallel execution)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("c_mktsegment")), "|"
+            ).alias("segments"),
+            lcount("n_customers"),
+        )
+    )
+
+
+@register(
+    "null_and_regex_functions",
+    oracle="""
+    SELECT e.event_id,
+           COALESCE(json_extract_string(e.props, '$.missing'), 'absent') AS with_default,
+           CASE WHEN e.value = 0.0 THEN NULL ELSE e.value END AS nullif_zero,
+           CAST(COALESCE(CASE WHEN e.value = 0.0 THEN NULL ELSE e.value END, -1.0)
+                AS DOUBLE) AS nvl_value,
+           regexp_extract(e.props, '"k": ([0-9]+)', 1) AS k_digits,
+           CAST(e.value IS NULL AS BOOLEAN) AS is_null_flag
+    FROM events e
+    WHERE e.event_id < 2000
+    """,
+)
+def null_and_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling (coalesce/nullif/nvl) + regexp capture groups."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    nullif_zero = F.when(F.col("value") == 0.0, F.lit(None)).otherwise(
+        F.col("value")
+    )
+    return e.select(
+        "event_id",
+        F.coalesce(
+            F.get_json_object("props", "$.missing"), F.lit("absent")
+        ).alias("with_default"),
+        nullif_zero.alias("nullif_zero"),
+        F.coalesce(nullif_zero, F.lit(-1.0)).cast("double").alias("nvl_value"),
+        F.regexp_extract(F.col("props"), r'"k": ([0-9]+)', 1).alias("k_digits"),
+        F.col("value").isNull().alias("is_null_flag"),
+    )
+
+
+@register(
     "events_hourly_rollup",
     oracle="""
     SELECT date_trunc('hour', ts) AS hour, event_type,
