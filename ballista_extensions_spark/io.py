@@ -35,11 +35,35 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
 
+#: Runtime SQL confs the engine requires regardless of who built the
+#: SparkSession (the driver's correctness harness builds its own, without
+#: our session factory): ns-parquet reads for events, non-ANSI wrapping
+#: long arithmetic for the MinHash affine rehash family, and a stable
+#: timezone for cross-engine timestamp parity. All three are
+#: runtime-settable SQL confs, applied idempotently on first table load.
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Apply the engine's required runtime confs to an arbitrary session."""
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — a read-only conf would raise here
+            spark.conf.set(k, v)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Columns are pruned and filters pushed down by
     Catalyst as long as callers keep the plan declarative."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    ensure_engine_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the file; with nanosAsLong (set by the
