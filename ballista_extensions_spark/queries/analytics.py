@@ -498,6 +498,37 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_rank_family",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(dense_rank() OVER w AS BIGINT) AS drank,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS prank,
+           cume_dist() OVER w AS cdist
+    FROM orders
+    WHERE o_custkey <= 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family: dense_rank / ntile / percent_rank /
+    cume_dist (exact small-int ratios -> engine-identical doubles)."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@register(
     "median_order_price",
     oracle="""
     SELECT o_orderpriority,

@@ -401,6 +401,64 @@ def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_purchases",
+    oracle="""
+    WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, ts, event_id, value FROM events
+               WHERE event_type = 'purchase')
+    SELECT p.user_id, p.event_id, p.ts, CAST(p.value AS DOUBLE) AS value,
+           v.event_id AS event_id_matched, v.ts AS ts_matched
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py:asof_join): each purchase
+    matched to the user's latest prior view — an operator Spark lacks as
+    a built-in, composed from union+ordered-window (one shuffle), and
+    oracle-checked against DuckDB's native ASOF JOIN."""
+    from ballista_extensions_spark.operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(purchases, views, by="user_id", ts="ts").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("value").cast("double").alias("value"),
+        "event_id_matched",
+        "ts_matched",
+    )
+
+
+@register(
+    "range_join_bursts",
+    oracle="""
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           a.ts AS ts_a, b.ts AS ts_b,
+           CAST(abs(date_diff('microsecond', b.ts, a.ts)) / 1000000.0 AS DOUBLE)
+             AS dt_seconds
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(date_diff('microsecond', b.ts, a.ts)) <= 60 * 1000000
+    """,
+)
+def range_join_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/temporal.py:range_join_pairs): same-user
+    event pairs within 60s — banded-bucket equi-join decomposition of an
+    inequality join, oracle-checked against DuckDB's direct theta join."""
+    from ballista_extensions_spark.operators.temporal import range_join_pairs
+
+    e = load_table(spark, sf_dir, "events")
+    return range_join_pairs(e, by="user_id", within_seconds=60)
+
+
+@register(
     "set_except_all_lineitems",
     oracle="""
     SELECT l_orderkey AS okey FROM lineitem
