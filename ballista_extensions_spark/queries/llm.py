@@ -326,6 +326,99 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, {_dd_shingles_sql(_DD_TOKS)} AS s FROM documents),
+    post AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+    sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS DOUBLE) AS i
+      FROM post a JOIN post b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    edges AS (
+      SELECT da, db FROM inter
+      JOIN sizes sa ON sa.doc_id = da
+      JOIN sizes sb ON sb.doc_id = db
+      WHERE i / (sa.sz + sb.sz - i) >= 0.35),
+    sym AS (SELECT da AS u, db AS v FROM edges
+            UNION SELECT db, da FROM edges),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.v, r.label FROM reach r JOIN sym s ON s.u = r.node)
+    SELECT node AS doc_id,
+           CAST(MIN(label) AS BIGINT) AS component,
+           MIN(label) = node AS is_representative
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pipeline closure: exact 3-gram Jaccard pairs (>= 0.35)
+    -> connected components -> one representative per transitive cluster
+    (operators/components.py). The Spark side runs iterative min-label
+    propagation; the oracle computes the same fixpoint with a DuckDB
+    recursive CTE — transitive-closure semantics verified bit-for-bit."""
+    from ballista_extensions_spark.operators.components import dedup_by_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs_exact(d, threshold=0.35, probe_mod=1)
+    return dedup_by_components(d, pairs)
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH N AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    tf AS (SELECT doc_id, t AS token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest({_DD_TOKS}) AS t FROM documents)
+           GROUP BY doc_id, t),
+    df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df
+           FROM (SELECT DISTINCT doc_id, token FROM tf) GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             CAST(tf.tf AS DOUBLE) * (n / df.df) AS tfidf
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN N),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf DESC, token) AS BIGINT) AS rn
+      FROM scored)
+    SELECT doc_id, token, tf, tfidf, rn FROM ranked
+    WHERE rn <= 3 AND doc_id < 100
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (linear idf = N/df — an exact
+    double ratio, avoiding cross-engine libm log discrepancies; the
+    weighting shape is what matters for the pipeline op)."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    toks = d.select(
+        "doc_id", F.explode(F.expr(T.TOKENS_SQL.format(col="text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    n = d.count()  # driver-side scalar: one count job, broadcast as literal
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        tf.join(df_, "token")
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            (F.col("tf").cast("double") * (F.lit(float(n)) / F.col("df"))).alias(
+                "tfidf"
+            ),
+        )
+        .select("*", F.row_number().over(w).cast("long").alias("rn"))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") < 100))
+    )
+
+
+@register(
     "corpus_vocabulary",
     oracle=f"""
     SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS freq,

@@ -240,6 +240,56 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN (dimension x dimension — the only scale-sane
+    use of a Cartesian product)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "agg_argmax_customer",
+    oracle="""
+    WITH mx AS (SELECT c_mktsegment, MAX(c_acctbal) AS max_bal
+                FROM customer GROUP BY c_mktsegment)
+    SELECT c.c_mktsegment AS segment,
+           CAST(mx.max_bal AS DOUBLE) AS max_bal,
+           CAST(MIN(c.c_custkey) AS BIGINT) AS argmax_custkey
+    FROM customer c JOIN mx
+      ON c.c_mktsegment = mx.c_mktsegment AND c.c_acctbal = mx.max_bal
+    GROUP BY c.c_mktsegment, mx.max_bal
+    """,
+)
+def agg_argmax_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax aggregation with a deterministic tie rule (min key among
+    maxima) — the portable formulation of max_by/arg_max, whose tie
+    behavior is engine-defined."""
+    c = load_table(spark, sf_dir, "customer")
+    mx = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.max("c_acctbal").alias("max_bal")
+    )
+    return (
+        c.join(
+            mx,
+            (F.col("c_mktsegment") == F.col("seg"))
+            & (F.col("c_acctbal") == F.col("max_bal")),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("max_bal").cast("double").alias("max_bal"),
+        )
+        .agg(F.min("c_custkey").cast("long").alias("argmax_custkey"))
+    )
+
+
+@register(
     "agg_orders_by_priority",
     oracle="""
     SELECT o_orderpriority,
