@@ -196,7 +196,11 @@ def ivf_topk(
     with_vec = corpus.select(
         F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("fv")
     )
-    km = KMeans(k=n_lists, seed=seed, featuresCol="fv", predictionCol="cell")
+    # maxIter=8: coarse quantizers don't need tight convergence — cell
+    # assignment quality plateaus early and fit time dominates the op
+    km = KMeans(
+        k=n_lists, seed=seed, maxIter=8, featuresCol="fv", predictionCol="cell"
+    )
     model = km.fit(with_vec.select("fv"))
     assigned = model.transform(with_vec).select(id_col, vec_col, "cell")
 
