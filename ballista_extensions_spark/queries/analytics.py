@@ -62,6 +62,95 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube) with grouping()
+    indicator columns — disambiguates data NULLs from subtotal NULLs."""
+    l = load_table(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("bx_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM bx_gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "price_buckets",
+    oracle="""
+    SELECT CAST(CASE WHEN o_totalprice >= 500000 THEN 11
+                     WHEN o_totalprice < 0 THEN 0
+                     ELSE 1 + floor(o_totalprice / 50000.0) END AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """width_bucket histogram of order prices (equi-width bins; the
+    oracle spells out the same floor arithmetic — DuckDB 1.0 has no
+    width_bucket function)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.expr("CAST(width_bucket(o_totalprice, 0, 500000, 10) AS BIGINT)").alias(
+            "bucket"
+        )
+    ).agg(
+        lcount("n_orders"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )
+
+
+@register(
+    "null_safe_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_extendedprice / NULLIF(l_discount, 0.0) AS DOUBLE)
+             AS price_per_discount,
+           CAST(COALESCE(TRY_CAST(l_returnflag AS BIGINT), -1) AS BIGINT)
+             AS flag_as_int,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod7
+    FROM lineitem
+    WHERE l_orderkey <= 500
+    """,
+)
+def null_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe arithmetic: try_divide semantics (NULL on zero), failed
+    casts to NULL with a default, modulo."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.nullif(F.col("l_discount"), F.lit(0.0))
+        )
+        .cast("double")
+        .alias("price_per_discount"),
+        F.coalesce(F.col("l_returnflag").try_cast("long"), F.lit(-1))
+        .cast("long")
+        .alias("flag_as_int"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
+    )
+
+
+@register(
     "q17_small_quantity_revenue",
     oracle=f"""
     SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
