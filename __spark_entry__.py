@@ -8,7 +8,15 @@ operator from SURVEY.md §2 + the §7 LLM-pipeline additions).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# The engine package lives next to this file; make the import robust to
+# however the driver loads this module (cwd-independent).
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

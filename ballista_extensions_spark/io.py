@@ -49,13 +49,45 @@ _REQUIRED_CONFS = {
 
 
 def ensure_engine_confs(spark: SparkSession) -> None:
-    """Apply the engine's required runtime confs to an arbitrary session."""
+    """Apply the engine's required runtime confs to an arbitrary session,
+    and ship the package to Python workers."""
     for k, v in _REQUIRED_CONFS.items():
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)
         except Exception:  # noqa: BLE001 — a read-only conf would raise here
             spark.conf.set(k, v)
+    _ship_package(spark)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """addPyFile a zip of this package so executor Python workers can
+    unpickle pandas-UDF/mapInPandas closures (which reference the module
+    by name) even when the driver process was started outside the repo
+    and the workers' PYTHONPATH doesn't include it."""
+    sc = spark.sparkContext
+    if getattr(sc, "_bx_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"ballista_extensions_spark_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "ballista_extensions_spark",
+                            os.path.relpath(full, pkg_dir),
+                        )
+                        zf.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._bx_pkg_shipped = True
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
