@@ -24,6 +24,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 10,
+    broadcast_labels: bool = True,
 ) -> DataFrame:
     """Assign each node the minimum node id reachable through the edge
     list (undirected). Returns (id_col, component).
@@ -31,6 +32,15 @@ def connected_components(
     nodes: one row per node id. edges: (src, dst) pairs, any direction.
     Raises RuntimeError if max_iter iterations don't reach a fixpoint
     (diameter larger than max_iter) — callers choose the bound.
+
+    Scale design: only nodes that appear in an edge iterate — isolated
+    nodes (the overwhelming majority in a near-dup graph) are attached as
+    their own component with a single narrow anti-join at the end, so the
+    per-iteration shuffles are sized by 2x|edges|, not |nodes|. With
+    ``broadcast_labels`` (default) the per-iteration join ships the label
+    table map-side, so the cached edge list is never re-shuffled; set it
+    False for graphs whose touched-node set is itself huge (then each
+    iteration is a pair of shuffle joins sized by the edge list).
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -38,32 +48,48 @@ def connected_components(
         .distinct()
         .cache()
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("component")
-    ).cache()
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .cache()
+    )
+    hint = F.broadcast if broadcast_labels else (lambda d: d)
+    converged = False
     for _ in range(max_iter):
-        # candidate label per node: min over own label and neighbors'
-        neighbor = (
-            sym.join(labels, sym["v"] == labels["node"])
-            .select(F.col("u").alias("node"), "component")
+        # candidate label per node: min over neighbors' labels; the
+        # convergence flag rides the same plan, so each iteration is
+        # exactly ONE Spark job (the agg below) — no separate
+        # changed-count or broadcast-build actions.
+        nmin = (
+            sym.join(hint(labels), sym["v"] == labels["node"])
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("component").alias("nmin"))
         )
         new_labels = (
-            labels.unionByName(neighbor)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            labels.join(nmin, "node", "left")
+            .select(
+                "node",
+                F.least("component", "nmin").alias("component"),
+                (F.col("nmin") < F.col("component")).alias("chg"),
+            )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        any_changed = new_labels.agg(F.max("chg")).first()[0]
+        labels = new_labels.select("node", "component")
+        if not any_changed:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} iters")
+    untouched = nodes.select(F.col(id_col).alias("node")).join(
+        hint(labels.select("node")), "node", "left_anti"
+    )
+    return labels.select(F.col("node").alias(id_col), "component").unionByName(
+        untouched.select(
+            F.col("node").alias(id_col), F.col("node").alias("component")
         )
-        labels = new_labels
-        if changed == 0:
-            return labels.select(F.col("node").alias(id_col), "component")
-    raise RuntimeError(f"connected_components did not converge in {max_iter} iters")
+    )
 
 
 def dedup_by_components(

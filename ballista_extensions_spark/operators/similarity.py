@@ -169,6 +169,45 @@ def lsh_topk(
     )
 
 
+def _kmeans_lloyd(pts, k: int, seed: int = 42, max_iter: int = 8):
+    """Deterministic driver-side Lloyd k-means (k-means++ init) over the
+    bounded quantizer-training sample. numpy-vectorized; cost is
+    O(max_iter * |sample| * k * dim) floats — milliseconds at the cap.
+    Empty cells are re-seeded from the point farthest from its centroid
+    so exactly k centroids always come back."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = len(pts)
+    if n == 0:
+        raise ValueError("ivf quantizer: empty training sample")
+    k = min(k, n)
+    # k-means++ seeding
+    centers = [pts[rng.integers(n)]]
+    d2 = ((pts - centers[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        centers.append(pts[rng.choice(n, p=probs)])
+        d2 = np.minimum(d2, ((pts - centers[-1]) ** 2).sum(axis=1))
+    c = np.asarray(centers)
+    for _ in range(max_iter):
+        # pairwise squared distances via (x-c)^2 expansion
+        dist = ((pts[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = dist.argmin(axis=1)
+        newc = c.copy()
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                newc[j] = pts[mask].mean(axis=0)
+            else:
+                newc[j] = pts[dist.min(axis=1).argmax()]
+        if np.allclose(newc, c):
+            c = newc
+            break
+        c = newc
+    return c
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -183,51 +222,81 @@ def ivf_topk(
     partitions the corpus into n_lists cells; each query searches only
     its n_probe nearest cells.
 
-    Scale path: centroids are tiny (n_lists x dim, broadcast); the
-    corpus is assigned once (narrow after a small ML fit on a sample);
-    the candidate join is an equi-join on cell id touching
-    ~n_probe/n_lists of the corpus per query. Deterministic for a fixed
-    seed. Recall vs brute force is pytest-checked.
+    Scale path (the FAISS recipe): the quantizer is *trained* driver-side
+    with numpy over a bounded sample (<= max(256*n_lists, 4096) vectors —
+    centroid quality saturates at a few hundred points per cell, so
+    training cost is O(cap) regardless of corpus size). *Assignment* is
+    fully distributed and narrow: centroids are inlined as literals into
+    a codegen'd argmin-of-L2 expression, so the corpus is scanned exactly
+    once with no shuffle and no ML-library job storm. The candidate join
+    is an equi-join on cell id touching ~n_probe/n_lists of the corpus
+    per query. Deterministic for a fixed seed.
+    Recall vs brute force is pytest-checked.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
     corpus = ensure_parallelism(corpus)
-    with_vec = corpus.select(
-        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("fv")
-    )
-    # maxIter=8: coarse quantizers don't need tight convergence — cell
-    # assignment quality plateaus early and fit time dominates the op
-    km = KMeans(
-        k=n_lists, seed=seed, maxIter=8, featuresCol="fv", predictionCol="cell"
-    )
-    model = km.fit(with_vec.select("fv"))
-    assigned = model.transform(with_vec).select(id_col, vec_col, "cell")
+    fit_cap = max(256 * n_lists, 4096)
+    n_rows = corpus.count()
+    samp = corpus.select(F.col(vec_col))
+    if n_rows > fit_cap:
+        samp = samp.sample(False, min(1.0, 1.05 * fit_cap / n_rows), seed)
+    import numpy as np
 
-    # query-side: n_probe nearest centroids by euclidean distance
-    centroids = [
-        (int(ci), [float(x) for x in c]) for ci, c in enumerate(model.clusterCenters())
-    ]
-    spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(centroids, ["cell", "centroid"])
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.expr(as_double(vec_col)).alias("q_vec"),
-        F.expr(norm_sql(as_double(vec_col))).alias("q_norm"),
+    pts = np.asarray(
+        [r[0] for r in samp.limit(fit_cap).collect()], dtype=np.float64
     )
-    dist2 = (
-        "aggregate(zip_with(q_vec, transform(centroid, x -> CAST(x AS DOUBLE)), "
-        "(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    probe_w = Window.partitionBy("q_id").orderBy(F.col("d2"), F.col("cell"))
-    q_cells = (
-        q.crossJoin(F.broadcast(cent_df))
-        .select("q_id", "q_vec", "q_norm", "cell", F.expr(dist2).alias("d2"))
-        .select(
-            "*", F.row_number().over(probe_w).alias("probe_rank")
+    centroids = _kmeans_lloyd(pts, n_lists, seed=seed, max_iter=8)
+
+    # One nested literal + one shared lambda keeps the expression tree
+    # (and Catalyst planning time) O(n_lists*dim) literals with a single
+    # aggregate node, instead of n_lists copies of the fold.
+    cents_lit = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in c) + ")"
+            for c in centroids
         )
-        .filter(F.col("probe_rank") <= n_probe)
-        .select("q_id", "q_vec", "q_norm", "cell")
+        + ")"
+    )
+
+    def dists_sql(vec: str) -> str:
+        return (
+            f"transform({cents_lit}, c -> "
+            f"aggregate(zip_with({vec}, c, (x, y) -> (x - y) * (x - y)), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+        )
+
+    # corpus side: cell = argmin distance — one narrow codegen'd pass
+    vd = as_double(vec_col)
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col), F.expr(dists_sql(vd)).alias("ds")
+    ).select(
+        id_col,
+        vec_col,
+        (F.expr("array_position(ds, array_min(ds))").cast("int") - 1).alias("cell"),
+    )
+
+    # query side: n_probe nearest cells, also narrow (sorted (d2, cell)
+    # struct array, sliced) — no crossJoin, no window shuffle
+    q_cells = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.expr(as_double(vec_col)).alias("q_vec"),
+            F.expr(norm_sql(as_double(vec_col))).alias("q_norm"),
+            F.expr(dists_sql(as_double(vec_col))).alias("ds"),
+        )
+        .select(
+            "q_id",
+            "q_vec",
+            "q_norm",
+            F.explode(
+                F.expr(
+                    "slice(array_sort(zip_with(ds, sequence(0, size(ds) - 1), "
+                    "(d, i) -> struct(d AS d2, i AS cell))), 1, "
+                    f"{int(n_probe)})"
+                )
+            ).alias("pc"),
+        )
+        .select("q_id", "q_vec", "q_norm", F.col("pc.cell").alias("cell"))
     )
     c = assigned.select(
         F.col(id_col).alias("c_id"),
