@@ -74,6 +74,40 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+#: BPE-style pre-tokenizer pattern (the GPT-2 shape, minus the
+#: lookahead — kept to the common subset of Java regex and RE2 so the
+#: exact same pattern runs in Spark and in the DuckDB oracle):
+#: contraction suffixes | space-prefixed letter runs | space-prefixed
+#: digit runs | space-prefixed punctuation runs | whitespace runs.
+BPE_PATTERN = (
+    r"'(?:s|t|ll|ve|re|d|m)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+    r"|\s+"
+)
+
+
+def bpe_tokens_sql(col: str) -> str:
+    """SQL fragment (Spark dialect): BPE-ish pre-tokenization of ``col``.
+    The merge step of a real BPE vocab is a lookup table, but the
+    *segmentation* — which is what drives token counts for pipeline
+    budgeting — is this regex. JVM-side regexp_extract_all, codegen'd,
+    narrow; whitespace runs are matched (so the segmentation is total)
+    but filtered out of the token list."""
+    pat = BPE_PATTERN.replace("\\", "\\\\").replace("'", "\\'")
+    return (
+        f"filter(regexp_extract_all({col}, '{pat}', 0), "
+        f"t -> t NOT RLIKE '^\\\\s+$')"
+    )
+
+
+def bpe_token_count_sql(col: str) -> str:
+    """SQL fragment (Spark dialect) counting BPE-ish segments, excluding
+    pure-whitespace matches (they separate segments, they aren't tokens)."""
+    return f"size({bpe_tokens_sql(col)})"
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality metrics: token/char counts, average token
     length, punctuation count, stopword ratio, distinct-token ratio and a

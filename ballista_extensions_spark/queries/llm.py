@@ -78,6 +78,43 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
 
 
+_DD_BPE = (
+    "list_filter(regexp_extract_all(text, '"
+    + T.BPE_PATTERN.replace("'", "''")
+    + r"'), t -> NOT regexp_matches(t, '^\s+$'))"
+)
+
+
+@register(
+    "text_token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_DD_BPE}) AS BIGINT) AS n_bpe_tokens,
+           CAST(len({_DD_TOKS}) AS BIGINT) AS n_ws_tokens,
+           CAST(length(text) AS DOUBLE) / CAST(len({_DD_BPE}) AS DOUBLE)
+             AS chars_per_token
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token budgeting: per-document segment count under the
+    GPT-2-shape pre-tokenizer regex (operators/text.py:BPE_PATTERN —
+    identical pattern runs in the DuckDB oracle; Java regex and RE2
+    agree on this subset), alongside the whitespace count and the
+    chars-per-token ratio pipelines use to estimate training cost.
+    Narrow per-row regexp, codegen'd, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = T.bpe_token_count_sql("text")
+    return d.select(
+        "doc_id",
+        F.expr(bpe).cast("long").alias("n_bpe_tokens"),
+        T.token_count(F.col("text")).alias("n_ws_tokens"),
+        (F.length("text").cast("double") / F.expr(bpe).cast("double")).alias(
+            "chars_per_token"
+        ),
+    )
+
+
 @register(
     "text_stats_quality",
     oracle=f"""
@@ -208,6 +245,43 @@ def near_dup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the at-scale path; this is the correctness baseline."""
     return D.near_dup_pairs_exact(
         load_table(spark, sf_dir, "documents"), threshold=0.2, probe_mod=10
+    )
+
+
+@register(
+    "near_dup_char_ngram",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id AS doc, {_DD_NORM} AS norm FROM documents),
+    sh AS (
+      SELECT doc,
+             CASE WHEN length(norm) >= 6 THEN
+               list_distinct(list_transform(generate_series(1, length(norm) - 5),
+                                            i -> substring(norm, i, 6)))
+             ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM norm),
+    post AS (SELECT doc, unnest(grams) AS g FROM sh),
+    kept AS (SELECT g FROM post GROUP BY g HAVING COUNT(*) <= 150),
+    capped AS (SELECT doc, p.g FROM post p JOIN kept k USING (g)),
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM capped GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS DOUBLE) AS i
+      FROM capped a JOIN capped b ON a.g = b.g AND a.doc < b.doc
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, i / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE i / (sa.sz + sb.sz - i) >= 0.4
+    """,
+)
+def near_dup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-6-gram Jaccard near-dup pairs with a df<=150 stop-gram
+    cap (operators/dedup.py:near_dup_pairs_char_ngram) — the char-level
+    complement to the word-shingle variant; the cap bounds every posting
+    list so the pair join stays linear in the corpus at scale. The oracle
+    applies the identical cap, so values are bit-exact."""
+    return D.near_dup_pairs_char_ngram(
+        load_table(spark, sf_dir, "documents"), n=6, threshold=0.4, max_df=150
     )
 
 
