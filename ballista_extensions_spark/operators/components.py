@@ -42,9 +42,19 @@ def connected_components(
     False for graphs whose touched-node set is itself huge (then each
     iteration is a pair of shuffle joins sized by the edge list).
     """
+    # symmetrize with a single explode rather than a self-union: the
+    # union form evaluates the (often expensive) edge-producing subplan
+    # twice before the cache materializes, the explode form once.
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .cache()
     )
