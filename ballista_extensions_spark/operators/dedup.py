@@ -13,8 +13,9 @@ Scale design (the point of these ops is the 100 TB corpus case):
 - SimHash: one 64-bit signature per doc computed in a single fold; near
   neighbors found by banding the signature into 16-bit chunks (exact for
   Hamming distance <= 3 with 4 chunks, by pigeonhole).
-- exact n-gram Jaccard is O(probe x corpus) — kept correct-but-bounded by
-  an explicit probe predicate; the LSH variants are the scale path.
+- exact n-gram Jaccard: inverted-index join with a stop-shingle df cap —
+  posting lists are bounded at max_df so the join stays linear in the
+  corpus; the LSH variants remain the corpus-vs-corpus scale path.
 """
 
 from __future__ import annotations
@@ -91,17 +92,26 @@ def near_dup_pairs_exact(
     n: int = 3,
     threshold: float = 0.2,
     probe_mod: int = 10,
+    max_df: int = 100,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity of a probe subset vs the corpus.
+    """Exact n-gram Jaccard similarity of a probe subset vs the corpus,
+    with a stop-shingle document-frequency cap.
 
     For each probe doc (id % probe_mod == 0), every corpus doc with
-    jaccard(shingles_a, shingles_b) >= threshold. Jaccard is a ratio of
-    small ints -> bit-exact across engines (oracle-checkable).
+    jaccard(shingles_a, shingles_b) >= threshold, where both the
+    intersection and the set sizes are computed over shingles appearing
+    in at most ``max_df`` documents (numerator and denominator alike —
+    the oracle applies the identical cap, so the ratio of small ints
+    stays bit-exact across engines).
 
     Scale: inverted-index join — postings are keyed by shingle, so cost
-    is sum over shingles of (probe-df x corpus-df), not |probe|x|corpus|;
-    a stop-shingle cap would bound heavy hitters at web scale. Use the
-    MinHash path for corpus-vs-corpus dedup.
+    is sum over shingles of (probe-df x corpus-df). Without a cap one
+    ubiquitous shingle at web scale has an O(corpus) posting list and
+    that single key makes the join quadratic; the df cap bounds every
+    posting list at max_df, so the join is at most max_df x |postings| —
+    linear in the corpus for a fixed cap. Dropped shingles are the
+    boilerplate head of the distribution and carry no discriminative
+    signal. Use the MinHash path for corpus-vs-corpus dedup.
     """
     # Inverted index: explode to (doc, shingle) postings, equi-join probe
     # vs corpus postings on the shingle, count matches per pair = exact
@@ -128,11 +138,23 @@ def near_dup_pairs_exact(
     posting = pos.select(
         "doc", F.expr(f"array_join(slice(toks, i, {n}), ' ')").alias("s")
     ).distinct()
-    sizes = posting.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    probe_post = posting.filter((F.col("doc") % probe_mod) == 0).select(
+    # Stop-shingle cap: the over-cap set is the (small) ubiquitous head
+    # of the shingle distribution. No broadcast hint — AQE converts the
+    # anti-join to broadcast while the heavy set fits and falls back to
+    # a shuffle anti-join if it ever doesn't (a fixed cap means the
+    # heavy-set size still grows with corpus size).
+    heavy = (
+        posting.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df_s"))
+        .filter(F.col("df_s") > max_df)
+        .select("s")
+    )
+    capped = posting.join(heavy, "s", "left_anti")
+    sizes = capped.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    probe_post = capped.filter((F.col("doc") % probe_mod) == 0).select(
         F.col("doc").alias("doc_a"), "s"
     )
-    corpus_post = posting.select(F.col("doc").alias("doc_b"), "s")
+    corpus_post = capped.select(F.col("doc").alias("doc_b"), "s")
     inter = (
         probe_post.join(
             corpus_post,
@@ -182,8 +204,9 @@ def near_dup_pairs_char_ngram(
     explode POSITIONS (a cheap ``sequence`` of ints) -> substring in the
     codegen'd post-Generate projection -> ``distinct()`` to get the
     per-doc gram set (one shuffle whose exchange every downstream branch
-    reuses) -> df per gram (partial-aggregated count) -> broadcast
-    ANTI-join against the small set of over-cap grams -> group postings
+    reuses) -> df per gram (partial-aggregated count) -> anti-join
+    against the set of over-cap grams (AQE broadcasts it while it fits,
+    shuffle anti-join beyond) -> group postings
     by gram into a doc array (bounded at max_df by construction) ->
     generate the C(df,2) doc pairs JVM-side with nested ``transform``
     inside each array -> per-pair counts -> Jaccard with the per-doc
@@ -208,16 +231,18 @@ def near_dup_pairs_char_ngram(
     posting = pos.select(
         "doc", F.expr(f"substring(norm, i, {n})").alias("g")
     ).distinct()
-    # grams past the df cap: a SMALL relation (the ubiquitous head of the
-    # gram distribution), so dropping them is a broadcast anti-join — the
-    # full posting list never shuffles for the cap.
+    # grams past the df cap: usually a SMALL relation (the ubiquitous
+    # head of the gram distribution) — but with a FIXED cap its size
+    # still grows with the corpus, so no forced broadcast hint: AQE
+    # converts the anti-join to broadcast while the heavy set fits and
+    # falls back to a shuffle anti-join past the broadcast threshold.
     heavy = (
         posting.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df_g"))
         .filter(F.col("df_g") > max_df)
         .select("g")
     )
-    capped = posting.join(F.broadcast(heavy), "g", "left_anti")
+    capped = posting.join(heavy, "g", "left_anti")
     sizes = capped.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     # one shuffle of capped postings into per-gram doc arrays; every
     # group is <= max_df rows by construction, so collect_list is safe

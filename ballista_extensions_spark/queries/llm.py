@@ -228,23 +228,32 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS (
       SELECT doc_id AS doc, {_dd_shingles_sql(_DD_TOKS)} AS shingles
       FROM documents),
-    probe AS (SELECT doc AS doc_a, shingles AS sh_a FROM sh WHERE doc % 10 = 0),
-    pairs AS (
-      SELECT doc_a, doc AS doc_b,
-             CAST(len(list_intersect(sh_a, shingles)) AS DOUBLE) AS i,
-             CAST(len(sh_a) AS DOUBLE) + CAST(len(shingles) AS DOUBLE)
-               - CAST(len(list_intersect(sh_a, shingles)) AS DOUBLE) AS u
-      FROM probe JOIN sh ON doc_a < doc)
-    SELECT doc_a, doc_b, i / u AS jaccard
-    FROM pairs WHERE i / u >= 0.2
+    post AS (SELECT doc, unnest(shingles) AS s FROM sh),
+    kept AS (SELECT s FROM post GROUP BY s HAVING COUNT(*) <= 100),
+    capped AS (SELECT doc, p.s FROM post p JOIN kept k USING (s)),
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM capped GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS DOUBLE) AS i
+      FROM capped a JOIN capped b ON a.s = b.s AND a.doc < b.doc
+      WHERE a.doc % 10 = 0
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, i / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE i / (sa.sz + sb.sz - i) >= 0.2
     """,
 )
 def near_dup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram-shingle Jaccard of a probe subset vs the corpus
-    (operators/dedup.py:near_dup_pairs_exact). The LSH variants below are
-    the at-scale path; this is the correctness baseline."""
+    """Exact 3-gram-shingle Jaccard of a probe subset vs the corpus with
+    a df<=100 stop-shingle cap (operators/dedup.py:near_dup_pairs_exact)
+    — the cap bounds every posting list so the inverted-index join stays
+    linear in the corpus; the oracle applies the identical cap, so the
+    ratio is bit-exact. The LSH variants below are the corpus-vs-corpus
+    scale path; this is the correctness baseline."""
     return D.near_dup_pairs_exact(
-        load_table(spark, sf_dir, "documents"), threshold=0.2, probe_mod=10
+        load_table(spark, sf_dir, "documents"), threshold=0.2, probe_mod=10,
+        max_df=100,
     )
 
 
@@ -405,10 +414,12 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE
     sh AS (SELECT doc_id, {_dd_shingles_sql(_DD_TOKS)} AS s FROM documents),
     post AS (SELECT doc_id, unnest(s) AS tok FROM sh),
-    sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+    kept AS (SELECT tok FROM post GROUP BY tok HAVING COUNT(*) <= 100),
+    capped AS (SELECT doc_id, p.tok FROM post p JOIN kept k USING (tok)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS DOUBLE) AS i
-      FROM post a JOIN post b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.tok = b.tok AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id),
     edges AS (
       SELECT da, db FROM inter
