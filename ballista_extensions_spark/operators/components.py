@@ -2,19 +2,79 @@
 of a dedup pipeline: pair lists say "a ~ b"; keeping one representative
 per *transitive* cluster needs connected components.
 
-Implementation: iterative minimum-label propagation as a driver-side
-loop of DataFrame joins (each iteration is fully distributed; the loop
-runs until a fixpoint, bounded by max_iter = graph diameter). This is
-the standard large-graph CC pattern on Spark; near-dup graphs are
-forests of tiny cliques, so 3-4 iterations converge in practice.
+Implementation: alternating large-star / small-star contraction
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14) — the same algorithm GraphFrames uses. Each round rewires
+edges toward smaller node ids; the edge set converges to a star forest
+whose centers are the component minima in O(log n) rounds, versus
+O(graph diameter) for plain min-label propagation. Near-dup graphs are
+forests of tiny cliques (2-3 rounds), but a chain-shaped cluster at
+100x scale stays cheap here where label propagation would need dozens
+of sequential jobs.
+
+Each round is pure DataFrame algebra: a per-node min (shuffle agg with
+map-side combine), a join back to the edge list (AQE broadcasts the min
+table while it fits), and a distinct.
+
+Lineage is truncated per round with ``localCheckpoint``: both star
+operators reference their input several times, so without truncation
+the logical plan grows ~6x per round and driver-side analysis time
+explodes exponentially (measured at sf0.1: rounds of 2.4s -> 3.3s ->
+16s uncheckpointed vs a flat ~0.7s/round checkpointed). This is the
+same reason GraphFrames' CC defaults to checkpointInterval=2.
+``localCheckpoint`` stores blocks on executors (freed by the context
+cleaner when the round's DataFrame is GC'd); it trades fault-tolerance
+of individual rounds for zero-config truncation, the standard choice
+for short iterative refinement loops.
 
 Determinism: labels are min doc ids — no randomness anywhere.
+Convergence detection compares (count, sum of xxhash64(u, v)) across
+rounds; at the star-forest fixpoint both stars reproduce their input,
+so two consecutive equal fingerprints terminate the loop.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of each node to the
+    minimum of its closed neighborhood. Input/output: directed edges
+    (u, v) with u > v."""
+    sym = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+                F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    # m(a) = min(N(a) ∪ {a}); no broadcast hint — AQE converts the join
+    # to broadcast while the per-node min table fits.
+    mins = sym.groupBy("a").agg(F.min("b").alias("mb")).select(
+        "a", F.least("mb", "a").alias("m")
+    )
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Point every node of each closed smaller-neighborhood at its
+    minimum. Input/output: directed edges (u, v) with u > v."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (
+        e.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    centers = mins.select(F.col("u"), F.col("m").alias("v"))
+    return rewired.unionByName(centers).distinct()
 
 
 def connected_components(
@@ -24,76 +84,63 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 10,
-    broadcast_labels: bool = True,
 ) -> DataFrame:
     """Assign each node the minimum node id reachable through the edge
     list (undirected). Returns (id_col, component).
 
     nodes: one row per node id. edges: (src, dst) pairs, any direction.
-    Raises RuntimeError if max_iter iterations don't reach a fixpoint
-    (diameter larger than max_iter) — callers choose the bound.
+    Raises RuntimeError if max_iter large-star/small-star rounds don't
+    reach the star-forest fixpoint (O(log n) rounds suffice; the default
+    bound covers graphs far beyond any dedup workload).
 
-    Scale design: only nodes that appear in an edge iterate — isolated
-    nodes (the overwhelming majority in a near-dup graph) are attached as
-    their own component with a single narrow anti-join at the end, so the
-    per-iteration shuffles are sized by 2x|edges|, not |nodes|. With
-    ``broadcast_labels`` (default) the per-iteration join ships the label
-    table map-side, so the cached edge list is never re-shuffled; set it
-    False for graphs whose touched-node set is itself huge (then each
-    iteration is a pair of shuffle joins sized by the edge list).
+    Scale design: only nodes that appear in an edge participate in the
+    rounds — isolated nodes (the overwhelming majority in a near-dup
+    graph) are attached as their own component with a single narrow
+    anti-join at the end, so per-round shuffles are sized by the edge
+    list, not the node count. Every round halves-or-better the distance
+    of each node to its component minimum (the paper's contraction
+    argument), so round count is logarithmic, not diameter-bound.
     """
-    # symmetrize with a single explode rather than a self-union: the
-    # union form evaluates the (often expensive) edge-producing subplan
-    # twice before the cache materializes, the explode form once.
-    sym = (
+    # canonical direction u > v; drop self-loops defensively.
+    # localCheckpoint here truncates the (often expensive) edge-producing
+    # subplan — near-dup pair generation — so the rounds never re-analyze
+    # or re-execute it.
+    prev = (
         edges.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
-                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
-                )
-            ).alias("e")
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
         )
-        .select("e.u", "e.v")
+        .filter(F.col("u") != F.col("v"))
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
-    labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("component"))
-        .cache()
-    )
-    hint = F.broadcast if broadcast_labels else (lambda d: d)
+    prev_stats = None
     converged = False
     for _ in range(max_iter):
-        # candidate label per node: min over neighbors' labels; the
-        # convergence flag rides the same plan, so each iteration is
-        # exactly ONE Spark job (the agg below) — no separate
-        # changed-count or broadcast-build actions.
-        nmin = (
-            sym.join(hint(labels), sym["v"] == labels["node"])
-            .groupBy(F.col("u").alias("node"))
-            .agg(F.min("component").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(nmin, "node", "left")
-            .select(
-                "node",
-                F.least("component", "nmin").alias("component"),
-                (F.col("nmin") < F.col("component")).alias("chg"),
-            )
-            .cache()
-        )
-        any_changed = new_labels.agg(F.max("chg")).first()[0]
-        labels = new_labels.select("node", "component")
-        if not any_changed:
+        # eager localCheckpoint materializes the round; the fingerprint
+        # agg then runs on checkpointed blocks (count + order-insensitive
+        # sum of a 64-bit edge hash, widened to decimal so ANSI mode
+        # can't overflow; equal fingerprints on consecutive rounds =>
+        # the edge set is the star-forest fixpoint).
+        new_e = _small_star(_large_star(prev)).localCheckpoint()
+        cnt, hsh = new_e.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+        ).first()
+        prev = new_e
+        if prev_stats == (cnt, hsh):
             converged = True
             break
+        prev_stats = (cnt, hsh)
     if not converged:
-        raise RuntimeError(f"connected_components did not converge in {max_iter} iters")
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iters"
+        )
+    # star forest: every non-center node has exactly one out-edge to its
+    # component minimum.
+    labels = prev.select(F.col("u").alias("node"), F.col("v").alias("component"))
     untouched = nodes.select(F.col(id_col).alias("node")).join(
-        hint(labels.select("node")), "node", "left_anti"
+        labels.select("node"), "node", "left_anti"
     )
     return labels.select(F.col("node").alias(id_col), "component").unionByName(
         untouched.select(

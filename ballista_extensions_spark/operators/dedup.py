@@ -111,7 +111,15 @@ def near_dup_pairs_exact(
     posting list at max_df, so the join is at most max_df x |postings| —
     linear in the corpus for a fixed cap. Dropped shingles are the
     boilerplate head of the distribution and carry no discriminative
-    signal. Use the MinHash path for corpus-vs-corpus dedup.
+    signal. Use the MinHash path for fuzzy corpus-vs-corpus dedup.
+
+    probe_mod == 1 (full corpus vs itself) switches pair generation to
+    the grouped-postings shape the char-ngram variant uses: one shuffle
+    of capped postings into per-shingle doc arrays (bounded at max_df by
+    construction), then the C(df,2) pairs generated JVM-side inside each
+    array — the self-join shape would shuffle every posting twice
+    through a two-sided join for the same result (measured ~2x slower
+    at sf0.1).
     """
     # Inverted index: explode to (doc, shingle) postings, equi-join probe
     # vs corpus postings on the shingle, count matches per pair = exact
@@ -151,18 +159,36 @@ def near_dup_pairs_exact(
     )
     capped = posting.join(heavy, "s", "left_anti")
     sizes = capped.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    probe_post = capped.filter((F.col("doc") % probe_mod) == 0).select(
-        F.col("doc").alias("doc_a"), "s"
-    )
-    corpus_post = capped.select(F.col("doc").alias("doc_b"), "s")
-    inter = (
-        probe_post.join(
-            corpus_post,
-            (probe_post["s"] == corpus_post["s"]) & (F.col("doc_a") < F.col("doc_b")),
+    if probe_mod == 1:
+        grouped = (
+            capped.groupBy("s")
+            .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+            .filter(F.size("docs") >= 2)
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
+        pairs = grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(docs) - 2), "
+                    "i -> transform(sequence(i + 1, size(docs) - 1), "
+                    "j -> struct(docs[i] AS doc_a, docs[j] AS doc_b))))"
+                )
+            ).alias("p")
+        ).select("p.doc_a", "p.doc_b")
+        inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("i"))
+    else:
+        probe_post = capped.filter((F.col("doc") % probe_mod) == 0).select(
+            F.col("doc").alias("doc_a"), "s"
+        )
+        corpus_post = capped.select(F.col("doc").alias("doc_b"), "s")
+        inter = (
+            probe_post.join(
+                corpus_post,
+                (probe_post["s"] == corpus_post["s"])
+                & (F.col("doc_a") < F.col("doc_b")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
     i_d = F.col("i").cast("double")
