@@ -173,8 +173,9 @@ def _kmeans_lloyd(pts, k: int, seed: int = 42, max_iter: int = 8):
     """Deterministic driver-side Lloyd k-means (k-means++ init) over the
     bounded quantizer-training sample. numpy-vectorized; cost is
     O(max_iter * |sample| * k * dim) floats — milliseconds at the cap.
-    Empty cells are re-seeded from the point farthest from its centroid
-    so exactly k centroids always come back."""
+    Empty cells are re-seeded from successively-farthest DISTINCT points
+    (one per empty cell), so exactly k centroids always come back and no
+    two cells collapse onto the same reseed point."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -195,12 +196,19 @@ def _kmeans_lloyd(pts, k: int, seed: int = 42, max_iter: int = 8):
         dist = ((pts[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         assign = dist.argmin(axis=1)
         newc = c.copy()
+        empty = []
         for j in range(k):
             mask = assign == j
             if mask.any():
                 newc[j] = pts[mask].mean(axis=0)
             else:
-                newc[j] = pts[dist.min(axis=1).argmax()]
+                empty.append(j)
+        if empty:
+            # one DISTINCT reseed point per empty cell, taken in
+            # decreasing order of distance-to-own-centroid
+            farthest = np.argsort(-dist.min(axis=1))
+            for cell, pt_idx in zip(empty, farthest):
+                newc[cell] = pts[pt_idx]
         if np.allclose(newc, c):
             c = newc
             break
@@ -230,29 +238,43 @@ def ivf_topk(
     a codegen'd argmin-of-L2 expression, so the corpus is scanned exactly
     once with no shuffle and no ML-library job storm. The candidate join
     is an equi-join on cell id touching ~n_probe/n_lists of the corpus
-    per query. Deterministic for a fixed seed.
+    per query. Deterministic for a fixed seed AND independent of data
+    layout: the training sample is the fit_cap smallest values of
+    xxhash64(id, seed) — a total order on rows, so the same corpus yields
+    the same centroids whatever its partitioning. Catalyst executes the
+    orderBy+limit as TakeOrderedAndProject (per-partition top-k, merged
+    on the driver): ONE corpus scan, no shuffle, no separate count job.
     Recall vs brute force is pytest-checked.
     """
     corpus = ensure_parallelism(corpus)
     fit_cap = max(256 * n_lists, 4096)
-    n_rows = corpus.count()
-    samp = corpus.select(F.col(vec_col))
-    if n_rows > fit_cap:
-        samp = samp.sample(False, min(1.0, 1.05 * fit_cap / n_rows), seed)
+    samp = (
+        corpus.select(
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"), F.col(vec_col)
+        )
+        .orderBy("_h")
+        .limit(fit_cap)
+    )
     import numpy as np
 
-    pts = np.asarray(
-        [r[0] for r in samp.limit(fit_cap).collect()], dtype=np.float64
-    )
+    pts = np.asarray([r[1] for r in samp.collect()], dtype=np.float64)
     centroids = _kmeans_lloyd(pts, n_lists, seed=seed, max_iter=8)
+    if not np.isfinite(centroids).all():
+        raise ValueError(
+            "ivf quantizer: non-finite centroid component — corpus "
+            "embeddings contain NaN/Inf values; clean them upstream"
+        )
 
     # One nested literal + one shared lambda keeps the expression tree
     # (and Catalyst planning time) O(n_lists*dim) literals with a single
     # aggregate node, instead of n_lists copies of the fold.
+    # float(x) before repr: numpy >= 2.0 reprs np.float64 as
+    # 'np.float64(0.123)', which is not SQL; a plain Python float reprs
+    # round-trip-exactly in both directions.
     cents_lit = (
         "array("
         + ", ".join(
-            "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in c) + ")"
+            "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c) + ")"
             for c in centroids
         )
         + ")"

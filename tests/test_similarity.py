@@ -111,3 +111,16 @@ def test_near_dup_threshold(toy_vectors):
     ).collect()
     for p in pairs:
         assert p.cosine >= 0.95
+
+
+def test_ivf_layout_independent(embeddings):
+    """Quantizer training sample is the fit_cap smallest xxhash64(id)
+    values — a total order on rows — so centroids (and therefore results)
+    must be identical whatever the corpus partitioning."""
+    q = embeddings.filter(F.col("vec_id") < 5)
+    a = S.ivf_topk(embeddings, q, k=5, n_lists=8, n_probe=4).collect()
+    relaid = embeddings.repartition(7)
+    b = S.ivf_topk(relaid, q, k=5, n_lists=8, n_probe=4).collect()
+    assert sorted((r.q_id, r.c_id, r.rn) for r in a) == sorted(
+        (r.q_id, r.c_id, r.rn) for r in b
+    )
