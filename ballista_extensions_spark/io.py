@@ -93,9 +93,34 @@ def _ship_package(spark: SparkSession) -> None:
 #: DataFrame handles per (session, sf_dir, table). A DataFrame is an
 #: immutable plan, so handing the same object to every caller is safe and
 #: skips the per-call file listing + footer schema read (~80 ms each —
-#: ~10 s across a 91-query bench sweep). Keyed by applicationId so a
-#: restarted session never sees stale plans bound to a dead context.
+#: ~10 s across a 91-query bench sweep). Keyed by the SESSION OBJECT
+#: identity (not just applicationId: multiple SparkSessions share one
+#: context/appId, and a DataFrame cached under another session would
+#: register temp views in that session's catalog, invisible to the
+#: caller) plus applicationId (a restarted context never sees stale
+#: plans). The cached DataFrame holds a reference to its session, so the
+#: id() can't be recycled while the entry lives.
+#:
+#: ASSUMPTION: the tables under sf_dir are immutable for the life of the
+#: application (true for the driver-generated test data and for the
+#: append-only production layout this engine targets). spark.read.parquet
+#: snapshots the file listing at creation, so a table REWRITTEN IN PLACE
+#: within the same app would be served stale from this cache — call
+#: ``invalidate_table_cache(sf_dir)`` after regenerating data in place.
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def invalidate_table_cache(sf_dir: str | None = None) -> None:
+    """Drop cached scan handles (all, or just those under ``sf_dir``) so
+    the next ``load_table`` re-lists files and re-reads footers. Needed
+    only when input parquet is rewritten in place within one application —
+    the memoized repartition decision on the old handles dies with them."""
+    if sf_dir is None:
+        _TABLE_CACHE.clear()
+        return
+    real = os.path.realpath(sf_dir)
+    for key in [k for k in _TABLE_CACHE if k[2] == real]:
+        del _TABLE_CACHE[key]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -103,7 +128,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Catalyst as long as callers keep the plan declarative."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir), name)
+    key = (
+        id(spark),
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        name,
+    )
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached

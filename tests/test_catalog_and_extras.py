@@ -103,3 +103,18 @@ def test_fluent_extension_injection(spark, sf_dir):
         l.bx_sample(1.5)
     got = l.bx_sample(0.3, 5).count()
     assert got == l.bx_sample(0.3, 5).count()
+
+
+def test_table_cache_invalidation(spark, sf_dir):
+    """invalidate_table_cache drops scan handles so in-place rewrites
+    are picked up on the next load (io.py documents the immutable-input
+    assumption; this is the escape hatch)."""
+    from ballista_extensions_spark import io as bio
+
+    a = bio.load_table(spark, sf_dir, "nation")
+    assert bio.load_table(spark, sf_dir, "nation") is a
+    bio.invalidate_table_cache(sf_dir)
+    b = bio.load_table(spark, sf_dir, "nation")
+    assert b is not a
+    bio.invalidate_table_cache()
+    assert bio.load_table(spark, sf_dir, "nation") is not b
