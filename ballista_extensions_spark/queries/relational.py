@@ -230,13 +230,58 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI join (proto :84): customers with no large order (the
     unfiltered no-orders predicate is vacuous on driver data — every
-    customer has orders). RIGHT SEMI/ANTI from the proto enum are the
-    same ops with sides swapped — covered by construction."""
+    customer has orders)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return c.join(
         o, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_right_semi",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 49)
+    """,
+)
+def join_right_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT SEMI join (proto/datafusion_common.proto:85, RIGHTSEMI = 6):
+    suppliers having shipped a max-quantity lineitem. Spark has no
+    right_semi join-type string, so operators/joins.py canonicalizes it
+    as the side-swapped left-semi — the same rewrite the reference's
+    optimizer applies. Output schema is the right side's, per the enum's
+    contract."""
+    from ballista_extensions_spark.operators.joins import right_semi_join
+
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    s = load_table(spark, sf_dir, "supplier")
+    return right_semi_join(
+        l, s, F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "s_nationkey")
+
+
+@register(
+    "join_right_anti",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey AND l_quantity >= 48)
+    """,
+)
+def join_right_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT ANTI join (proto/datafusion_common.proto:86, RIGHTANTI = 7):
+    parts never sold in near-max quantity. Side-swapped left-anti via
+    operators/joins.py; only the part key crosses the exchange."""
+    from ballista_extensions_spark.operators.joins import right_anti_join
+
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    p = load_table(spark, sf_dir, "part")
+    return right_anti_join(
+        l, p, F.col("l_partkey") == F.col("p_partkey")
+    ).select("p_partkey", "p_name")
 
 
 @register(
