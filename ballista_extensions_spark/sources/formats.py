@@ -3,10 +3,12 @@ Arrow IPC; compression codecs GZIP/BZIP2/XZ/ZSTD/none.
 
 Reference surface: these formats *transit* the reference's codec layer by
 delegation (SURVEY.md §2 Tier C — the repo itself only ever scans parquet,
-examples/datafusion.rs:26). Spark provides csv/json/parquet natively and
-avro via the bundled spark-avro module when present; Arrow IPC goes
-through the pyarrow bridge (Arrow is also Spark's interchange format at
-the pandas boundary).
+examples/datafusion.rs:26). Spark provides csv/json/parquet natively;
+avro uses the spark-avro module when on the classpath and otherwise
+falls back to the spec-conformant pure-Python OCF codec in avro_py.py
+(executor-side, one container file per partition); Arrow IPC is
+distributed through ``mapInArrow`` (one .arrow part file per partition
+on write, one task per file on read).
 
 Scale notes: CSV/JSON scans parallelize by file split (gz is
 non-splittable — prefer zstd/bzip2 or many files at 100 TB); schema
@@ -109,28 +111,93 @@ def avro_supported(spark: SparkSession) -> bool:
 
 
 def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
-    """Arrow IPC (Feather V2) file -> DataFrame via the pyarrow bridge.
-    Arrow is Spark's pandas-interchange format, so the conversion is
-    zero-copy batches -> Arrow -> Spark. Driver-side read: intended for
-    small reference tables; large IPC data should be converted to parquet
-    (documented limitation, matching the reference where ArrowFormat is
-    transit-only)."""
+    """Arrow IPC (Feather V2) -> DataFrame, distributed.
+
+    ``path`` is a single .arrow file or a directory written by
+    ``write_arrow_ipc`` (one part file per partition + a zero-row
+    ``_schema.arrow`` sidecar). The driver reads ONE footer for the
+    schema (a metadata-only read); the data itself is read on executors
+    — one task per file — via ``mapInArrow`` over the file list, so no
+    table ever materializes on the driver. Files must be reachable from
+    executors (shared FS / object store at cluster scale — same
+    requirement as any Spark source)."""
+    import glob as _glob
+
     import pyarrow as pa
     import pyarrow.ipc as ipc
 
-    with pa.memory_map(path, "r") as source:
-        table = ipc.open_file(source).read_all()
-    return spark.createDataFrame(table.to_pandas())
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "*.arrow")))
+        if not files:
+            raise FileNotFoundError(f"no .arrow files under {path!r}")
+    else:
+        files = [path]
+    with pa.memory_map(files[0], "r") as src:
+        arrow_schema = ipc.open_file(src).schema
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    spark_schema = from_arrow_schema(arrow_schema)
+    data_files = [f for f in files if os.path.basename(f) != "_schema.arrow"]
+    if not data_files:
+        return spark.createDataFrame([], spark_schema)
+    paths = spark.createDataFrame(
+        [(f,) for f in data_files], "p string"
+    ).repartition(len(data_files), "p")
+
+    def _read(batches):
+        for b in batches:
+            for p in b.column(0).to_pylist():
+                with pa.memory_map(p, "r") as src:
+                    rd = ipc.open_file(src)
+                    for i in range(rd.num_record_batches):
+                        yield rd.get_batch(i)
+
+    return paths.mapInArrow(_read, spark_schema)
 
 
-def write_arrow_ipc(df: DataFrame, path: str) -> None:
-    """DataFrame -> Arrow IPC file (driver-side; small results)."""
+def write_arrow_ipc(df: DataFrame, path: str) -> int:
+    """DataFrame -> directory of Arrow IPC files, one per partition,
+    written BY THE EXECUTORS via ``mapInArrow`` — nothing materializes on
+    the driver (the old ``toPandas`` bridge was a driver-OOM scale
+    killer). A zero-row ``_schema.arrow`` sidecar (written driver-side
+    from the plan schema alone) makes empty frames round-trippable.
+    Returns the number of part files written. Overwrite semantics: any
+    existing .arrow files under ``path`` are removed first."""
+    import glob as _glob
+
     import pyarrow as pa
     import pyarrow.ipc as ipc
+    from pyspark.sql.pandas.types import to_arrow_schema
 
-    table = pa.Table.from_pandas(df.toPandas())
-    with ipc.new_file(path, table.schema) as writer:
-        writer.write_table(table)
+    os.makedirs(path, exist_ok=True)
+    for old in _glob.glob(os.path.join(path, "*.arrow")):
+        os.remove(old)
+    arrow_schema = to_arrow_schema(df.schema)
+    with ipc.new_file(os.path.join(path, "_schema.arrow"), arrow_schema):
+        pass
+
+    out_schema = pa.schema([("file", pa.string()), ("rows", pa.int64())])
+
+    def _write(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        out = os.path.join(path, f"part-{pid:05d}.arrow")
+        writer = None
+        n = 0
+        for b in batches:
+            if writer is None:
+                writer = ipc.new_file(out, b.schema)
+            writer.write_batch(b)
+            n += b.num_rows
+        if writer is not None:
+            writer.close()
+            yield pa.RecordBatch.from_pydict(
+                {"file": [out], "rows": [n]}, schema=out_schema
+            )
+
+    written = df.mapInArrow(_write, "file string, rows long").collect()
+    return len(written)
 
 
 _READERS = {
@@ -148,12 +215,13 @@ def read_any(
     """Dispatch by format name (csv/json/ndjson/parquet/arrow/avro)."""
     fmt = fmt.lower()
     if fmt == "avro":
-        if not avro_supported(spark):
-            raise NotImplementedError(
-                "spark-avro module not on the classpath in this deployment; "
-                "AvroFormat is wire-declared but optional (SURVEY.md §2 Tier C)"
-            )
-        return spark.read.format("avro").load(path)
+        if avro_supported(spark):
+            return spark.read.format("avro").load(path)
+        # no spark-avro jar in this deployment: fall back to the
+        # spec-conformant pure-Python OCF codec (sources/avro_py.py)
+        from ballista_extensions_spark.sources.avro_py import read_avro
+
+        return read_avro(spark, path)
     if fmt not in _READERS:
         raise ValueError(f"unknown format {fmt!r}")
     return _READERS[fmt](spark, path, **kwargs)
@@ -196,6 +264,17 @@ def write_any(
     elif fmt == "parquet":
         writer.parquet(path)
     elif fmt == "avro":
-        writer.format("avro").save(path)
+        if avro_supported(df.sparkSession):
+            writer.format("avro").save(path)
+        else:
+            from ballista_extensions_spark.sources.avro_py import write_avro
+
+            # Avro's own codec enum: none -> null, gzip family -> deflate
+            codec = {"none": "null", "gzip": "deflate"}.get(compression)
+            if codec is None:
+                raise ValueError(
+                    f"avro bridge supports none/gzip(deflate), not {compression!r}"
+                )
+            write_avro(df, path, codec=codec)
     else:
         raise ValueError(f"unknown format {fmt!r}")

@@ -92,14 +92,116 @@ def test_arrow_ipc_roundtrip(spark, small_df, tmp_path_factory):
     assert set(back.columns) == {"id", "s", "v"}
 
 
-def test_avro_gated(spark, small_df, tmp_path_factory):
+def test_arrow_ipc_multipartition(spark, tmp_path_factory):
+    """Executor-side IPC write: a multi-partition frame produces one part
+    file per non-empty partition (no driver materialization) and
+    round-trips values exactly; empty partitions write nothing."""
+    from ballista_extensions_spark.sources.formats import (
+        read_arrow_ipc,
+        write_arrow_ipc,
+    )
+
+    path = str(tmp_path_factory.mktemp("arrow_mp") / "t_dir")
+    df = spark.range(0, 1000).repartition(7).selectExpr(
+        "id", "CAST(id * 2 AS DOUBLE) AS v", "CONCAT('r', id) AS s"
+    )
+    n_files = write_arrow_ipc(df, path)
+    assert 1 <= n_files <= 7
+    back = read_arrow_ipc(spark, path)
+    assert back.rdd.getNumPartitions() >= 1
+    assert sorted(r.id for r in back.collect()) == list(range(1000))
+    assert back.schema == df.schema
+
+
+def test_arrow_ipc_empty_frame(spark, tmp_path_factory):
+    """Zero-row frames round-trip through the _schema.arrow sidecar."""
+    from ballista_extensions_spark.sources.formats import (
+        read_arrow_ipc,
+        write_arrow_ipc,
+    )
+
+    path = str(tmp_path_factory.mktemp("arrow_empty") / "t_dir")
+    df = spark.range(0, 10).filter("id < 0").selectExpr("id", "CAST(id AS STRING) AS s")
+    write_arrow_ipc(df, path)
+    back = read_arrow_ipc(spark, path)
+    assert back.count() == 0
+    assert back.schema == df.schema
+
+
+def test_avro_roundtrip(spark, small_df, tmp_path_factory):
+    """Avro via spark-avro when on the classpath, else via the
+    spec-conformant pure-Python OCF codec — either way the format is
+    actually exercised, nulls included."""
     path = str(tmp_path_factory.mktemp("avro") / "data")
-    if avro_supported(spark):
-        write_any(small_df, "avro", path)
-        assert read_any(spark, "avro", path).count() == 3
-    else:
-        with pytest.raises(NotImplementedError, match="avro"):
-            read_any(spark, "avro", path)
+    write_any(small_df, "avro", path)
+    back = read_any(spark, "avro", path)
+    assert sorted(
+        (r["id"], r["s"], r["v"]) for r in back.collect()
+    ) == sorted((r["id"], r["s"], r["v"]) for r in small_df.collect())
+
+
+def test_avro_py_golden_bytes(tmp_path_factory):
+    """Reader validated against hand-assembled spec bytes (zigzag varint
+    + length-prefixed strings + null-union indices), not just against our
+    own writer."""
+    import json as _json
+
+    from ballista_extensions_spark.sources import avro_py as A
+
+    schema = {
+        "type": "record",
+        "name": "topLevelRecord",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    meta = _json.dumps(schema).encode()
+    sync = b"0123456789abcdef"
+    # zigzag: 1 -> 0x02, -2 -> 0x03, 150 -> 0xAC 0x02
+    body = bytes([0x02]) + bytes([0x02]) + bytes([0x02]) + b"x"  # (1, "x")
+    body += bytes([0x03]) + bytes([0x00])  # (-2, null)
+    block = bytes([0x04]) + A._zigzag_encode(len(body)) + body + sync
+    header = (
+        b"Obj\x01"
+        + bytes([0x04])  # 2 metadata entries
+        + A._zigzag_encode(len(b"avro.schema")) + b"avro.schema"
+        + A._zigzag_encode(len(meta)) + meta
+        + A._zigzag_encode(len(b"avro.codec")) + b"avro.codec"
+        + A._zigzag_encode(len(b"null")) + b"null"
+        + bytes([0x00])
+        + sync
+    )
+    p = str(tmp_path_factory.mktemp("avro_golden") / "g.avro")
+    with open(p, "wb") as f:
+        f.write(header + block)
+    gen = A.read_container(p)
+    assert next(gen)["fields"][0]["name"] == "a"
+    assert list(gen) == [{"a": 1, "s": "x"}, {"a": -2, "s": None}]
+
+
+def test_avro_py_types_roundtrip(spark, tmp_path_factory):
+    """Pure-Python path: all supported types (incl. timestamp/date
+    logical types, arrays, deflate codec) survive a write/read cycle."""
+    import datetime as dt
+
+    from ballista_extensions_spark.sources.avro_py import read_avro, write_avro
+
+    rows = [
+        (1, 3.5, True, b"\x01\x02", dt.datetime(2024, 5, 1, 12, 30, 0),
+         dt.date(2024, 5, 1), [1, 2, 3], "héllo"),
+        (-(2**40), None, False, None, None, None, [], None),
+    ]
+    schema = (
+        "a long, d double, b boolean, bin binary, ts timestamp, "
+        "dt date, arr array<long>, s string"
+    )
+    df = spark.createDataFrame(rows, schema).repartition(3)
+    path = str(tmp_path_factory.mktemp("avro_types") / "t")
+    write_avro(df, path, codec="deflate")
+    back = read_avro(spark, path)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
 def test_bad_compression_rejected(small_df):
