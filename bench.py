@@ -3,6 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+The full result (3-decimal timings + row counts) is also written to
+BENCH_FULL.json next to this script; the printed line uses 2-decimal
+timings and compact separators so it stays well inside the driver's
+stdout capture window (round 2's 91-entry line was truncated to its
+tail, recording "parsed": null).
+
 Timing = wall clock of plan construction + execution to a driver-side
 count/collect (collect for small results; the queries are the same
 plan-constructor functions the driver's correctness gate runs).
@@ -35,6 +41,7 @@ def main() -> None:
     load_table(spark, sf_dir, "lineitem").count()
 
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
     for name, fn in get_queries().items():
         if name in EXCLUDE:
             continue
@@ -42,6 +49,7 @@ def main() -> None:
         df = fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
+        rows[name] = n
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -49,14 +57,26 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    out = {
+    full = {
         "metric": "total_wall_sec_all_queries",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "rows": rows,
         "sf": sf_val,
     }
-    print(json.dumps(out))
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    out = {
+        "metric": "total_wall_sec_all_queries",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf_val,
+    }
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":
