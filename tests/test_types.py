@@ -118,10 +118,74 @@ def test_ns_timestamp_handling(spark, sf_dir):
     assert e.filter(F.col("ts").isNull()).count() == 0
 
 
-def test_unsigned_and_decimal256_documented():
-    """§1.2 documents UINT64->Decimal(20,0) and Decimal256 rejection;
-    spot-check the documented widening exists in code comments (the
-    mapping table lives in SURVEY.md — this guards the doc reference)."""
-    import ballista_extensions_spark
+@pytest.fixture(scope="module")
+def edge_types_dir(tmp_path_factory):
+    """Parquet fixtures for the documented-lossy §1.2 mappings, written
+    with pyarrow (Spark can't author these types itself)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
-    assert ballista_extensions_spark.__doc__  # package doc present
+    d = tmp_path_factory.mktemp("edge_types")
+    pq.write_table(
+        pa.table(
+            {
+                "u8": pa.array([0, 255], pa.uint8()),
+                "u16": pa.array([0, 65535], pa.uint16()),
+                "u32": pa.array([0, 2**32 - 1], pa.uint32()),
+                "u64": pa.array([0, 2**64 - 1], pa.uint64()),
+            }
+        ),
+        str(d / "unsigned.parquet"),
+    )
+    pq.write_table(
+        pa.table({"d256": pa.array([1], pa.decimal256(50, 2))}),
+        str(d / "decimal256.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"t64": pa.array([datetime.time(1, 2, 3, 123456)], pa.time64("us"))}
+        ),
+        str(d / "time64.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"t32": pa.array([datetime.time(1, 2, 3)], pa.time32("ms"))}
+        ),
+        str(d / "time32.parquet"),
+    )
+    return d
+
+
+def test_unsigned_widening(spark, edge_types_dir):
+    """§1.2: unsigned ints widen to the next signed type that holds the
+    full range; UINT64 (no wider long) becomes Decimal(20,0). Values at
+    the unsigned max must survive exactly."""
+    df = spark.read.parquet(str(edge_types_dir / "unsigned.parquet"))
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    assert isinstance(by_name["u8"], T.ShortType)
+    assert isinstance(by_name["u16"], T.IntegerType)
+    assert isinstance(by_name["u32"], T.LongType)
+    assert by_name["u64"] == T.DecimalType(20, 0)
+    mx = df.agg(
+        F.max("u8"), F.max("u16"), F.max("u32"), F.max("u64")
+    ).first()
+    assert (mx[0], mx[1], mx[2], int(mx[3])) == (
+        255, 65535, 2**32 - 1, 2**64 - 1,
+    )
+
+
+def test_decimal256_rejected(spark, edge_types_dir):
+    """§1.2: precision > 38 (Arrow Decimal256 territory) is REJECTED at
+    scan time with DECIMAL_PRECISION_EXCEEDS_MAX_PRECISION — a documented
+    hard boundary, not silent truncation."""
+    with pytest.raises(Exception, match="DECIMAL_PRECISION_EXCEEDS_MAX"):
+        spark.read.parquet(str(edge_types_dir / "decimal256.parquet")).collect()
+
+
+def test_time_types_rejected(spark, edge_types_dir):
+    """§1.2: Spark has no TIME type; TIME(MILLIS)/TIME(MICROS) parquet
+    columns fail loudly with PARQUET_TYPE_ILLEGAL (documented: carry
+    times as int64 µs-since-midnight instead)."""
+    for f in ("time32.parquet", "time64.parquet"):
+        with pytest.raises(Exception, match="PARQUET_TYPE_ILLEGAL"):
+            spark.read.parquet(str(edge_types_dir / f)).collect()
