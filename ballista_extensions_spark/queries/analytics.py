@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ballista_extensions_spark.functions.exact import dsum, lcount
 from ballista_extensions_spark.io import load_table
@@ -634,4 +635,213 @@ def median_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.median("o_totalprice").cast("double").alias("med_price"),
         lcount("n"),
+    )
+
+
+@register(
+    "stats_corr_covar",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           (sxy - sx * sy / n) / (n - 1) AS covar_samp,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty
+    FROM s
+    """,
+)
+def stats_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr/covar_samp/stddev) with bit-exact
+    cross-engine parity: built-in corr()/covar() use streaming algorithms
+    whose floating-point accumulation order differs between engines, so
+    both sides compute the moment sums EXACTLY (decimal, order-free) and
+    derive the statistics with the same double-arithmetic expression tree
+    — identical IEEE operations on identical inputs give identical bits.
+    Scale: one map-side-combined shuffle, same as any groupBy."""
+    l = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(d).cast("double").alias("sy"),
+        F.sum(q * d).cast("double").alias("sxy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(d * d).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_samp"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_qty"),
+    )
+
+
+@register(
+    "percentile_disc_prices",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_disc(o_totalprice, 0.25) AS p25,
+           quantile_disc(o_totalprice, 0.50) AS p50,
+           quantile_disc(o_totalprice, 0.75) AS p75,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_disc_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles per group: percentile_disc picks an
+    ACTUAL data value (no interpolation), so engine/oracle agreement is
+    value-identity, immune to floating-point interpolation differences.
+    Scale: Spark evaluates grouped percentiles with a sort-based agg —
+    one shuffle on the group key."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("bx_pctl_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM bx_pctl_orders GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "ntile_customer_quartiles",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT)
+             AS quartile
+    FROM customer
+    """,
+)
+def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing over a TOTAL order (acctbal, custkey tiebreak) —
+    the deterministic-parity requirement for rank-family functions. An
+    unpartitioned window is a single-task sort, correct here (ranking a
+    dimension); at fact scale you'd partition the window or use
+    approx quantile cutpoints instead."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "events_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           lag(event_id) OVER w AS prev_event_id,
+           lead(event_id) OVER w AS next_event_id,
+           CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS BIGINT) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead neighbor access per user timeline; the gap is computed in
+    integer microseconds (unix_micros == DuckDB epoch_us) so timestamps
+    never round-trip through doubles. Scale: one shuffle on user_id; the
+    per-user sort rides the same exchange."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        (us - F.lag(us).over(w)).cast("long").alias("gap_us"),
+    )
+
+
+@register(
+    "filtered_agg_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 250000) AS BIGINT)
+             AS n_big,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_f,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def filtered_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregation (ANSI FILTER clause == count_if/sum(when)):
+    conditional counts and sums plus a distinct count in one pass — one
+    shuffle, map-side partials; count-distinct expands to a two-phase
+    agg on (group, custkey)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("count_if(o_totalprice > 250000)").cast("long").alias("n_big"),
+        F.sum(
+            F.when(
+                F.col("o_orderstatus") == "F",
+                F.col("o_totalprice").cast("decimal(18,2)"),
+            )
+        )
+        .cast("double")
+        .alias("sum_f"),
+        F.countDistinct("o_custkey").cast("long").alias("n_cust"),
+    )
+
+
+@register(
+    "salted_join_revenue",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join (functions/skew.py:salted_join): the fact side
+    is salted into 8 buckets, the dim side replicated once per salt, so a
+    hot supplier key spreads over 8 tasks. The oracle is the PLAIN join —
+    salting must preserve multiplicity exactly, and this query proves it
+    against the oracle. At local test scale AQE would broadcast this join
+    anyway; the salted shape is the 100 TB fallback when the dim side is
+    modest but the fact side has pathological hot keys."""
+    from ballista_extensions_spark.functions.skew import salted_join
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(l, s, "suppkey", salt_buckets=8)
+        .groupBy("s_nationkey")
+        .agg(
+            dsum(F.col("l_extendedprice"), "revenue"),
+            lcount("n_items"),
+        )
     )

@@ -623,3 +623,64 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine 0.5, so a production-style 0.9 matches nothing here."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.embedding_cosine_near_dup(e, dim=64, threshold=0.35, n_planes=8)
+
+
+@register(
+    "quality_filter_chain",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len({_DD_TOKS}) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter({_DD_TOKS},
+                  t -> list_contains(['the','a','of','and','to','in','is'], t)))
+                  AS BIGINT) AS n_stopwords,
+             CAST(len(list_distinct({_DD_TOKS})) AS BIGINT) AS n_distinct_tokens
+      FROM documents)
+    SELECT doc_id, n_chars, n_tokens,
+           CASE
+             WHEN n_tokens < 20 THEN 'too_short'
+             WHEN n_chars > 450 THEN 'too_long'
+             WHEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.02
+               THEN 'low_stopword'
+             WHEN CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.5
+               THEN 'repetitive'
+             ELSE 'keep'
+           END AS verdict,
+           (n_tokens >= 20 AND n_chars <= 450
+            AND CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.02
+            AND CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.5)
+             AS is_kept
+    FROM t
+    """,
+)
+def quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard pretraining quality gate: a short-circuit rule chain
+    (length -> boilerplate-length -> stopword floor -> repetition floor)
+    over operators/text.py:text_stats metrics, each doc labeled with the
+    FIRST failing rule. Ratio comparisons are the same double divisions
+    on both engines, so verdicts are bit-deterministic. Scale: narrow
+    per-row projection over the stats (no extra shuffle beyond
+    text_stats itself)."""
+    stats = T.text_stats(load_table(spark, sf_dir, "documents"))
+    sw, dr = F.col("stopword_ratio"), F.col("distinct_ratio")
+    verdict = (
+        F.when(F.col("n_tokens") < 20, "too_short")
+        .when(F.col("n_chars") > 450, "too_long")
+        .when(sw < 0.02, "low_stopword")
+        .when(dr < 0.5, "repetitive")
+        .otherwise("keep")
+    )
+    kept = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_chars") <= 450)
+        & (sw >= 0.02)
+        & (dr >= 0.5)
+    )
+    return stats.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        verdict.alias("verdict"),
+        kept.alias("is_kept"),
+    )
