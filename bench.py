@@ -69,14 +69,26 @@ def main() -> None:
                              "BENCH_FULL.json")
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
-    out = {
+    # Printed line: slowest queries only, hard-capped at ~1800 bytes so
+    # the driver's stdout window can never truncate it mid-JSON; the
+    # complete per-query map is in BENCH_FULL.json.
+    ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+    shown: dict[str, float] = {}
+    base = {
         "metric": "total_wall_sec_all_queries",
         "value": round(sum(timings.values()), 2),
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "queries": shown,
+        "n_queries": len(timings),
+        "full": "BENCH_FULL.json",
         "sf": sf_val,
     }
-    print(json.dumps(out, separators=(",", ":")))
+    for k, v in ranked:
+        shown[k] = round(v, 2)
+        if len(json.dumps(base, separators=(",", ":"))) > 1800:
+            del shown[k]
+            break
+    print(json.dumps(base, separators=(",", ":")))
 
 
 if __name__ == "__main__":
