@@ -202,3 +202,48 @@ def fingerprint_rolling(text_col: str, prime: int = 1_000_000_007, base: int = 3
         f"aggregate(sequence(1, length({norm})), 0L, "
         f"(acc, i) -> (acc * {base} + ascii(substring({norm}, i, 1))) % {prime})"
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 200,
+    overlap: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size character windows with
+    ``overlap`` characters of context carry-over — the standard prep step
+    before tokenize-and-embed or long-document training.
+
+    Chunk starts are 1, 1+step, 1+2*step ... (step = size - overlap),
+    generated while start <= max(len - overlap, 1); the final chunk may
+    be shorter than ``size``. Output: (id, chunk_id, chunk_start,
+    chunk_text, n_chunks).
+
+    Scale: same codegen shape as the n-gram ops — explode a cheap int
+    ``sequence`` of start positions, take ``substring`` in the
+    post-Generate projection. Narrow (zero shuffles); n_chunks rides the
+    same row via size() of the start sequence, not a second pass.
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    step = size - overlap
+    starts = (
+        f"sequence(1, greatest(length({text_col}) - {overlap}, 1), {step})"
+    )
+    return (
+        df.filter(F.length(text_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.size(F.expr(starts)).cast("long").alias("n_chunks"),
+            F.posexplode(F.expr(starts)).alias("chunk_id", "start"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("start").cast("long").alias("chunk_start"),
+            F.expr(f"substring({text_col}, start, {size})").alias("chunk_text"),
+            "n_chunks",
+        )
+    )

@@ -14,8 +14,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from ballista_extensions_spark.io import load_table
+from ballista_extensions_spark.io import ensure_parallelism, load_table
 from ballista_extensions_spark.operators import dedup as D
 from ballista_extensions_spark.operators import similarity as S
 from ballista_extensions_spark.operators import text as T
@@ -683,4 +684,135 @@ def quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         verdict.alias("verdict"),
         kept.alias("is_kept"),
+    )
+
+
+@register(
+    "chunk_documents",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text,
+             range(1, GREATEST(length(text) - 40, 1) + 1, 160) AS starts
+      FROM documents WHERE length(text) > 0)
+    SELECT doc_id,
+           CAST(i - 1 AS BIGINT) AS chunk_id,
+           CAST(starts[i] AS BIGINT) AS chunk_start,
+           substring(text, starts[i], 200) AS chunk_text,
+           CAST(len(starts) AS BIGINT) AS n_chunks
+    FROM s, UNNEST(range(1, len(starts) + 1)) AS u(i)
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character windows per document
+    (operators/text.py:chunk_documents, size=200 overlap=40) — the prep
+    step before tokenize-and-embed. Narrow plan: position sequence
+    exploded, substring in the post-Generate projection."""
+    from ballista_extensions_spark.operators.text import chunk_documents as _chunk
+
+    return _chunk(load_table(spark, sf_dir, "documents"), size=200, overlap=40)
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_dd_shingles_sql(_DD_TOKS)} AS s FROM documents),
+    post AS (SELECT DISTINCT doc_id, unnest(s) AS tok FROM sh),
+    bench AS (SELECT DISTINCT tok FROM post WHERE doc_id % 100 = 7),
+    hits AS (
+      SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM post p JOIN bench b USING (tok)
+      WHERE p.doc_id % 100 <> 7
+      GROUP BY p.doc_id)
+    SELECT doc_id, n_shared, n_shared >= 5 AS contaminated
+    FROM hits
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training docs sharing >= 5 distinct
+    word 3-shingles with a benchmark set (stand-in: doc_id % 100 == 7).
+    The shape is the decontamination pass every pretraining pipeline
+    runs against held-out benchmarks.
+
+    Scale: the benchmark shingle set is SMALL (eval suites are tiny next
+    to the corpus) — AQE broadcasts the semi-side, so the corpus is
+    scanned once with no corpus-sized shuffle; per-doc hit counts are
+    map-side combined."""
+    d = load_table(spark, sf_dir, "documents")
+    tok_sql = T.TOKENS_SQL.format(col="text")
+    post = (
+        ensure_parallelism(d)
+        .select(
+            F.col("doc_id"),
+            F.col("text"),
+            F.explode(F.expr(f"sequence(1, greatest(size({tok_sql}) - 2, 0))")).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"array_join(slice({tok_sql}, i, 3), ' ')").alias("tok"),
+        )
+        .distinct()
+    )
+    bench = post.filter(F.col("doc_id") % 100 == 7).select("tok").distinct()
+    hits = (
+        post.filter(F.col("doc_id") % 100 != 7)
+        .join(bench, "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return hits.select(
+        "doc_id", "n_shared", (F.col("n_shared") >= 5).alias("contaminated")
+    )
+
+
+@register(
+    "pack_token_bins",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents),
+    o AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS offset_tokens
+      FROM t)
+    SELECT doc_id, n_tokens, offset_tokens,
+           CAST(offset_tokens // 2048 AS BIGINT) AS bin_id,
+           CAST(offset_tokens % 2048 AS BIGINT) AS bin_offset
+    FROM o
+    """,
+)
+def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing (the GPT-style pretraining
+    batcher): documents are laid out in doc_id order, token offsets
+    accumulated, and each doc assigned the 2048-token bin its first
+    token lands in.
+
+    The unpartitioned running-sum window is a single sorted task — fine
+    for a dimension-sized manifest; at corpus scale you pack WITHIN
+    shards (partitionBy(shard) windows) and concatenate shard outputs,
+    which this same expression tree does once a shard column exists."""
+    d = load_table(spark, sf_dir, "documents")
+    tok_sql = T.TOKENS_SQL.format(col="text")
+    t = d.select(
+        "doc_id", F.expr(f"size({tok_sql})").cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = t.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        .cast("long")
+        .alias("offset_tokens"),
+    )
+    return o.select(
+        "doc_id",
+        "n_tokens",
+        "offset_tokens",
+        (F.col("offset_tokens") / 2048).cast("long").alias("bin_id"),
+        (F.col("offset_tokens") % 2048).cast("long").alias("bin_offset"),
     )

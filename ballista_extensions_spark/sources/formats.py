@@ -67,7 +67,22 @@ def read_csv(
         )
     for k, v in options.items():
         reader = reader.option(k, v)
+    if _is_xz(path):
+        return reader.csv(read_text_xz(spark, path))
     return reader.csv(path)
+
+
+def _is_xz(path: str) -> bool:
+    """True when path is an .xz file or a directory of .xz part files
+    (Hadoop's XZ codec is unavailable without native libs — these route
+    through the executor-side lzma path)."""
+    if path.endswith(".xz"):
+        return True
+    import glob as _glob
+
+    return os.path.isdir(path) and bool(
+        _glob.glob(os.path.join(path, "*.xz"))
+    )
 
 
 def read_ndjson(
@@ -82,6 +97,8 @@ def read_ndjson(
         reader = reader.schema(schema)
     for k, v in options.items():
         reader = reader.option(k, v)
+    if _is_xz(path):
+        return reader.json(read_text_xz(spark, path))
     return reader.json(path)
 
 
@@ -93,6 +110,70 @@ def read_parquet_dir(spark: SparkSession, path: str, **options: Any) -> DataFram
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.parquet(path)
+
+
+def read_text_xz(spark: SparkSession, path: str):
+    """Executor-side XZ decode for line-oriented formats: Hadoop's XZ
+    codec needs native libs absent from many deployments (this one
+    included), but CPython ships ``lzma``. One task per .xz file —
+    xz is non-splittable anyway, so this matches the parallelism Spark's
+    own codec path would give. Returns an RDD[str] of lines for
+    ``spark.read.csv/json(rdd)``."""
+    import glob as _glob
+
+    files = (
+        sorted(_glob.glob(os.path.join(path, "*.xz")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        raise FileNotFoundError(f"no .xz files under {path!r}")
+
+    def _load(paths):
+        import lzma
+
+        for p in paths:
+            with lzma.open(p, "rt", encoding="utf-8") as f:
+                for line in f:
+                    yield line.rstrip("\n")
+
+    return spark.sparkContext.parallelize(files, len(files)).mapPartitions(_load)
+
+
+def write_text_xz(df: DataFrame, path: str, fmt: str = "csv") -> int:
+    """XZ write for csv/json: render lines executor-side with Spark's own
+    writers-to-string (to_csv struct / to_json), then lzma-compress one
+    .xz file per partition. CSV output carries a header per file (same as
+    Spark's csv writer with header=true). Returns part-file count."""
+    import glob as _glob
+
+    os.makedirs(path, exist_ok=True)
+    for old in _glob.glob(os.path.join(path, "*.xz")):
+        os.remove(old)
+    from pyspark.sql import functions as F
+
+    header = ",".join(df.columns) if fmt == "csv" else None
+    if fmt == "csv":
+        lines = df.select(F.to_csv(F.struct(*df.columns)).alias("l"))
+    elif fmt in ("json", "ndjson"):
+        lines = df.select(F.to_json(F.struct(*df.columns)).alias("l"))
+    else:
+        raise ValueError("xz text write supports csv/json only")
+    ext = "csv" if fmt == "csv" else "json"
+
+    def _part(pid: int, rows):
+        import lzma
+
+        out = os.path.join(path, f"part-{pid:05d}.{ext}.xz")
+        with lzma.open(out, "wt", encoding="utf-8") as f:
+            if header is not None:
+                f.write(header + "\n")
+            for r in rows:
+                f.write(r[0] + "\n")
+        return iter([out])
+
+    files = lines.rdd.mapPartitionsWithIndex(_part).collect()
+    return len(files)
 
 
 def avro_supported(spark: SparkSession) -> bool:
@@ -247,6 +328,11 @@ def write_any(
         raise ValueError(f"compression must be one of {COMPRESSIONS}")
     if fmt == "arrow":
         write_arrow_ipc(df, path)
+        return
+    if compression == "xz":
+        if fmt not in ("csv", "json", "ndjson"):
+            raise ValueError("xz compression is supported for csv/json here")
+        write_text_xz(df, path, fmt)
         return
     writer = df.write.mode(mode)
     if partition_by:

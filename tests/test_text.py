@@ -96,3 +96,44 @@ def test_corpus_stats_no_nulls(documents):
     n = stats.count()
     assert n == documents.count()
     assert stats.dropna().count() == n
+
+
+class TestChunkDocuments:
+    def test_short_doc_single_chunk(self, spark):
+        from ballista_extensions_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+        rows = chunk_documents(df, size=200, overlap=40).collect()
+        assert len(rows) == 1
+        assert rows[0].chunk_text == "abc"
+        assert rows[0].n_chunks == 1
+        assert rows[0].chunk_start == 1
+
+    def test_overlap_and_coverage(self, spark):
+        from ballista_extensions_spark.operators.text import chunk_documents
+
+        text = "x" * 500
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        rows = sorted(
+            chunk_documents(df, size=200, overlap=40).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        # starts 1, 161, 321 -> spans [1,200],[161,360],[321,500]
+        assert [r.chunk_start for r in rows] == [1, 161, 321]
+        assert [len(r.chunk_text) for r in rows] == [200, 200, 180]
+        # consecutive chunks overlap by exactly `overlap` chars
+        assert rows[0].chunk_text[-40:] == rows[1].chunk_text[:40]
+        # full reconstruction from step-sized pieces
+        rebuilt = rows[0].chunk_text + "".join(
+            r.chunk_text[40:] for r in rows[1:]
+        )
+        assert rebuilt == text
+
+    def test_overlap_validation(self, spark):
+        from ballista_extensions_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="overlap"):
+            chunk_documents(df, size=100, overlap=100)
