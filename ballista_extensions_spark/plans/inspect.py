@@ -21,34 +21,83 @@ def executed_plan(df: DataFrame) -> str:
     )
 
 
+def _live_ids(plan: str) -> set[str] | None:
+    """Node ids of the CURRENT plan tree.
+
+    An executed adaptive query's formatted text shows the final tree,
+    then an '== Initial Plan ==' tree (the plan AQE replaced — same
+    operators under fresh ids), then one detail block per id from BOTH
+    trees. Counting without filtering doubles every metric, so metric
+    extractors keep only detail blocks whose id occurs in the tree
+    BEFORE the marker. Returns None when there is no Initial section
+    (nothing to filter)."""
+    marker = plan.find("== Initial Plan ==")
+    if marker == -1:
+        return None
+    return set(re.findall(r"\((\d+)\)", plan[:marker]))
+
+
+def _count_nodes(plan: str, op_pattern: str) -> set[str]:
+    """Ids of detail blocks matching '(n) <op>' that belong to the
+    current plan tree."""
+    ids = set(re.findall(rf"\((\d+)\) {op_pattern}", plan))
+    live = _live_ids(plan)
+    return ids if live is None else ids & live
+
+
 def optimized_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
 def shuffle_exchanges(df: DataFrame) -> int:
-    """Count of shuffle (non-broadcast) exchanges in the executed plan
-    (formatted mode lists each node once as '(n) Exchange')."""
-    return len(re.findall(r"\(\d+\) Exchange\b", executed_plan(df)))
+    """Count of shuffle (non-broadcast) exchanges.
+
+    For an EXECUTED adaptive plan, the truthful number is the
+    materialized ShuffleQueryStage count: formatted explain repeats each
+    stage's Exchange root inside every consumer subtree, so counting
+    '(n) Exchange' lines can overstate the real shuffle work several-fold
+    (reused exchanges execute once). For a not-yet-executed plan (no
+    query stages) fall back to Exchange nodes — an upper bound that
+    ignores runtime exchange reuse."""
+    plan = executed_plan(df)
+    stages = _count_nodes(plan, "ShuffleQueryStage\\b")
+    if stages or "ResultQueryStage" in plan:
+        return len(stages)
+    return len(_count_nodes(plan, "Exchange\\b"))
+
+
+def _live_scan_blocks(plan: str) -> list[str]:
+    """Detail blocks ('(n) Op ...' sections) of current-tree nodes."""
+    live = _live_ids(plan)
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    out = []
+    for b in blocks:
+        m = re.match(r"\((\d+)\) ", b)
+        if m and (live is None or m.group(1) in live):
+            out.append(b)
+    return out
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """PushedFilters entries of every scan in the plan."""
-    plan = executed_plan(df)
+    """PushedFilters entries of every current-tree scan in the plan."""
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
-        if m.group(1).strip():
-            out.extend(s.strip() for s in m.group(1).split(","))
+    for block in _live_scan_blocks(executed_plan(df)):
+        for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", block):
+            if m.group(1).strip():
+                out.extend(s.strip() for s in m.group(1).split(","))
     return out
 
 
 def read_columns(df: DataFrame) -> list[list[str]]:
-    """Columns actually read by each scan (ReadSchema) — column-pruning
-    evidence."""
-    plan = executed_plan(df)
+    """Columns actually read by each current-tree scan (ReadSchema) —
+    column-pruning evidence."""
     schemas = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
-        schemas.append(cols)
+    for block in _live_scan_blocks(executed_plan(df)):
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", block):
+            cols = [
+                c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()
+            ]
+            schemas.append(cols)
     return schemas
 
 
@@ -56,7 +105,7 @@ def join_strategies(df: DataFrame) -> dict[str, int]:
     """Physical join operator histogram (BroadcastHashJoin /
     SortMergeJoin / ShuffledHashJoin / BroadcastNestedLoopJoin)."""
     plan = executed_plan(df)
-    out = {}
+    out: dict[str, int] = {}
     for op in (
         "BroadcastHashJoin",
         "SortMergeJoin",
@@ -64,9 +113,9 @@ def join_strategies(df: DataFrame) -> dict[str, int]:
         "BroadcastNestedLoopJoin",
         "CartesianProduct",
     ):
-        n = plan.count(op)
-        if n:
-            out[op] = n
+        ids = _count_nodes(plan, op + "\\b")
+        if ids:
+            out[op] = len(ids)
     return out
 
 
@@ -85,11 +134,15 @@ def codegen_stage_count(df: DataFrame) -> int:
 
 
 def plan_summary(df: DataFrame) -> dict:
-    """One-call scale audit for a query plan."""
+    """One-call scale audit for a query plan. Executes first (via the
+    codegen probe) so shuffle/join counts reflect the FINAL adaptive
+    plan — materialized stages after exchange reuse — not the initial
+    pre-AQE tree with its duplicated subplans."""
+    codegen = codegen_stage_count(df)  # collect(): finalizes AQE stages
     return {
         "shuffle_exchanges": shuffle_exchanges(df),
         "joins": join_strategies(df),
-        "codegen_stages": codegen_stage_count(df),
+        "codegen_stages": codegen,
         "pushed_filters": pushed_filters(df),
         "read_columns": read_columns(df),
     }
