@@ -4,6 +4,7 @@ from ballista_extensions_spark.streaming.ops import (
     hourly_rollup_stream,
     sessionize_stream,
     dedup_stream,
+    enrich_stream,
     view_purchase_join_stream,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "hourly_rollup_stream",
     "sessionize_stream",
     "dedup_stream",
+    "enrich_stream",
     "view_purchase_join_stream",
 ]

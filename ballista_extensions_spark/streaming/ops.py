@@ -119,3 +119,20 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (batch) dimension table — the canonical lookup-enrichment pattern.
+
+    Scale: Spark plans stream-static joins with the static side as the
+    build side; a broadcast-sized dim means zero shuffle of the stream.
+    The static side is re-read per micro-batch, so point it at a compact
+    table (or cache it) rather than a raw 100 TB fact path. No watermark
+    needed — stream-static joins are stateless."""
+    return events.join(dim, key, how)

@@ -117,3 +117,51 @@ def test_sample_subset_property(spark, fracs):
         kept = {r.k for r in sample(base, f, seed=i).collect()}
         assert kept <= universe
     assert {r.k for r in sample(base, 1.0, seed=0).collect()} == universe
+
+
+# -------------------------- avro codec (no Spark: pure-Python encoder)
+
+_AVRO_PRIMS = [
+    ("long", st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+    ("int", st.integers(min_value=-(2**31), max_value=2**31 - 1)),
+    ("double", st.floats(allow_nan=False, allow_infinity=False)),
+    ("boolean", st.booleans()),
+    ("string", TEXTS),
+    ("bytes", st.binary(max_size=40)),
+]
+
+
+@SETTINGS
+@given(
+    data=st.data(),
+    types=st.lists(st.sampled_from(_AVRO_PRIMS), min_size=1, max_size=4),
+    n_rows=st.integers(min_value=0, max_value=25),
+    codec=st.sampled_from(["null", "deflate"]),
+)
+def test_avro_container_roundtrip(tmp_path_factory, data, types, n_rows, codec):
+    """Pure-Python Avro OCF: arbitrary rows of nullable primitives
+    survive write->read bit-exactly (zigzag varints at both extremes,
+    empty strings/bytes, block framing, both codecs)."""
+    from ballista_extensions_spark.sources import avro_py as A
+
+    schema = {
+        "type": "record",
+        "name": "topLevelRecord",
+        "fields": [
+            {"name": f"f{i}", "type": ["null", t]}
+            for i, (t, _strat) in enumerate(types)
+        ],
+    }
+    rows = [
+        {
+            f"f{i}": data.draw(st.one_of(st.none(), strat))
+            for i, (_t, strat) in enumerate(types)
+        }
+        for _ in range(n_rows)
+    ]
+    p = str(tmp_path_factory.mktemp("avro_prop") / "t.avro")
+    n = A.write_container(p, schema, rows, codec=codec, objects_per_block=7)
+    assert n == n_rows
+    gen = A.read_container(p)
+    assert next(gen) == schema
+    assert list(gen) == rows

@@ -161,3 +161,35 @@ def test_dedup_stream_drops_dupes(spark, events_dir):
         assert total == n == 100  # duplicates within watermark removed
     finally:
         q.stop()
+
+
+def test_enrich_stream_matches_batch(spark, events_stream, events_dir):
+    """Stream-static join: per-batch enrichment against a dimension
+    equals the batch join, row for row."""
+    from ballista_extensions_spark.streaming import enrich_stream
+
+    dim = spark.range(0, 200).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("segment_"), (F.col("id") % 5)).alias("segment"),
+    )
+    sdf = enrich_stream(events_stream, dim, "user_id", "left").select(
+        "event_id", "user_id", "segment"
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("enrich_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.user_id, r.segment)
+        for r in spark.sql("SELECT * FROM enrich_sink").collect()
+    }
+    batch = spark.read.parquet(events_dir).join(dim, "user_id", "left")
+    want = {
+        (r.event_id, r.user_id, r.segment)
+        for r in batch.select("event_id", "user_id", "segment").collect()
+    }
+    assert got == want
