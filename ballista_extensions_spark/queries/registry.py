@@ -64,9 +64,15 @@ def register(name: str, oracle: str | None = None):
 
 def _graded_last_order() -> list[str]:
     """Registry names with never-driver-graded entries first (stable
-    within each group); see ``PRIOR_DRIVER_GRADED``."""
+    within each group); see ``PRIOR_DRIVER_GRADED``. Within the fresh
+    group, oracle-backed entries precede rows-only ones: the driver's
+    grading window is bounded (~50), and a hash-exact oracle row is
+    stronger evidence than a rows-only row, so when fresh entries
+    overflow the window the rows-only ones are the ones deferred to the
+    next round's rotation."""
     names = list(QUERIES)
     fresh = [n for n in names if n not in PRIOR_DRIVER_GRADED]
+    fresh.sort(key=lambda n: n not in ORACLES)  # stable: oracles first
     seen = [n for n in names if n in PRIOR_DRIVER_GRADED]
     return fresh + seen
 
