@@ -56,11 +56,14 @@ def _large_star(e: DataFrame) -> DataFrame:
     mins = sym.groupBy("a").agg(F.min("b").alias("mb")).select(
         "a", F.least("mb", "a").alias("m")
     )
+    # No distinct here: small-star's min-agg is duplicate-insensitive and
+    # its own trailing distinct restores set semantics, so a large-star
+    # distinct would only add a shuffle per round (output is bounded at
+    # 2|E| regardless).
     return (
         sym.join(mins, "a")
         .filter(F.col("b") > F.col("a"))
         .select(F.col("b").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
@@ -117,12 +120,14 @@ def connected_components(
     prev_stats = None
     converged = False
     for _ in range(max_iter):
-        # eager localCheckpoint materializes the round; the fingerprint
-        # agg then runs on checkpointed blocks (count + order-insensitive
+        # Lazy localCheckpoint: the fingerprint agg below is the
+        # materializing action, so each round is ONE job (an eager
+        # checkpoint would run a materialization job and then a second
+        # job for the agg). The fingerprint is count + order-insensitive
         # sum of a 64-bit edge hash, widened to decimal so ANSI mode
         # can't overflow; equal fingerprints on consecutive rounds =>
-        # the edge set is the star-forest fixpoint).
-        new_e = _small_star(_large_star(prev)).localCheckpoint()
+        # the edge set is the star-forest fixpoint.
+        new_e = _small_star(_large_star(prev)).localCheckpoint(eager=False)
         cnt, hsh = new_e.agg(
             F.count(F.lit(1)),
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
