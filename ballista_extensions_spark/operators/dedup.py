@@ -247,7 +247,10 @@ def near_dup_pairs_char_ngram(
     shape shuffles postings once into bounded groups and everything else
     is map-side-combinable counts.
     """
-    norm = df.select(
+    # ensure_parallelism: the explode below multiplies rows ~200x; a
+    # single-row-group local parquet file would otherwise pin the whole
+    # posting generation to one task (measured 6.0s -> 3.2s at sf0.1).
+    norm = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
         F.expr(normalize_sql(text_col)).alias("norm"),
     ).filter(F.length("norm") >= n)
