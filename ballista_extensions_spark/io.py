@@ -140,15 +140,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file; with nanosAsLong (set by the
-        # session factory) it scans as long ns-since-epoch. Integer-divide
-        # to µs (DIV, not /, to stay exact above 2^53) — identical to the
-        # ns->µs truncation every µs-native engine (Spark, DuckDB) applies.
+        # Normalize ts to TimestampType regardless of the generator's
+        # physical encoding (data regenerated between rounds has shipped
+        # both): TIMESTAMP(NANOS) scans as long ns-since-epoch under
+        # nanosAsLong — integer-divide to µs (DIV, not /, to stay exact
+        # above 2^53), the same ns->µs truncation every µs-native engine
+        # applies; TIMESTAMP(MICROS) scans as TIMESTAMP_NTZ — a cast under
+        # the UTC session tz is a pure reinterpretation (same wall clock,
+        # matches DuckDB's naive read of the same file).
         from pyspark.sql import functions as F  # local: io imports stay light
+        from pyspark.sql import types as T
 
-        df = df.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+            )
+        elif not isinstance(ts_type, T.TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
 

@@ -558,8 +558,11 @@ def unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(embedding[1] AS DOUBLE) AS first_val,
            CAST(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
                 'max') AS DOUBLE) AS max_val,
-           list_transform(list_sort(list_transform(embedding,
-                x -> CAST(x AS DOUBLE))), x -> round(x, 4))[1:3]
+           round(list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[1], 4)
+             AS smallest1,
+           round(list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[2], 4)
+             AS smallest2,
+           round(list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[3], 4)
              AS smallest3,
            CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
     FROM embeddings
@@ -570,7 +573,10 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function library parity over real vector data: element
     access (1-based both engines), sort, slice, filter, max — rounded
     where float->double formatting could differ textually (round(x,4) on
-    exact doubles is deterministic)."""
+    exact doubles is deterministic). The three smallest elements are
+    emitted as SCALAR columns, not an array: the driver's canonicalizer
+    sorts collected values with pandas, and list cells are unhashable
+    there (CORRECTNESS_r03 `array_functions` failure)."""
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
     dbl = "transform(embedding, x -> CAST(x AS DOUBLE))"
     return e.select(
@@ -578,9 +584,9 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").cast("long").alias("dim"),
         F.expr("CAST(element_at(embedding, 1) AS DOUBLE)").alias("first_val"),
         F.expr(f"array_max({dbl})").alias("max_val"),
-        F.expr(
-            f"transform(slice(array_sort({dbl}), 1, 3), x -> round(x, 4))"
-        ).alias("smallest3"),
+        F.expr(f"round(array_sort({dbl})[0], 4)").alias("smallest1"),
+        F.expr(f"round(array_sort({dbl})[1], 4)").alias("smallest2"),
+        F.expr(f"round(array_sort({dbl})[2], 4)").alias("smallest3"),
         F.expr("size(filter(embedding, x -> x > 0))").cast("long").alias(
             "n_positive"
         ),

@@ -42,12 +42,21 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    errors: dict[str, str] = {}
     for name, fn in get_queries().items():
         if name in EXCLUDE:
             continue
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        # One broken query must not zero the whole benchmark (BENCH_r03
+        # rc=1: a testdata schema change crashed query #28 and lost the
+        # timings of the 27 already-measured queries).
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+        except Exception as e:  # noqa: BLE001 — record and keep sweeping
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.time() - t0, 3)
         rows[name] = n
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
@@ -63,6 +72,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "rows": rows,
+        "errors": errors,
         "sf": sf_val,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -80,6 +90,7 @@ def main() -> None:
         "unit": "sec",
         "queries": shown,
         "n_queries": len(timings),
+        "n_errors": len(errors),
         "full": "BENCH_FULL.json",
         "sf": sf_val,
     }
