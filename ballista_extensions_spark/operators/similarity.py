@@ -376,3 +376,45 @@ def embedding_cosine_near_dup(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/serving
+    compression step of an embedding pipeline (FAISS SQ8 shape): scale =
+    max|x| / 127, q_i = floor(x_i/scale + 0.5). Emits audit columns
+    rather than the (unhashable-in-flat-compares) quantized array:
+    checksum (sum of q), l1_norm (sum |q|), n_saturated (|q| = 127).
+
+    floor(x + 0.5) is used instead of round() deliberately: engines
+    disagree on round-half behavior for doubles (banker's vs half-away),
+    floor is IEEE-defined everywhere, so the oracle matches bit-exact.
+
+    Scale: one narrow codegen'd projection, zero shuffles; the quantized
+    array itself would be emitted (not the audit sums) in a real
+    pipeline's write path.
+    """
+    dbl = as_double(vec_col)
+    d = df.select(
+        F.col(id_col),
+        F.expr(dbl).alias("vec"),
+        (
+            F.expr(f"array_max(transform({dbl}, x -> abs(x)))")
+            / F.expr("CAST(127 AS DOUBLE)")
+        ).alias("scale"),
+    )
+    q = (
+        "CASE WHEN scale = CAST(0 AS DOUBLE) THEN transform(vec, x -> 0L) "
+        "ELSE transform(vec, x -> CAST(floor(x / scale + 0.5D) AS LONG)) END"
+    )
+    d = d.select(id_col, "scale", F.expr(q).alias("q"))
+    return d.select(
+        id_col,
+        "scale",
+        F.expr("aggregate(q, 0L, (a, x) -> a + x)").alias("checksum"),
+        F.expr("aggregate(q, 0L, (a, x) -> a + abs(x))").alias("l1_norm"),
+        F.expr("size(filter(q, x -> abs(x) = 127))").cast("long").alias(
+            "n_saturated"
+        ),
+    )

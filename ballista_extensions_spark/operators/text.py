@@ -247,3 +247,113 @@ def chunk_documents(
             "n_chunks",
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token
+    ratio, duplicate 2-gram / 3-gram fractions, and the frequency share
+    of the single most common token. High duplicate-n-gram fractions and
+    a dominant top token flag boilerplate / degenerate generations —
+    the standard repetition filters of web-scale corpus curation
+    (Rae et al. 2021 §A.1.1).
+
+    Scale: entirely narrow, per-row array arithmetic inside one
+    projection — zero shuffles, linear in corpus size. The n-gram arrays
+    come from ``zip_with`` over slices of a MATERIALIZED token column
+    (see :func:`shingle_expr` on why not transform(sequence(...))).
+    top-token counting is O(distinct x tokens) per row — bounded by
+    document length, the per-row cost a length cap (quality_filter
+    upstream) already enforces in a real pipeline.
+
+    Documents with fewer than 3 tokens are dropped (their trigram set is
+    empty; the filters are meaningless there).
+    """
+    d = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= 3)
+    bi = "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), (x, y) -> concat(x, ' ', y))"
+    tri = (
+        "zip_with(zip_with(slice(toks, 1, size(toks) - 2), slice(toks, 2, size(toks) - 2), (x, y) -> concat(x, ' ', y)), "
+        "slice(toks, 3, size(toks) - 2), (x, y) -> concat(x, ' ', y))"
+    )
+    d = d.select(
+        id_col,
+        "toks",
+        F.expr(bi).alias("bi"),
+        F.expr(tri).alias("tri"),
+    )
+    n = F.size("toks").cast("double")
+    return d.select(
+        id_col,
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(F.col("toks"))).cast("double") / n).alias(
+            "distinct_ratio"
+        ),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(F.col("bi"))).cast("double")
+            / F.size("bi").cast("double")
+        ).alias("dup_bigram_frac"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(F.col("tri"))).cast("double")
+            / F.size("tri").cast("double")
+        ).alias("dup_trigram_frac"),
+        (
+            F.expr(
+                "array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))"
+            ).cast("double")
+            / n
+        ).alias("top_token_frac"),
+    )
+
+
+def rare_token_fraction(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document rare-token fraction: the share of a document's
+    tokens whose CORPUS frequency is below the corpus mean frequency
+    (freq * vocab_size < total_tokens — pure integer arithmetic, so the
+    threshold is exact in any engine). A cheap, fully deterministic
+    stand-in for LM-perplexity quality scoring (CCNet-style): documents
+    dominated by rare tokens are gibberish-heavy; documents with none
+    are boilerplate.
+
+    Scale: two map-side-combined aggregations (vocab build, per-doc
+    roll-up) plus one broadcast join of the vocab table. The broadcast
+    is safe for any bounded vocabulary (token->freq for a 100 TB web
+    corpus is ~10^8 rows after the usual min-frequency floor — at that
+    point drop the explicit broadcast and let AQE pick the join side, or
+    pre-filter the vocab to the rare half before joining).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count("*").alias("freq"))
+    totals = vocab.agg(
+        F.sum("freq").alias("total"), F.count("*").alias("n_vocab")
+    )
+    flags = vocab.crossJoin(F.broadcast(totals)).select(
+        "token",
+        (F.col("freq") * F.col("n_vocab") < F.col("total")).alias("is_rare"),
+    )
+    per = (
+        tok.join(F.broadcast(flags), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("is_rare"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+    )
+    return per.select(
+        id_col,
+        "n_tokens",
+        "n_rare",
+        (F.col("n_rare").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "rare_frac"
+        ),
+    )

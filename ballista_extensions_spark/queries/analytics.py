@@ -851,3 +851,111 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             lcount("n_items"),
         )
     )
+
+
+@register(
+    "event_funnel",
+    oracle="""
+    WITH u AS (SELECT user_id,
+                      min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+                      min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+                      min(ts) FILTER (WHERE event_type = 'purchase') AS t_buy
+               FROM events GROUP BY user_id),
+         c AS (SELECT
+                 CAST(COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS BIGINT)
+                   AS s1,
+                 CAST(COUNT(*) FILTER (WHERE t_view < t_click) AS BIGINT)
+                   AS s2,
+                 CAST(COUNT(*) FILTER (WHERE t_view < t_click
+                                         AND t_click < t_buy) AS BIGINT)
+                   AS s3
+               FROM u)
+    SELECT 'view' AS stage, s1 AS n_users FROM c
+    UNION ALL SELECT 'view>click', s2 FROM c
+    UNION ALL SELECT 'view>click>purchase', s3 FROM c
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage conversion funnel (view -> click -> purchase) by
+    first-occurrence ordering per user — the canonical product-analytics
+    rollup. One shuffle (groupBy user) with map-side-combined conditional
+    mins, then a driver-free global fold; NULL min comparisons are
+    three-valued in both engines, so no-stage users drop out identically.
+    Scale: user-keyed pre-aggregation is the skew-safe shape (no per-event
+    window)."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_buy"
+        ),
+    )
+    c = u.agg(
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("t_view") < F.col("t_click"), 1).otherwise(0))
+        .cast("long")
+        .alias("s2"),
+        F.sum(
+            F.when(
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_buy")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("s3"),
+    )
+    return c.selectExpr(
+        "stack(3, 'view', s1, 'view>click', s2, 'view>click>purchase', s3) "
+        "AS (stage, n_users)"
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH wk AS (SELECT user_id,
+                       (epoch_us(ts) // 86400000000) // 7 AS week_idx
+                FROM events),
+         cohort AS (SELECT user_id, MIN(week_idx) AS cohort_week
+                    FROM wk GROUP BY user_id)
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(week_idx - cohort_week AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT wk.user_id) AS BIGINT) AS n_users
+    FROM wk JOIN cohort ON wk.user_id = cohort.user_id
+    GROUP BY cohort_week, week_idx - cohort_week
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: cohort = week of a user's first
+    event, cell = distinct users from that cohort active k weeks later.
+    Week index is integer µs arithmetic (unix_micros DIV), not
+    date_trunc, so engine week-start conventions can't diverge. Two
+    shuffles (per-user min, then cohort-cell distinct count); the cohort
+    table is user-keyed and joins back broadcast-or-shuffle per AQE's
+    size call."""
+    e = load_table(spark, sf_dir, "events")
+    wk = e.select(
+        "user_id",
+        F.expr("unix_micros(ts) DIV 86400000000 DIV 7").alias("week_idx"),
+    )
+    cohort = wk.groupBy("user_id").agg(
+        F.min("week_idx").alias("cohort_week")
+    )
+    return (
+        wk.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            (F.col("week_idx") - F.col("cohort_week"))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )

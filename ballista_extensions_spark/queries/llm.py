@@ -816,3 +816,166 @@ def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("offset_tokens") / 2048).cast("long").alias("bin_id"),
         (F.col("offset_tokens") % 2048).cast("long").alias("bin_offset"),
     )
+
+
+@register(
+    "repetition_stats",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+               FROM documents),
+         g AS (SELECT doc_id, toks, len(toks) AS n,
+                      list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1]) AS bi,
+                      list_transform(generate_series(1, len(toks) - 2),
+                          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS tri
+               FROM t WHERE len(toks) >= 3)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(n AS DOUBLE)
+             AS distinct_ratio,
+           1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / CAST(len(bi) AS DOUBLE)
+             AS dup_bigram_frac,
+           1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / CAST(len(tri) AS DOUBLE)
+             AS dup_trigram_frac,
+           CAST(list_max(list_transform(list_distinct(toks),
+                tk -> len(list_filter(toks, x -> x = tk)))) AS DOUBLE)
+             / CAST(n AS DOUBLE) AS top_token_frac
+    FROM g
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (operators/text.py:
+    repetition_stats) — duplicate n-gram fractions + top-token share;
+    narrow, zero-shuffle."""
+    return T.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "rare_token_fraction",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(string_split_regex(text, '\s+')) AS token
+                 FROM documents),
+         v AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+         s AS (SELECT SUM(freq) AS total, COUNT(*) AS n_vocab FROM v),
+         r AS (SELECT token, (freq * n_vocab < total) AS is_rare FROM v, s)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN is_rare THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           CAST(SUM(CASE WHEN is_rare THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS rare_frac
+    FROM tok JOIN r USING (token)
+    GROUP BY doc_id
+    """,
+)
+def rare_token_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality scoring (operators/text.py:
+    rare_token_fraction) — integer-exact rare threshold, broadcast vocab
+    join."""
+    return T.rare_token_fraction(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_stats_by_lang",
+    oracle=r"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+             AS total_tokens,
+           CAST(SUM(len(string_split_regex(text, '\s+'))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_tokens,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile — the first dashboard any multilingual
+    training-data pipeline builds. One map-side-combined aggregation on a
+    low-cardinality key; integer sums -> exact double averages."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = T.token_count(F.col("text"))
+    return (
+        d.select("lang", "n_chars", ntok.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (
+                F.sum("n_tokens").cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_tokens"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "source_quality_stats",
+    oracle=r"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS median_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_chars,
+           CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+             AS total_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def source_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation stats with an EXACT discrete median
+    (percentile_disc picks an actual value — no interpolation, so
+    engine parity is value-identity). Source-level stats drive the
+    up/down-sampling mix decisions of corpus assembly."""
+    d = load_table(spark, sf_dir, "documents")
+    d.select(
+        "source", "n_chars", T.token_count(F.col("text")).alias("n_tokens")
+    ).createOrReplaceTempView("bx_src_docs")
+    return spark.sql(
+        """
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+                    AS BIGINT) AS median_chars,
+               CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 AS avg_chars,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM bx_src_docs GROUP BY source
+        """
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH s AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+                      CAST(list_max(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE)
+                        / CAST(127 AS DOUBLE) AS scale
+               FROM embeddings),
+         q AS (SELECT vec_id, scale,
+                      CASE WHEN scale = CAST(0 AS DOUBLE)
+                           THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+                           ELSE list_transform(vec,
+                                x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+                      END AS qv
+               FROM s)
+    SELECT vec_id, scale,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS checksum,
+           CAST(list_aggregate(list_transform(qv, x -> abs(x)), 'sum')
+                AS BIGINT) AS l1_norm,
+           CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT)
+             AS n_saturated
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization audit
+    (operators/similarity.py:quantize_int8): floor(x/scale + 0.5) keeps
+    round-half semantics engine-identical. Narrow, zero shuffles."""
+    return S.quantize_int8(load_table(spark, sf_dir, "embeddings"))

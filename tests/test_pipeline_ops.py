@@ -1,0 +1,105 @@
+"""Unit tests for the round-4 training-pipeline operators: repetition
+filters, rare-token quality scoring, int8 quantization, and the events
+funnel/retention rollups."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ballista_extensions_spark.operators import similarity as S
+from ballista_extensions_spark.operators import text as T
+
+
+def test_repetition_stats_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # fully repetitive
+            (2, "a b c d"),          # fully distinct
+            (3, "a b a b a"),        # alternating: bigrams repeat
+            (4, "x y"),              # < 3 tokens -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in T.repetition_stats(df).collect()}
+    assert set(got) == {1, 2, 3}
+    r1 = got[1]
+    assert r1["n_tokens"] == 4
+    assert r1["distinct_ratio"] == 0.25
+    # bigrams: ['a a','a a','a a'] -> 1 distinct of 3
+    assert r1["dup_bigram_frac"] == pytest.approx(1 - 1 / 3)
+    assert r1["top_token_frac"] == 1.0
+    r2 = got[2]
+    assert r2["distinct_ratio"] == 1.0
+    assert r2["dup_bigram_frac"] == 0.0
+    assert r2["dup_trigram_frac"] == 0.0
+    assert r2["top_token_frac"] == 0.25
+    r3 = got[3]
+    # bigrams: ab ba ab ba -> 2 distinct of 4
+    assert r3["dup_bigram_frac"] == 0.5
+    assert r3["top_token_frac"] == pytest.approx(3 / 5)
+
+
+def test_repetition_stats_no_shuffle(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    plan = (
+        T.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_rare_token_fraction_known_values(spark):
+    # corpus: 'a' x4, 'b' x2, 'c' x1, 'd' x1 -> total=8, vocab=4, mean=2
+    # rare (freq*4 < 8) => freq < 2: c, d
+    df = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a a b d")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in T.rare_token_fraction(df).collect()}
+    assert got[1]["n_tokens"] == 4 and got[1]["n_rare"] == 1
+    assert got[1]["rare_frac"] == 0.25
+    assert got[2]["n_rare"] == 1
+
+
+def test_quantize_int8_known_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [2.0, -4.0, 1.0]), (2, [0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    got = {r["vec_id"]: r for r in S.quantize_int8(df).collect()}
+    r1 = got[1]
+    # scale = 4/127; q = [64, -127, 32] (floor(x/scale + .5))
+    assert r1["scale"] == pytest.approx(4.0 / 127.0)
+    assert r1["checksum"] == 64 - 127 + 32
+    assert r1["l1_norm"] == 64 + 127 + 32
+    assert r1["n_saturated"] == 1
+    r2 = got[2]  # zero vector guard: scale 0, all-zero q
+    assert r2["checksum"] == 0 and r2["l1_norm"] == 0
+    assert r2["n_saturated"] == 0
+
+
+def test_quantize_int8_bounded(spark, sf_dir):
+    from ballista_extensions_spark.io import load_table
+
+    q = S.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    bad = q.filter(
+        (F.col("l1_norm") < F.abs(F.col("checksum")))
+        | (F.col("l1_norm") > 127 * 64)
+    ).count()
+    assert bad == 0
+
+
+def test_event_funnel_monotone(spark, sf_dir):
+    from ballista_extensions_spark.queries.analytics import event_funnel
+
+    rows = {r["stage"]: r["n_users"] for r in event_funnel(spark, sf_dir).collect()}
+    assert rows["view"] >= rows["view>click"] >= rows["view>click>purchase"]
+    assert rows["view"] > 0
+
+
+def test_retention_cohorts_offsets_nonnegative(spark, sf_dir):
+    from ballista_extensions_spark.queries.analytics import retention_cohorts
+
+    df = retention_cohorts(spark, sf_dir)
+    assert df.filter(F.col("week_offset") < 0).count() == 0
+    # offset-0 cell must contain every cohort member's first week
+    assert df.filter(F.col("week_offset") == 0).count() >= 1
