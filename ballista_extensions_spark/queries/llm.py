@@ -846,8 +846,11 @@ def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (operators/text.py:
     repetition_stats) — duplicate n-gram fractions + top-token share;
-    narrow, zero-shuffle."""
-    return T.repetition_stats(load_table(spark, sf_dir, "documents"))
+    narrow, zero-shuffle at scale (ensure_parallelism un-pins the local
+    single-row-group input; no-op on real multi-partition data)."""
+    return T.repetition_stats(
+        ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    )
 
 
 @register(
@@ -872,7 +875,9 @@ def rare_token_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency quality scoring (operators/text.py:
     rare_token_fraction) — integer-exact rare threshold, broadcast vocab
     join."""
-    return T.rare_token_fraction(load_table(spark, sf_dir, "documents"))
+    return T.rare_token_fraction(
+        ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    )
 
 
 @register(
@@ -979,3 +984,111 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py:quantize_int8): floor(x/scale + 0.5) keeps
     round-half semantics engine-identical. Narrow, zero shuffles."""
     return S.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=r"""
+    WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS word
+               FROM documents),
+         p AS (SELECT unnest(list_transform(
+                          generate_series(1, length(word) - 1),
+                          i -> substring(word, i, 2))) AS pair
+               FROM w WHERE length(word) >= 2)
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First iteration of BPE tokenizer training at corpus scale: count
+    adjacent character pairs inside words, rank by frequency (the
+    highest-count pair is the next merge rule). substring-based pair
+    generation keeps Spark and the oracle byte-identical; ties broken by
+    pair text for full determinism.
+
+    Scale: explode + one map-side-combined count on a key space bounded
+    by charset^2 — the canonical distributed BPE-training inner loop
+    (one such job per merge, vocab_size jobs total).
+    """
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    words = d.select(
+        F.explode(T.tokens(F.col("text"))).alias("word")
+    ).filter(F.length("word") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> substring(word, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "bigram_lm_counts",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+               FROM documents),
+         b AS (SELECT unnest(list_transform(
+                          generate_series(1, len(toks) - 1),
+                          i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg
+               FROM t WHERE len(toks) >= 2),
+         pc AS (SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS n_pair
+                FROM b GROUP BY bg.w1, bg.w2),
+         uc AS (SELECT w1, SUM(n_pair) AS n_prefix FROM pc GROUP BY w1)
+    SELECT pc.w1, pc.w2,
+           CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(n_prefix AS BIGINT) AS n_prefix,
+           CAST(n_pair AS DOUBLE) / CAST(n_prefix AS DOUBLE) AS cond_prob
+    FROM pc JOIN uc ON pc.w1 = uc.w1
+    WHERE n_pair >= 3
+    """,
+)
+def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model table: P(w2 | w1) as exact integer-count
+    ratios — the building block of KenLM-style corpus LMs used for
+    perplexity filtering. Prefix totals are derived from the pair counts
+    (one reduce, no second corpus pass); a min-count floor bounds the
+    table like real LM pruning does.
+
+    Scale: bigram explode -> one map-side-combined count keyed by the
+    pair; the prefix roll-up re-aggregates the (much smaller) pair table
+    and joins back — broadcast-or-shuffle per AQE's size estimate.
+    """
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = d.select(T.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1), "
+                "slice(toks, 2, size(toks) - 1), "
+                "(x, y) -> struct(x AS w1, y AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    pc = bg.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    uc = pc.groupBy("w1").agg(F.sum("n_pair").alias("n_prefix"))
+    return (
+        pc.join(uc, "w1")
+        .filter(F.col("n_pair") >= 3)
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.col("n_prefix").cast("long").alias("n_prefix"),
+            (
+                F.col("n_pair").cast("double")
+                / F.col("n_prefix").cast("double")
+            ).alias("cond_prob"),
+        )
+    )

@@ -103,3 +103,32 @@ def test_retention_cohorts_offsets_nonnegative(spark, sf_dir):
     assert df.filter(F.col("week_offset") < 0).count() == 0
     # offset-0 cell must contain every cohort member's first week
     assert df.filter(F.col("week_offset") == 0).count() >= 1
+
+
+def test_bpe_merge_candidates_deterministic_topk(spark, sf_dir):
+    from ballista_extensions_spark.queries.llm import bpe_merge_candidates
+
+    a = bpe_merge_candidates(spark, sf_dir).collect()
+    b = bpe_merge_candidates(spark, sf_dir).collect()
+    assert a == b                      # tie-break makes top-k stable
+    assert len(a) == 20
+    counts = [r["n"] for r in a]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_bigram_lm_probabilities_normalize(spark, sf_dir):
+    from ballista_extensions_spark.queries.llm import bigram_lm_counts
+
+    df = bigram_lm_counts(spark, sf_dir)
+    # all retained pairs: 0 < P(w2|w1) <= 1, and per-prefix mass never
+    # exceeds 1 (it is < 1 when the min-count floor pruned siblings)
+    assert df.filter(
+        (F.col("cond_prob") <= 0) | (F.col("cond_prob") > 1)
+    ).count() == 0
+    over = (
+        df.groupBy("w1")
+        .agg(F.sum("cond_prob").alias("mass"))
+        .filter(F.col("mass") > 1.0000001)
+        .count()
+    )
+    assert over == 0
