@@ -1092,3 +1092,90 @@ def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cond_prob"),
         )
     )
+
+
+@register(
+    "incremental_dedup",
+    oracle="""
+    WITH existing AS (SELECT DISTINCT md5(text) AS h FROM documents
+                      WHERE doc_id < 400),
+         newdocs AS (SELECT doc_id, md5(text) AS h, n_chars FROM documents
+                     WHERE doc_id >= 400)
+    SELECT n.doc_id, n.h AS text_hash, CAST(n.n_chars AS BIGINT) AS n_chars
+    FROM newdocs n LEFT JOIN existing e ON n.h = e.h
+    WHERE e.h IS NULL
+    """,
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append dedup — the production shape of exact dedup:
+    a NEW batch (doc_id >= 400 stands in for today's crawl) is
+    anti-joined by content hash against the fingerprint table of the
+    EXISTING corpus, so only novel documents flow downstream. At 100 TB
+    the existing-hash table is a compact (hash-only) bucketed table and
+    the anti-join shuffles just 16-byte keys — never the corpus text;
+    here AQE broadcasts whichever side fits.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    existing = (
+        d.filter(F.col("doc_id") < 400)
+        .select(F.md5("text").alias("text_hash"))
+        .distinct()
+    )
+    new = d.filter(F.col("doc_id") >= 400).select(
+        "doc_id", F.md5("text").alias("text_hash"), F.col("n_chars").cast("long").alias("n_chars")
+    )
+    return new.join(existing, "text_hash", "left_anti").select(
+        "doc_id", "text_hash", "n_chars"
+    )
+
+
+@register(
+    "token_budget_selection",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE)
+               / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS score
+      FROM documents),
+         ranked AS (
+      SELECT doc_id, n_tokens, score,
+             SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM scored)
+    SELECT doc_id, n_tokens, score, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked WHERE cum_tokens <= 20000
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus assembly under a token budget: rank documents by a quality
+    score (distinct-token ratio; any scorer slots in) and keep the best
+    prefix whose cumulative token count fits the budget — 'give me the
+    best 20k tokens'. Deterministic via the (score DESC, doc_id)
+    tie-break in both engines.
+
+    Scale: the demonstration uses one global running-total window (a
+    single-task sort — exact, fine to ~10^8 rows of (id, score) pairs).
+    The 100 TB path replaces it with a two-pass cutoff: approx_percentile
+    on score to find the budget boundary, then a narrow filter — same
+    selection up to boundary ties, zero global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("score"),
+    )
+    w = (
+        Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w).cast("long")
+        )
+        .filter(F.col("cum_tokens") <= 20000)
+    )
