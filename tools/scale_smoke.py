@@ -1,0 +1,97 @@
+"""Scale-smoke: measure how the heavy pipeline operators scale with
+corpus size, as evidence for the 100 TB design claims.
+
+Builds synthetic 10x corpora by unioning the sf0.1 tables with shifted
+ids (docs stay realistic: same length/vocab distribution; duplicates
+across copies are REAL near-dups the dedup ops must catch), runs each
+headline operator at 1x and 10x, and reports the scaling exponent
+log10(t10/t1) — 1.0 = perfectly linear, 2.0 = quadratic blow-up.
+
+Usage: python tools/scale_smoke.py [sf_dir] [factor]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    from ballista_extensions_spark.io import load_table
+    from ballista_extensions_spark.operators import dedup as D
+    from ballista_extensions_spark.operators import similarity as S
+    from ballista_extensions_spark.operators import text as T
+    from ballista_extensions_spark.operators.components import (
+        dedup_by_components,
+    )
+    from ballista_extensions_spark.session import get_session
+
+    spark = get_session("scale-smoke")
+    docs1 = load_table(spark, sf_dir, "documents")
+    emb1 = load_table(spark, sf_dir, "embeddings")
+    n_docs = docs1.count()
+    n_emb = emb1.count()
+
+    def amplify(df, id_col, n_base):
+        # union `factor` shifted copies, then repartition so the blown-up
+        # frame has production-like parallelism instead of factor x 1
+        # single-row-group slices.
+        out = df
+        for k in range(1, factor):
+            out = out.unionByName(
+                df.withColumn(id_col, F.col(id_col) + F.lit(k * n_base))
+            )
+        return out.repartition(64).localCheckpoint()
+
+    docs10 = amplify(docs1, "doc_id", n_docs)
+    emb10 = amplify(emb1, "vec_id", n_emb)
+    print(f"# corpora: {n_docs} -> {docs10.count()} docs, "
+          f"{n_emb} -> {emb10.count()} vectors", file=sys.stderr)
+
+    ops = {
+        "dedup_exact": lambda d, e: D.dedup_exact(d).count(),
+        "near_dup_char_ngram": lambda d, e: D.near_dup_pairs_char_ngram(
+            d
+        ).count(),
+        "dedup_near_minhash": lambda d, e: D.dedup_near_minhash(d).count(),
+        "dedup_components": lambda d, e: dedup_by_components(
+            d, D.near_dup_pairs_exact(d, threshold=0.35, probe_mod=1)
+        ).count(),
+        "repetition_stats": lambda d, e: T.repetition_stats(d).count(),
+        "rare_token_fraction": lambda d, e: T.rare_token_fraction(d).count(),
+        "quantize_int8": lambda d, e: S.quantize_int8(e).count(),
+        "lsh_ann_topk": lambda d, e: S.lsh_topk(
+            e, e.filter(F.col("vec_id") % 199 == 0), dim=64, k=10
+        ).count(),
+    }
+
+    print(f"| op | t_1x (s) | t_{factor}x (s) | exponent |")
+    print("|---|---|---|---|")
+    import math
+
+    for name, fn in ops.items():
+        try:
+            t0 = time.time()
+            r1 = fn(docs1, emb1)
+            t1 = time.time() - t0
+            if r1 is None:
+                continue
+            t0 = time.time()
+            fn(docs10, emb10)
+            t10 = time.time() - t0
+            exp = math.log(t10 / t1) / math.log(factor)
+            print(f"| {name} | {t1:.2f} | {t10:.2f} | {exp:.2f} |")
+        except Exception as e:  # noqa: BLE001
+            print(f"| {name} | ERROR {type(e).__name__}: {str(e)[:80]} | | |")
+
+
+if __name__ == "__main__":
+    main()
