@@ -357,3 +357,68 @@ def rare_token_fraction(
             "rare_frac"
         ),
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exact: bool = True,
+    cutoff_error: float = 0.001,
+) -> DataFrame:
+    """Select the best-scoring documents whose cumulative token count
+    fits ``budget`` (score = distinct-token ratio; any scorer slots in).
+
+    exact=True: one global running-total window — a single-task sort,
+    exact, fine to ~10^8 (id, score) rows.
+
+    exact=False is the 100 TB path: binary-search the score cutoff
+    whose tail token mass fits the budget (~log2(1/cutoff_error)
+    aggregate jobs, each a map-side-combined filter-sum over a
+    checkpointed narrow projection), then one filter keeps docs above
+    the cutoff — no global sort anywhere. Selection differs from the
+    exact path only at the cutoff boundary (score ties straddling the
+    budget); the pytest contract asserts the symmetric difference is
+    confined to boundary scores.
+    """
+    toks = tokens(F.col(text_col))
+    scored = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("score"),
+    )
+    if exact:
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(F.col("score").desc(), F.col(id_col)).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return scored.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w).cast("long")
+        ).filter(F.col("cum_tokens") <= budget)
+    # Scale path: binary-search the score cutoff. Each probe is one
+    # aggregate job; the scored frame is localCheckpoint'd so probes and
+    # the final filter rescan a materialized narrow projection, not the
+    # raw corpus (executor blocks are freed by the context cleaner when
+    # the returned DataFrame is GC'd — no unpersist lifecycle to manage).
+    scored = scored.localCheckpoint()
+    lo, hi = 0.0, 1.0
+    for _ in range(max(1, int(-__import__("math").log2(cutoff_error)))):
+        mid = (lo + hi) / 2
+        mass = (
+            scored.filter(F.col("score") >= mid)
+            .agg(F.sum("n_tokens"))
+            .first()[0]
+            or 0
+        )
+        if mass > budget:
+            lo = mid  # too much data above this cutoff -> raise it
+        else:
+            hi = mid
+    return scored.filter(F.col("score") >= hi).select(
+        id_col, "n_tokens", "score"
+    )

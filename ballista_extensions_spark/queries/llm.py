@@ -1156,26 +1156,10 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the demonstration uses one global running-total window (a
     single-task sort — exact, fine to ~10^8 rows of (id, score) pairs).
-    The 100 TB path replaces it with a two-pass cutoff: approx_percentile
-    on score to find the budget boundary, then a narrow filter — same
-    selection up to boundary ties, zero global sort."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = T.tokens(F.col("text"))
-    scored = d.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        (
-            F.size(F.array_distinct(toks)).cast("double")
-            / F.size(toks).cast("double")
-        ).alias("score"),
-    )
-    w = (
-        Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        scored.withColumn(
-            "cum_tokens", F.sum("n_tokens").over(w).cast("long")
-        )
-        .filter(F.col("cum_tokens") <= 20000)
+    The 100 TB path (operators/text.py:token_budget_select exact=False,
+    pytest-checked against this one) binary-searches a score cutoff with
+    map-side-combined aggregate probes — same selection up to boundary
+    ties, zero global sort."""
+    return T.token_budget_select(
+        load_table(spark, sf_dir, "documents"), 20000, exact=True
     )

@@ -132,3 +132,25 @@ def test_bigram_lm_probabilities_normalize(spark, sf_dir):
         .count()
     )
     assert over == 0
+
+
+def test_token_budget_select_scale_path_matches_exact(spark, sf_dir):
+    """The no-global-sort cutoff path must agree with the exact windowed
+    path except at the score boundary (ties straddling the budget)."""
+    from ballista_extensions_spark.io import load_table
+    from ballista_extensions_spark.operators.text import token_budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 20000
+    exact = token_budget_select(docs, budget, exact=True)
+    fast = token_budget_select(docs, budget, exact=False)
+    e = {r["doc_id"]: r["score"] for r in exact.collect()}
+    f = {r["doc_id"]: r["score"] for r in fast.collect()}
+    diff = set(e) ^ set(f)
+    if diff:
+        # every disagreement sits at/below the exact path's boundary score
+        boundary = min(e.values())
+        scores = {**e, **f}
+        assert all(scores[d] <= boundary + 1e-12 for d in diff)
+    # both respect the budget
+    assert sum(r["n_tokens"] for r in exact.collect()) <= budget
