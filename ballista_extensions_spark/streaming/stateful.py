@@ -53,3 +53,67 @@ def running_user_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def funnel_stages_stream(events: DataFrame) -> DataFrame:
+    """Incremental conversion-funnel tracking — the streaming twin of the
+    batch ``event_funnel`` query: per-user state holds the earliest
+    view/click/purchase timestamps (integer µs; -1 = not seen) and each
+    micro-batch emits the user's updated funnel stage (0-3, counting
+    stages completed IN ORDER by first occurrence).
+
+    State is three longs per user — bounded, skew-safe (user-keyed), and
+    exactly the aggregation the batch twin computes, so replaying the
+    full history through micro-batches converges to the batch answer
+    (pytest-asserted)."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        v, c, p = state.get if state.exists else (-1, -1, -1)
+        for pdf in pdfs:
+            ts_us = pdf["ts"].astype("int64") // 1000  # ns -> µs
+            for col_min, etype, cur in (
+                ("v", "view", v),
+                ("c", "click", c),
+                ("p", "purchase", p),
+            ):
+                sel = ts_us[pdf["event_type"] == etype]
+                if len(sel):
+                    m = int(sel.min())
+                    if col_min == "v":
+                        v = m if v < 0 else min(v, m)
+                    elif col_min == "c":
+                        c = m if c < 0 else min(c, m)
+                    else:
+                        p = m if p < 0 else min(p, m)
+        state.update((v, c, p))
+        stage = 0
+        if v >= 0:
+            stage = 1
+            if c >= 0 and v < c:
+                stage = 2
+                if p >= 0 and c < p:
+                    stage = 3
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "t_view_us": [v],
+                "t_click_us": [c],
+                "t_buy_us": [p],
+                "stage": [stage],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, t_view_us long, t_click_us long, "
+            "t_buy_us long, stage long"
+        ),
+        stateStructType="v long, c long, p long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
