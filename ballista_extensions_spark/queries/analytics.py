@@ -1039,3 +1039,64 @@ def year_spine_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM years yr LEFT JOIN counts c ON yr.y = c.y
         """
     )
+
+
+@register(
+    "pagerank_trade_graph",
+    oracle="""
+    WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                WHERE o_custkey <= 200),
+    edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    deg AS (SELECT u AS node, COUNT(*) AS d FROM edges GROUP BY u),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+    s1 AS (SELECT e.v AS node, SUM(r0.pr // d.d) AS m
+           FROM edges e JOIN r0 ON r0.node = e.u JOIN deg d ON d.node = e.u
+           GROUP BY e.v),
+    r1 AS (SELECT n.node,
+                  CAST(150000 + (850000 * COALESCE(s1.m, 0)) // 1000000
+                       AS BIGINT) AS pr
+           FROM nodes n LEFT JOIN s1 ON n.node = s1.node),
+    s2 AS (SELECT e.v AS node, SUM(r1.pr // d.d) AS m
+           FROM edges e JOIN r1 ON r1.node = e.u JOIN deg d ON d.node = e.u
+           GROUP BY e.v),
+    r2 AS (SELECT n.node,
+                  CAST(150000 + (850000 * COALESCE(s2.m, 0)) // 1000000
+                       AS BIGINT) AS pr
+           FROM nodes n LEFT JOIN s2 ON n.node = s2.node),
+    s3 AS (SELECT e.v AS node, SUM(r2.pr // d.d) AS m
+           FROM edges e JOIN r2 ON r2.node = e.u JOIN deg d ON d.node = e.u
+           GROUP BY e.v),
+    r3 AS (SELECT n.node,
+                  CAST(150000 + (850000 * COALESCE(s3.m, 0)) // 1000000
+                       AS BIGINT) AS pr
+           FROM nodes n LEFT JOIN s3 ON n.node = s3.node)
+    SELECT node, pr AS pr_millionths FROM r3
+    """,
+)
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three PageRank steps over the (undirected) customer-supplier
+    trade graph (operators/components.py:pagerank_integer) — iterative
+    graph analytics with integer-exact arithmetic, so the driver-loop
+    schedule cross-checks bit-for-bit against the oracle's unrolled
+    CTE chain. Customer nodes are 2k, supplier nodes 2k+1 (disjoint id
+    spaces); o_custkey <= 200 bounds the demo graph."""
+    from ballista_extensions_spark.operators.components import (
+        pagerank_integer,
+    )
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    l = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return pagerank_integer(edges, iterations=3)

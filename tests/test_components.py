@@ -59,3 +59,26 @@ def test_write_compacted_file_count(spark, sf_dir, tmp_path_factory):
     written = [f for f in os.listdir(path) if f.endswith(".parquet")]
     assert len(written) == expect
     assert spark.read.parquet(path).count() == o.count()
+
+
+def test_pagerank_integer_mass_and_determinism(spark):
+    """Integer PageRank: total mass stays within the damping envelope
+    (truncation only loses mass), ranks are deterministic across runs,
+    and a symmetric 2-cycle converges to equal ranks."""
+    from ballista_extensions_spark.operators.components import (
+        pagerank_integer,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], ["u", "v"]
+    )
+    a = {r["node"]: r["pr_millionths"] for r in pagerank_integer(edges).collect()}
+    b = {r["node"]: r["pr_millionths"] for r in pagerank_integer(edges).collect()}
+    assert a == b
+    n = len(a)
+    # mass: damping floor n*150000 <= total <= n*1_000_000 (start mass)
+    assert n * 150_000 <= sum(a.values()) <= n * 1_000_000
+    # symmetric outer nodes 1 and 3 must tie exactly
+    assert a[1] == a[3]
+    # the hub (node 2) outranks the leaves
+    assert a[2] > a[1]
