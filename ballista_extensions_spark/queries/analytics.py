@@ -1100,3 +1100,73 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     return pagerank_integer(edges, iterations=3)
+
+
+@register(
+    "edit_distance_neighbors",
+    oracle="""
+    SELECT a.doc_id,
+           CAST(levenshtein(substring(a.text, 1, 80),
+                            substring(b.text, 1, 80)) AS BIGINT) AS edit_80,
+           CAST(length(a.text) AS BIGINT) AS len_a,
+           CAST(length(b.text) AS BIGINT) AS len_b
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def edit_distance_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance between consecutive documents' 80-char
+    prefixes — the character-level verification stage a near-dup
+    pipeline runs on candidate pairs (bounded prefix keeps the O(m*n)
+    DP cost constant per pair; unweighted edit distance is
+    engine-identical integer semantics). Self-join on adjacent ids is
+    an equi-join — broadcast-or-shuffle per AQE."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select("doc_id", F.expr("substring(text, 1, 80)").alias("pa"),
+                 F.length("text").cast("long").alias("len_a"))
+    b = d.select((F.col("doc_id") - 1).alias("doc_id"),
+                 F.expr("substring(text, 1, 80)").alias("pb"),
+                 F.length("text").cast("long").alias("len_b"))
+    return a.join(b, "doc_id").select(
+        "doc_id",
+        F.levenshtein("pa", "pb").cast("long").alias("edit_80"),
+        "len_a",
+        "len_b",
+    )
+
+
+@register(
+    "sliding_hour_value_sums",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS hour_sum
+    FROM events
+    WHERE user_id <= 200
+    """,
+)
+def sliding_hour_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based sliding aggregate via a RANGE window frame over
+    integer microseconds (trailing 1 hour per user) — the time-series
+    rolling-sum shape; RANGE frames over µs integers sidestep engine
+    interval-arithmetic differences, and the decimal cast makes the
+    windowed double sum order-independent. One shuffle on the partition
+    key."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 200)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr("unix_micros(ts)"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("hour_sum"),
+    )
