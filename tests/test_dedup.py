@@ -95,3 +95,29 @@ def test_simhash_deterministic(documents):
     a = {r.doc: r.simhash for r in D.simhash64(documents).collect()}
     b = {r.doc: r.simhash for r in D.simhash64(documents).collect()}
     assert a == b
+
+
+def test_near_dup_df_cap_survives_hot_shingle(spark):
+    """Adversarial skew: every document shares one boilerplate phrase
+    (a shingle with df = corpus size). The df cap must drop it so (a) no
+    spurious pairs emerge from boilerplate alone, (b) the posting join
+    never materializes the O(n^2) hot-shingle pair block, and (c) true
+    duplicates are still found via their remaining shingles."""
+    from ballista_extensions_spark.operators.dedup import near_dup_pairs_exact
+
+    rows = [
+        (i, f"common boilerplate phrase unique{i} token{i} tail{i}")
+        for i in range(300)
+    ]
+    # two true duplicates of doc 0
+    rows.append((300, rows[0][1]))
+    rows.append((301, rows[0][1]))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = near_dup_pairs_exact(
+        df, threshold=0.5, probe_mod=1, max_df=100
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # only the duplicate triangle {0, 300, 301} pairs up
+    assert got == {(0, 300), (0, 301), (300, 301)}
+    for r in pairs:
+        assert r["jaccard"] == 1.0

@@ -121,3 +121,40 @@ def test_stateful_running_counts(spark, sf_dir, tmp_path_factory):
         assert got == expect
     finally:
         q.stop()
+
+
+def test_zorder_narrows_rowgroup_stats(spark, tmp_path_factory):
+    """Z-ordering by (x, y) must make parquet row-group min/max ranges
+    narrow in BOTH dimensions; a plain sort by x leaves y's ranges at
+    full width (no skipping possible on y)."""
+    import pyarrow.parquet as pq
+    from ballista_extensions_spark.functions.zorder import zorder_by
+
+    n, side = 1 << 14, 1 << 7
+    base = spark.range(n).select(
+        (F.col("id") % side).alias("x"),
+        (F.col("id") / side).cast("long").alias("y"),
+    )
+
+    def avg_width(path, col):
+        tot, cnt = 0, 0
+        for piece in __import__("pathlib").Path(path).glob("*.parquet"):
+            md = pq.ParquetFile(str(piece)).metadata
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                tot += st.max - st.min
+                cnt += 1
+        return tot / cnt
+
+    zpath = str(tmp_path_factory.mktemp("z") / "zorder")
+    spath = str(tmp_path_factory.mktemp("z") / "sorted")
+    zorder_by(base, "x", "y", partitions=8).write.parquet(zpath)
+    base.repartitionByRange(8, "x").sortWithinPartitions("x").write.parquet(
+        spath
+    )
+    # plain x-sort: y spans nearly the full [0, side) range in every file
+    assert avg_width(spath, "y") > side * 0.8
+    # z-order: both dimensions are narrowed well below full width
+    assert avg_width(zpath, "x") < side * 0.6
+    assert avg_width(zpath, "y") < side * 0.6
