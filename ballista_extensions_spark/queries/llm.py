@@ -1163,3 +1163,64 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_budget_select(
         load_table(spark, sf_dir, "documents"), 20000, exact=True
     )
+
+
+@register(
+    "profile_documents",
+    oracle="""
+    SELECT 'doc_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(MIN(doc_id) AS VARCHAR) AS min_s,
+           CAST(MAX(doc_id) AS VARCHAR) AS max_s
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT lang) AS BIGINT), MIN(lang), MAX(lang)
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT source) AS BIGINT), MIN(source), MAX(source)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+           CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan data profiling: per-column row/null/distinct counts
+    and min/max (stringified for a uniform long-format output) — the
+    table-health report every ingest pipeline runs first. All metrics
+    for all columns come from ONE aggregation over ONE scan (then a
+    stack() to long format), not a per-column query loop; exact
+    distinct counts shuffle one combine-reduced row per column."""
+    d = load_table(spark, sf_dir, "documents")
+    agg = d.agg(
+        F.count(F.lit(1)).cast("long").alias("nr"),
+        *[
+            x
+            for c in ("doc_id", "lang", "source", "n_chars")
+            for x in (
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"nn_{c}"),
+                F.countDistinct(c).cast("long").alias(f"nd_{c}"),
+                F.min(c).cast("string").alias(f"mn_{c}"),
+                F.max(c).cast("string").alias(f"mx_{c}"),
+            )
+        ],
+    )
+    return agg.selectExpr(
+        "stack(4, "
+        "'doc_id', nr, nn_doc_id, nd_doc_id, mn_doc_id, mx_doc_id, "
+        "'lang', nr, nn_lang, nd_lang, mn_lang, mx_lang, "
+        "'source', nr, nn_source, nd_source, mn_source, mx_source, "
+        "'n_chars', nr, nn_n_chars, nd_n_chars, mn_n_chars, mx_n_chars) "
+        "AS (col_name, n_rows, n_nulls, n_distinct, min_s, max_s)"
+    )
