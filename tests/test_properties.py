@@ -165,3 +165,83 @@ def test_avro_container_roundtrip(tmp_path_factory, data, types, n_rows, codec):
     gen = A.read_container(p)
     assert next(gen) == schema
     assert list(gen) == rows
+
+
+@SETTINGS
+@given(texts=st.lists(TEXTS, min_size=1, max_size=15))
+def test_repetition_stats_against_python_reference(spark, texts):
+    """repetition_stats agrees with a direct Python computation of the
+    same formulas on arbitrary text (whitespace runs, unicode, empties)."""
+    import re
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in T.repetition_stats(df).collect()}
+    for i, t in enumerate(texts):
+        toks = re.split(r"\s+", t)
+        if len(toks) < 3:
+            assert i not in got
+            continue
+        bi = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        tri = [f"{a} {b} {c}" for a, b, c in zip(toks, toks[1:], toks[2:])]
+        r = got[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["distinct_ratio"] == len(set(toks)) / len(toks)
+        assert r["dup_bigram_frac"] == 1.0 - len(set(bi)) / len(bi)
+        assert r["dup_trigram_frac"] == 1.0 - len(set(tri)) / len(tri)
+        top = max(toks.count(x) for x in set(toks))
+        assert r["top_token_frac"] == top / len(toks)
+
+
+@SETTINGS
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100,
+                max_value=100,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_quantize_int8_against_python_reference(spark, vecs):
+    """quantize_int8 audit sums match a direct Python reference with
+    the identical floor(x/scale + 0.5) rule."""
+    import math
+
+    from ballista_extensions_spark.operators.similarity import quantize_int8
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(list(enumerate(vecs)), schema)
+    got = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    import numpy as np
+
+    for i, v in enumerate(vecs):
+        v = [float(np.float32(x)) for x in v]
+        scale = max(abs(x) for x in v) / 127.0
+        if scale == 0:
+            q = [0] * len(v)
+        else:
+            q = [int(math.floor(x / scale + 0.5)) for x in v]
+        r = got[i]
+        assert r["checksum"] == sum(q)
+        assert r["l1_norm"] == sum(abs(x) for x in q)
+        assert r["n_saturated"] == sum(1 for x in q if abs(x) == 127)
