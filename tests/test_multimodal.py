@@ -78,3 +78,52 @@ def test_frame_sampling_bounded(media):
     assert per_media <= 5
     row = frames.filter(F.col("frame_no") == 1).first()
     assert row.offset == 64
+
+
+def test_resize_images_plumbing(spark, sf_dir):
+    from ballista_extensions_spark.io import load_table
+    from ballista_extensions_spark.operators.multimodal import (
+        docs_as_media,
+        resize_images,
+    )
+
+    media = docs_as_media(load_table(spark, sf_dir, "documents"))
+    out = resize_images(media, 64, 48, fake=True)
+    rows = out.collect()
+    assert len(rows) == media.count()
+    for r in rows[:20]:
+        assert (r.width, r.height) == (64, 48)
+        assert r.byte_len == len(r.payload)
+        # fake header encodes the dims — deterministic contract
+        assert int.from_bytes(bytes(r.payload[:8]), "big") == 64
+    # gate: without a real resizer, fake=False fails at plan time
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        resize_images(media, 64, 48)
+
+
+def test_extract_features_feeds_ann(spark, sf_dir):
+    """Fake-embedded media flows straight into the exact ANN operator
+    (schema-compatible with the embeddings table)."""
+    from pyspark.sql import functions as F
+    from ballista_extensions_spark.io import load_table
+    from ballista_extensions_spark.operators.multimodal import (
+        docs_as_media,
+        extract_features,
+    )
+    from ballista_extensions_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    media = docs_as_media(load_table(spark, sf_dir, "documents"))
+    emb = extract_features(media, dim=16, fake=True)
+    a = {r.vec_id: r.embedding for r in emb.collect()}
+    b = {r.vec_id: r.embedding for r in extract_features(media, dim=16, fake=True).collect()}
+    assert a == b  # deterministic
+    assert all(len(v) == 16 for v in a.values())
+    topk = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=5
+    )
+    got = topk.groupBy("q_id").count().collect()
+    assert all(r["count"] == 5 for r in got)
