@@ -1170,3 +1170,60 @@ def sliding_hour_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("hour_sum"),
     )
+
+
+@register(
+    "bitwise_agg_keys",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(l_orderkey) AS BIGINT) AS key_and,
+           CAST(bit_or(l_orderkey) AS BIGINT) AS key_or,
+           CAST(bit_xor(l_orderkey) AS BIGINT) AS key_xor,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def bitwise_agg_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate functions (bit_and/or/xor) — order-independent
+    integer folds, map-side combinable; XOR aggregation is the classic
+    set-difference checksum for reconciling two copies of a keyset."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("bit_and(l_orderkey)").cast("long").alias("key_and"),
+        F.expr("bit_or(l_orderkey)").cast("long").alias("key_or"),
+        F.expr("bit_xor(l_orderkey)").cast("long").alias("key_xor"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+@register(
+    "explode_outer_tokens",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN NULL
+                  WHEN doc_id % 10 = 1 THEN []
+                  ELSE string_split_regex(substring(text, 1, 30), '\s+')
+             END AS arr
+      FROM documents WHERE doc_id < 100)
+    SELECT doc_id,
+           unnest(CASE WHEN arr IS NULL OR len(arr) = 0
+                       THEN [NULL] ELSE arr END) AS token
+    FROM base
+    """,
+)
+def explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics: NULL and empty arrays keep their parent
+    row (one null token) instead of vanishing — the outer-unnest
+    behavior ETL needs to not silently drop records; the oracle emulates
+    it with a CASE-wrapped unnest. Narrow fan-out, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    base = d.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 10 = 0 THEN NULL "
+            "WHEN doc_id % 10 = 1 THEN array() "
+            r"ELSE split(substring(text, 1, 30), '\\s+') END"
+        ).alias("arr"),
+    )
+    return base.select("doc_id", F.explode_outer("arr").alias("token"))
