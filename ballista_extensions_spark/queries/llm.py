@@ -1224,3 +1224,54 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'n_chars', nr, nn_n_chars, nd_n_chars, mn_n_chars, mx_n_chars) "
         "AS (col_name, n_rows, n_nulls, n_distinct, min_s, max_s)"
     )
+
+
+@register(
+    "cross_source_dup_matrix",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, {_dd_shingles_sql(_DD_TOKS)} AS shingles
+      FROM documents),
+    post AS (SELECT doc, unnest(shingles) AS s FROM sh),
+    kept AS (SELECT s FROM post GROUP BY s HAVING COUNT(*) <= 100),
+    capped AS (SELECT doc, p.s FROM post p JOIN kept k USING (s)),
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM capped GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS DOUBLE) AS i
+      FROM capped a JOIN capped b ON a.s = b.s AND a.doc < b.doc
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+      WHERE i / (sa.sz + sb.sz - i) >= 0.35)
+    SELECT LEAST(da.source, db.source) AS source_x,
+           GREATEST(da.source, db.source) AS source_y,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+    FROM pairs
+    JOIN documents da ON da.doc_id = doc_a
+    JOIN documents db ON db.doc_id = doc_b
+    GROUP BY 1, 2
+    """,
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance analysis: near-dup pair counts aggregated into an
+    (unordered) source-pair matrix — which sources duplicate which is
+    the first question corpus curation asks before down-weighting or
+    dropping a feed. Reuses the capped inverted-index pair generation
+    (near_dup_pairs_exact, probe_mod=1) and joins document sources back
+    on the (small) pair list — AQE broadcasts the pair side."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs_exact(d, threshold=0.35, probe_mod=1)
+    src = d.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+    )
