@@ -1275,3 +1275,93 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
     )
+
+
+@register(
+    "knn_label_accuracy",
+    oracle="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, label, v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+          FROM e),
+    scored AS (
+      SELECT q.vec_id AS q_id, q.label AS q_label,
+             c.vec_id AS c_id, c.label AS c_label,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_zip(q.v, c.v), s -> s[1] * s[2])),
+               (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cosine
+      FROM n q JOIN n c ON q.vec_id < 200 AND q.vec_id <> c.vec_id),
+    topk AS (
+      SELECT * FROM (
+        SELECT q_id, q_label, c_label,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY cosine DESC, c_id) AS rn
+        FROM scored) WHERE rn <= 10),
+    votes AS (
+      SELECT q_id, q_label, c_label, COUNT(*) AS nv
+      FROM topk GROUP BY q_id, q_label, c_label),
+    pred AS (
+      SELECT q_id, q_label, c_label AS pred_label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY nv DESC, c_label) AS rv
+        FROM votes) WHERE rv = 1)
+    SELECT CAST(q_label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
+    FROM pred GROUP BY q_label
+    """,
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality evaluation: leave-one-out k-NN label
+    consistency — each probe vector is classified by the majority label
+    of its 10 exact cosine neighbors (ties broken by smaller label for
+    full determinism) and scored against its own label, aggregated per
+    class. The standard sanity metric before trusting embeddings for
+    clustering/dedup. Reuses the broadcast-probe brute-force join; the
+    vote and accuracy roll-ups are map-side combinable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    labels = e.select("vec_id", "label")
+    topk = S.brute_force_topk(e, e.filter(F.col("vec_id") < 200), k=10)
+    enriched = (
+        topk.join(
+            labels.select(
+                F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+            ),
+            "q_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("c_id"), F.col("label").alias("c_label")
+            ),
+            "c_id",
+        )
+    )
+    votes = enriched.groupBy("q_id", "q_label", "c_label").agg(
+        F.count(F.lit(1)).alias("nv")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("nv").desc(), F.col("c_label")
+    )
+    pred = (
+        votes.withColumn("rv", F.row_number().over(w))
+        .filter(F.col("rv") == 1)
+        .select("q_id", "q_label", F.col("c_label").alias("pred_label"))
+    )
+    return pred.groupBy(F.col("q_label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(F.when(F.col("pred_label") == F.col("q_label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        (
+            F.sum(
+                F.when(F.col("pred_label") == F.col("q_label"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("accuracy"),
+    )
