@@ -80,6 +80,38 @@ def _small_star(e: DataFrame) -> DataFrame:
     return rewired.unionByName(centers).distinct()
 
 
+#: Edge-count bound for the driver-side union-find fast path: 1M edges
+#: collect to ~16 MB — trivial for the driver, while each distributed
+#: star round costs a fixed multi-job overhead. Near-dup graphs at any
+#: corpus size are far sparser than their node count; graphs past the
+#: bound take the star rounds.
+DRIVER_CC_MAX_EDGES = 1_000_000
+
+
+def _union_find(edge_rows) -> dict[int, int]:
+    """Path-compressed union-find keeping the MINIMUM id as each root —
+    the same labeling the star-forest fixpoint produces."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edge_rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # keep the smaller id as root so labels are component minima
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -103,6 +135,14 @@ def connected_components(
     list, not the node count. Every round halves-or-better the distance
     of each node to its component minimum (the paper's contraction
     argument), so round count is logarithmic, not diameter-bound.
+
+    Small-graph fast path: when the canonical edge list is under
+    ``DRIVER_CC_MAX_EDGES`` it is collected and solved with
+    path-compressed union-find on the driver — identical labels (both
+    algorithms label by component minimum), one job instead of
+    O(log n) multi-job rounds. The distributed rounds remain the path
+    for graphs past the bound; GraphFrames applies the same
+    solve-small-locally fallback.
     """
     # canonical direction u > v; drop self-loops defensively.
     # localCheckpoint here truncates the (often expensive) edge-producing
@@ -117,6 +157,30 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    n_edges = prev.count()
+    if n_edges <= DRIVER_CC_MAX_EDGES:
+        # collect(), not toLocalIterator(): the bound caps this at ~16 MB,
+        # and toLocalIterator schedules one sequential job per partition.
+        labels_map = _union_find(
+            (r["u"], r["v"]) for r in prev.collect()
+        )
+        spark = nodes.sparkSession
+        if labels_map:
+            labels = spark.createDataFrame(
+                list(labels_map.items()), schema="node long, component long"
+            )
+        else:
+            labels = spark.createDataFrame([], schema="node long, component long")
+        untouched = nodes.select(F.col(id_col).alias("node")).join(
+            labels.select("node"), "node", "left_anti"
+        )
+        return labels.select(
+            F.col("node").alias(id_col), "component"
+        ).unionByName(
+            untouched.select(
+                F.col("node").alias(id_col), F.col("node").alias("component")
+            )
+        )
     prev_stats = None
     converged = False
     for _ in range(max_iter):

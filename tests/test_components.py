@@ -32,7 +32,12 @@ def test_components_chain(chain_graph):
     assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20}
 
 
-def test_components_max_iter_guard(chain_graph, spark):
+def test_components_max_iter_guard(chain_graph, spark, monkeypatch):
+    from ballista_extensions_spark.operators import components as C
+
+    # force the distributed star rounds (the fast path would solve the
+    # tiny chain driver-side and never hit the iteration guard)
+    monkeypatch.setattr(C, "DRIVER_CC_MAX_EDGES", -1)
     nodes, edges = chain_graph
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(nodes, edges, max_iter=1)
@@ -82,3 +87,27 @@ def test_pagerank_integer_mass_and_determinism(spark):
     assert a[1] == a[3]
     # the hub (node 2) outranks the leaves
     assert a[2] > a[1]
+
+
+def test_components_distributed_path_matches_fast_path(spark, monkeypatch):
+    """The star-round distributed path and the driver union-find fast
+    path must produce identical labels on a random-ish graph."""
+    import random
+
+    from ballista_extensions_spark.operators import components as C
+
+    rng = random.Random(7)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc"])
+    edf = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    fast = {
+        r.doc: r.component
+        for r in connected_components(nodes, edf).collect()
+    }
+    monkeypatch.setattr(C, "DRIVER_CC_MAX_EDGES", -1)
+    dist = {
+        r.doc: r.component
+        for r in connected_components(nodes, edf).collect()
+    }
+    assert fast == dist
