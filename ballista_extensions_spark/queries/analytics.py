@@ -1227,3 +1227,77 @@ def explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("arr"),
     )
     return base.select("doc_id", F.explode_outer("arr").alias("token"))
+
+
+@register(
+    "hourly_anomaly_flags",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS hour_idx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, hour_idx, n,
+             CAST(SUM(n) OVER w AS BIGINT) AS sum_n,
+             CAST(SUM(n * n) OVER w AS BIGINT) AS sum_n2,
+             CAST(COUNT(*) OVER w AS BIGINT) AS w_n
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, hour_idx, n,
+           sum_n, w_n,
+           (CAST(n AS DOUBLE) - CAST(sum_n AS DOUBLE) / CAST(w_n AS DOUBLE))
+             AS deviation,
+           (CAST(w_n AS DOUBLE) * n - sum_n) * (CAST(w_n AS DOUBLE) * n - sum_n)
+             > 4.0 * (CAST(w_n AS DOUBLE) * sum_n2 - CAST(sum_n AS DOUBLE) * sum_n)
+             AS is_anomaly
+    FROM stats WHERE w_n >= 6
+    """,
+)
+def hourly_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection on hourly event volumes: flag
+    hours where the count deviates more than ~2 sigma from the prior
+    24 hours. The test is algebraically rearranged to avoid sqrt and
+    division — (w*n - sum)^2 > 4*(w*sum2 - sum^2) is z^2 > 4 scaled by
+    w^2*var denominators — so every comparison is double arithmetic on
+    exact integers, bit-identical across engines. Two shuffles: the
+    hourly rollup (map-side combined) and the per-type window sort.
+    Warm-up hours (fewer than 6 prior samples) are excluded."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) DIV 3600000000").alias("hour_idx"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rowsBetween(-24, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hour_idx",
+        "n",
+        F.sum("n").over(w).cast("long").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).over(w).cast("long").alias("sum_n2"),
+        F.count(F.lit(1)).over(w).cast("long").alias("w_n"),
+    ).filter(F.col("w_n") >= 6)
+    wn_d = F.col("w_n").cast("double")
+    n_d = F.col("n").cast("double")
+    sum_d = F.col("sum_n").cast("double")
+    lhs = (wn_d * n_d - sum_d) * (wn_d * n_d - sum_d)
+    rhs = 4.0 * (wn_d * F.col("sum_n2").cast("double") - sum_d * sum_d)
+    return stats.select(
+        "event_type",
+        "hour_idx",
+        "n",
+        "sum_n",
+        "w_n",
+        (n_d - sum_d / wn_d).alias("deviation"),
+        (lhs > rhs).alias("is_anomaly"),
+    )
