@@ -1365,3 +1365,113 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("accuracy"),
     )
+
+
+@register(
+    "contrastive_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, label, v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+          FROM e),
+    scored AS (
+      SELECT q.vec_id AS q_id, q.label AS q_label,
+             c.vec_id AS c_id, c.label AS c_label,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_zip(q.v, c.v), s -> s[1] * s[2])),
+               (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cosine
+      FROM n q JOIN n c ON q.vec_id < 100 AND q.vec_id <> c.vec_id),
+    topk AS (
+      SELECT * FROM (
+        SELECT q_id, q_label, c_id, c_label, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY cosine DESC, c_id) AS rn
+        FROM scored) WHERE rn <= 10)
+    SELECT q_id, c_id, cosine,
+           CASE WHEN c_label = q_label THEN 'positive'
+                ELSE 'hard_negative' END AS pair_type
+    FROM topk
+    """,
+)
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding finetuning: each probe's
+    top-10 exact cosine neighbors become positives (same label) or HARD
+    negatives (different label but maximally similar — the pairs that
+    actually move a contrastive loss). Deterministic tie-breaks
+    throughout; the broadcast-probe scan is the same single-pass shape
+    as brute_force_topk."""
+    e = load_table(spark, sf_dir, "embeddings")
+    labels = e.select("vec_id", "label")
+    topk = S.brute_force_topk(e, e.filter(F.col("vec_id") < 100), k=10)
+    return (
+        topk.join(
+            labels.select(
+                F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+            ),
+            "q_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("c_id"), F.col("label").alias("c_label")
+            ),
+            "c_id",
+        )
+        .select(
+            "q_id",
+            "c_id",
+            "cosine",
+            F.when(F.col("c_label") == F.col("q_label"), "positive")
+            .otherwise("hard_negative")
+            .alias("pair_type"),
+        )
+    )
+
+
+@register("ann_recall_report")  # LSH buckets are xxhash64-based -> rows-only
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability for the approximate path: measured recall@10 of
+    LSH ANN against the exact brute-force baseline, per probe and
+    overall (q_id = -1 row). Deterministic for a fixed corpus (the LSH
+    planes derive from xxhash64), engine-specific hashes -> rows-only
+    driver check; the >= 0.x floor itself is pytest-enforced in
+    tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 50)
+    exact = S.brute_force_topk(e, probes, k=10).select(
+        "q_id", F.col("c_id").alias("e_id")
+    )
+    approx = S.lsh_topk(e, probes, dim=64, k=10).select(
+        "q_id", F.col("c_id").alias("a_id")
+    )
+    hits = exact.join(
+        approx,
+        (exact["q_id"] == approx["q_id"]) & (F.col("e_id") == F.col("a_id")),
+    ).groupBy(exact["q_id"].alias("qq")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    per_q = (
+        exact.groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .join(hits, F.col("q_id") == F.col("qq"), "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            "n_exact",
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )
+    overall = per_q.agg(
+        F.lit(-1).cast("long").alias("q_id"),
+        F.sum("n_hit").cast("long").alias("n_hit"),
+        F.sum("n_exact").cast("long").alias("n_exact"),
+        (
+            F.sum("n_hit").cast("double") / F.sum("n_exact").cast("double")
+        ).alias("recall"),
+    )
+    return per_q.unionByName(overall)
