@@ -1301,3 +1301,72 @@ def hourly_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_d - sum_d / wn_d).alias("deviation"),
         (lhs > rhs).alias("is_anomaly"),
     )
+
+
+@register(
+    "null_safe_join_segments",
+    oracle="""
+    WITH a AS (SELECT c_custkey,
+                      CASE WHEN c_custkey % 7 = 0 THEN NULL
+                           ELSE c_mktsegment END AS seg
+               FROM customer WHERE c_custkey <= 300),
+         b AS (SELECT DISTINCT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                                    ELSE 'BUILDING' END AS seg
+               FROM nation)
+    SELECT a.c_custkey, a.seg,
+           CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    GROUP BY a.c_custkey, a.seg
+    """,
+)
+def null_safe_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe join equality: Spark's <=> operator == SQL's IS NOT
+    DISTINCT FROM — NULL keys match each other instead of silently
+    dropping, the semantics dimension-join ETL needs when 'unknown' is a
+    legitimate bucket. The injected NULLs make the behavior observable:
+    null-seg customers match the null-seg dim row."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    a = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    n = load_table(spark, sf_dir, "nation")
+    b = n.select(
+        F.when(F.col("n_nationkey") % 5 == 0, None)
+        .otherwise(F.lit("BUILDING"))
+        .alias("seg")
+    ).distinct()
+    return (
+        a.join(b, a["seg"].eqNullSafe(b["seg"]))
+        .groupBy("c_custkey", a["seg"].alias("seg"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+    )
+
+
+@register(
+    "phrase_locate_spans",
+    oracle="""
+    SELECT doc_id,
+           CAST(strpos(text, 'data') AS BIGINT) AS first_pos,
+           CAST(len(regexp_extract_all(text, 'data')) AS BIGINT) AS n_hits,
+           CAST(length(text) AS BIGINT) AS doc_len
+    FROM documents
+    WHERE strpos(text, 'data') > 0
+    """,
+)
+def phrase_locate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span location for annotation pipelines: 1-based first offset and
+    occurrence count of a phrase per document (locate == strpos, both
+    1-based; count via literal-regexp extraction). The narrow scan shape
+    QA-span and redaction tooling runs over a corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("locate('data', text)").cast("long").alias("first_pos"),
+        F.size(F.expr("regexp_extract_all(text, 'data', 0)"))
+        .cast("long")
+        .alias("n_hits"),
+        F.length("text").cast("long").alias("doc_len"),
+    ).filter(F.col("first_pos") > 0)
