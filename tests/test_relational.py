@@ -28,6 +28,7 @@ def test_registry_complete():
         "ann_lsh_topk",
         "ann_ivf_topk",
         "embedding_near_dup",
+        "ann_recall_report",
     }
 
 
