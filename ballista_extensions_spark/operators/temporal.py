@@ -135,3 +135,59 @@ def range_join_pairs(
         )
         .distinct()  # bucket adjacency can yield the same pair twice
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str = "ts",
+    right_value_cols: list[str] | None = None,
+    suffix: str = "_matched",
+) -> DataFrame:
+    """For each left row, attach the EARLIEST right row with
+    ``right.ts >= left.ts`` within the same ``by`` key — forward as-of
+    join (attribution: "next event at or after this one"); NULLs when no
+    later right row exists. Same union+ordered-window shape as the
+    backward :func:`asof_join` with the frame reversed (first-non-null
+    over [current, unbounded following]); right rows at exactly the left
+    timestamp DO match, mirroring DuckDB ``ASOF ... ON l.ts <= r.ts``.
+    One shuffle on the key, one ordered pass — no inequality join."""
+    rcols = right_value_cols or [
+        c for c in right.columns if c not in (by, ts)
+    ]
+    lpart = left.select(
+        F.col(by), F.col(ts), F.lit(0).alias("__is_right"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rcols],
+        F.lit(None).cast(right.schema[ts].dataType).alias("__r_ts"),
+    )
+    rpart = right.select(
+        F.col(by), F.col(ts), F.lit(1).alias("__is_right"),
+        F.lit(None).cast(lpart.schema["__left"].dataType).alias("__left"),
+        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+        F.col(ts).alias("__r_ts"),
+    )
+    unioned = lpart.unionByName(rpart)
+    # left (0) sorts before right (1) at equal ts, and the frame starts
+    # at the current row — so an equal-timestamp right row is inside the
+    # left row's frame (inclusive >= semantics).
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(ts), F.col("__is_right"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in rcols
+        ],
+        F.first("__r_ts", ignorenulls=True).over(w).alias(f"{ts}{suffix}"),
+    )
+    out_left = [F.col(f"__left.{c}").alias(c) for c in left.columns]
+    out_right = [F.col(f"__m_{c}").alias(f"{c}{suffix}") for c in rcols]
+    return (
+        carried.filter(F.col("__is_right") == 0)
+        .select(*out_left, *out_right, F.col(f"{ts}{suffix}"))
+    )

@@ -1370,3 +1370,94 @@ def phrase_locate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_hits"),
         F.length("text").cast("long").alias("doc_len"),
     ).filter(F.col("first_pos") > 0)
+
+
+@register(
+    "session_funnel",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w <= 1800000000
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked),
+    per_session AS (
+      SELECT user_id, session_id,
+             min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+             min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS t_buy
+      FROM sess GROUP BY user_id, session_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS BIGINT)
+             AS s_view,
+           CAST(COUNT(*) FILTER (WHERE t_view < t_click) AS BIGINT)
+             AS s_click,
+           CAST(COUNT(*) FILTER (WHERE t_view < t_click AND t_click < t_buy)
+                AS BIGINT) AS s_purchase
+    FROM per_session
+    """,
+)
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session conversion funnel: gap-sessionize (30-minute
+    inactivity), then require view -> click -> purchase ordering INSIDE
+    one session — stricter than the per-user funnel (event_funnel),
+    which credits conversions across days. Sessionization is the
+    running-sum-of-new-session-flags window; ties broken by event_id.
+    Two shuffles (user window, then the global count fold)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            <= 1_800_000_000,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.withColumn("session_id", F.sum("new_session").over(ws))
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_buy"
+        ),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("s_view"),
+        F.sum(F.when(F.col("t_view") < F.col("t_click"), 1).otherwise(0))
+        .cast("long")
+        .alias("s_click"),
+        F.sum(
+            F.when(
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_buy")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("s_purchase"),
+    )

@@ -755,3 +755,41 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_session").cast("long").alias("n_sessions"),
         lcount("n_events"),
     )
+
+
+@register(
+    "asof_join_forward_views",
+    oracle="""
+    WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, ts, event_id, value FROM events
+               WHERE event_type = 'purchase')
+    SELECT p.user_id, p.event_id, p.ts, CAST(p.value AS DOUBLE) AS value,
+           v.event_id AS event_id_matched, v.ts AS ts_matched
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+    """,
+)
+def asof_join_forward_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/temporal.py:asof_join_forward):
+    each purchase matched to the user's NEXT view at or after it — the
+    attribution direction ("what did they look at right after buying");
+    completes the as-of family alongside the backward variant, oracle-
+    checked against DuckDB's native forward ASOF."""
+    from ballista_extensions_spark.operators.temporal import (
+        asof_join_forward,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join_forward(purchases, views, by="user_id", ts="ts").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("value").cast("double").alias("value"),
+        "event_id_matched",
+        "ts_matched",
+    )
