@@ -236,3 +236,58 @@ def test_xz_json_roundtrip(spark, small_df, tmp_path_factory):
     assert sorted(r["id"] for r in back.collect()) == sorted(
         r["id"] for r in small_df.collect()
     )
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path_factory):
+    """Schema evolution across parquet parts: mergeSchema unifies old
+    (2-col) and new (3-col) writers, null-filling the missing column —
+    the append-only table evolution every long-lived pipeline hits."""
+    base = str(tmp_path_factory.mktemp("evolve") / "docs")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], ["doc_id", "text"]
+    ).write.parquet(base + "/batch=1")
+    spark.createDataFrame(
+        [(3, "gamma", "en")], ["doc_id", "text", "lang"]
+    ).write.parquet(base + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/batch=1", base + "/batch=2"
+    )
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    rows = {r.doc_id: r for r in merged.collect()}
+    assert rows[1].lang is None and rows[3].lang == "en"
+
+
+def test_json_corrupt_record_modes(spark, tmp_path_factory):
+    """Malformed-input policy for NDJSON ingestion: PERMISSIVE keeps the
+    broken line in _corrupt_record, DROPMALFORMED silently drops it,
+    FAILFAST raises — the three contracts an ingest job chooses from."""
+    import pytest as _pt
+    from pyspark.sql import types as T
+
+    d = tmp_path_factory.mktemp("corrupt")
+    p = str(d / "data.json")
+    with open(p, "w") as f:
+        f.write('{"doc_id": 1, "text": "good"}\n')
+        f.write("{NOT JSON AT ALL\n")
+        f.write('{"doc_id": 2, "text": "also good"}\n')
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    permissive = spark.read.schema(schema).json(p)
+    bad = permissive.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(bad) == 1 and "NOT JSON" in bad[0]._corrupt_record
+    assert permissive.count() == 3
+    dropped = (
+        spark.read.schema(
+            T.StructType(schema.fields[:2])
+        ).option("mode", "DROPMALFORMED").json(p)
+    )
+    assert dropped.count() == 2
+    with _pt.raises(Exception, match="(?i)malformed|FAILFAST"):
+        spark.read.schema(
+            T.StructType(schema.fields[:2])
+        ).option("mode", "FAILFAST").json(p).collect()
