@@ -1,0 +1,146 @@
+"""Custom Python data source (Spark 4 DataSource API) — the engine's
+Tier-D "add a source the host engine lacks" showcase, expressed the way
+Spark 4 intends extensions to be written.
+
+Where the reference threads ONE custom operator through logical node ->
+protobuf codec -> extension planner -> physical node (its entire repo,
+src/logical/sample_extension.rs through src/physical/sample_exec.rs),
+Spark 4's `pyspark.sql.datasource.DataSource` collapses the same
+extension surface to three methods: schema(), partitions(), read() —
+the scheduler ships the reader to executors, partition planning is the
+physical-plan hook, and `pushFilters` is the optimizer hook (predicate
+pushdown reaching a PYTHON source).
+
+`SyntheticDocsDataSource` generates a documents-table-shaped corpus
+deterministically from (seed, doc_id) — no stored data, any size, any
+partition count: the standard synthetic-benchmark source (a dbgen
+equivalent) every engine needs. Scale: partitions are independent id
+ranges (one task each, no shuffle, no driver data), and a pushed
+doc_id range prunes work before generation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+#: Same word list the driver's synthetic documents draw from — keeps the
+#: generated corpus compatible with the text operators' assumptions
+#: (whitespace-tokenizable, ASCII).
+_WORDS = (
+    "key agg row scan slow fast table value part hash join small line "
+    "customer query data batch window spark order column dedup token "
+    "filter merge sort group index cache"
+).split()
+
+_LANGS = ("en", "de", "fr", "es", "zh")
+
+
+def _doc_text(seed: int, doc_id: int) -> str:
+    """Deterministic word salad from a 64-bit mix of (seed, doc_id) —
+    a splitmix64-style sequence, stable across engines/runs."""
+    x = (seed * 0x9E3779B97F4A7C15 + doc_id * 0xBF58476D1CE4E5B9) & (
+        2**64 - 1
+    )
+    words = []
+    n = 20 + (x % 61)  # 20..80 words
+    for _ in range(n):
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & (2**64 - 1)
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EB & (2**64 - 1)
+        x ^= x >> 31
+        words.append(_WORDS[x % len(_WORDS)])
+    return " ".join(words)
+
+
+class _DocsPartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class _DocsReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.seed = int(options.get("seed", 42))
+        self.n_parts = int(options.get("n_partitions", 8))
+        self.lo = 0
+        self.hi = self.n_docs
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Optimizer hook: doc_id range predicates narrow the generated
+        id range (pruning work BEFORE generation); everything else is
+        returned as unsupported so Spark re-applies it post-scan."""
+        for f in filters:
+            col = getattr(f, "attribute", None)
+            if col == ("doc_id",):
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, f.value + 1)
+                    continue
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, f.value)
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, f.value)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, f.value + 1)
+                    continue
+            yield f
+
+    def partitions(self):
+        lo, hi = self.lo, max(self.lo, self.hi)
+        n = max(1, self.n_parts)
+        step = max(1, (hi - lo + n - 1) // n)
+        return [
+            _DocsPartition(s, min(s + step, hi))
+            for s in range(lo, hi, step)
+        ] or [_DocsPartition(lo, lo)]
+
+    def read(self, partition: _DocsPartition):
+        for doc_id in range(partition.start, partition.end):
+            text = _doc_text(self.seed, doc_id)
+            yield (
+                doc_id,
+                text,
+                _LANGS[(doc_id * 7 + self.seed) % len(_LANGS)],
+                f"src{doc_id % 20}",
+                len(text),
+            )
+
+
+class SyntheticDocsDataSource(DataSource):
+    """``spark.read.format("synthetic_docs")`` after
+    ``spark.dataSource.register(SyntheticDocsDataSource)``. Options:
+    n_docs, seed, n_partitions."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> str:
+        return (
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+
+    def reader(self, schema: StructType) -> _DocsReader:
+        return _DocsReader(schema, self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the engine's Python data sources.
+    Also enables Python-source filter pushdown (off by default in
+    Spark 4.1; runtime-settable SQL conf)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SyntheticDocsDataSource)
