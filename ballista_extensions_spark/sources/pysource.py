@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -144,3 +145,65 @@ def register(spark) -> None:
     Spark 4.1; runtime-settable SQL conf)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticDocsDataSource)
+    spark.dataSource.register(SyntheticDocsStreamDataSource)
+
+
+class _DocsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream of synthetic documents: the offset is just the
+    next doc_id, so batches are exactly reproducible — `read` advances
+    by batch_size, `readBetweenOffsets` regenerates any past range on
+    replay (the determinism that makes exactly-once sinks possible
+    with no write-ahead data, only offsets)."""
+
+    def __init__(self, options):
+        self.seed = int(options.get("seed", 42))
+        self.batch_size = int(options.get("batch_size", 100))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def _rows(self, start: int, end: int) -> list:
+        # a LIST, not a generator: the streaming runner deep-copies the
+        # prefetched batch into its offset cache, and generators don't
+        # pickle. Batches are bounded by batch_size, so materializing is
+        # safe by construction.
+        out = []
+        for doc_id in range(start, end):
+            text = _doc_text(self.seed, doc_id)
+            out.append(
+                (
+                    doc_id,
+                    text,
+                    _LANGS[(doc_id * 7 + self.seed) % len(_LANGS)],
+                    f"src{doc_id % 20}",
+                    len(text),
+                )
+            )
+        return out
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = lo + self.batch_size
+        return self._rows(lo, hi), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["next"], end["next"])
+
+
+class SyntheticDocsStreamDataSource(DataSource):
+    """``spark.readStream.format("synthetic_docs_stream")`` — the
+    streaming twin of :class:`SyntheticDocsDataSource`; same schema,
+    same deterministic generator, offset-only state."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs_stream"
+
+    def schema(self) -> str:
+        return (
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+
+    def simpleStreamReader(self, schema: StructType) -> _DocsStreamReader:
+        return _DocsStreamReader(self.options)

@@ -248,3 +248,44 @@ def test_funnel_stages_stream_matches_batch(spark, events_dir):
     cnt = Counter(got.values())
     s1 = cnt[1] + cnt[2] + cnt[3]
     assert s1 >= cnt[2] + cnt[3] >= cnt[3]
+
+
+def test_python_stream_datasource(spark, tmp_path_factory):
+    """Spark 4 Python streaming DataSource: deterministic offset-only
+    micro-batches; a bounded run yields exactly batch_size * n_batches
+    rows with contiguous ids."""
+    from ballista_extensions_spark.sources.pysource import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic_docs_stream")
+        .option("seed", 11)
+        .option("batch_size", 50)
+        .load()
+    )
+    ckpt = str(tmp_path_factory.mktemp("pysrc") / "ckpt")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pysrc_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.sql("SELECT COUNT(*) FROM pysrc_sink").first()[0]
+            if n >= 150:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx, COUNT(*) AS n, "
+        "COUNT(DISTINCT doc_id) AS nd FROM pysrc_sink"
+    ).first()
+    assert got.mn == 0
+    assert got.n == got.nd == got.mx + 1  # contiguous, no dupes/gaps
+    assert got.n >= 150
