@@ -89,3 +89,23 @@ def test_plan_summary_shape(spark, sf_dir):
         "read_columns",
     }
     assert s["shuffle_exchanges"] >= 1  # two fact joins + agg
+
+
+def test_execution_metrics_measured(spark, sf_dir):
+    """Measured runtime metrics from the executed adaptive plan:
+    map-side combine means shuffle records == group count (not row
+    count), and scan rows match the table without double-counting
+    through the AQE wrappers."""
+    from ballista_extensions_spark.io import load_table
+    from ballista_extensions_spark.plans.inspect import execution_metrics
+
+    l = load_table(spark, sf_dir, "lineitem")
+    n_rows = l.count()
+    df = l.groupBy("l_returnflag").count()
+    groups = df.collect()
+    m = execution_metrics(df)
+    assert m["scan_output_rows"] == n_rows
+    # partial aggregation: one shuffle record per (group x map task);
+    # far below the row count, at least the group count
+    assert len(groups) <= m["shuffle_records_written"] < n_rows / 10
+    assert m["shuffle_bytes_written"] > 0
