@@ -23,9 +23,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
@@ -33,6 +36,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -146,6 +150,7 @@ def register(spark) -> None:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticDocsDataSource)
     spark.dataSource.register(SyntheticDocsStreamDataSource)
+    spark.dataSource.register(NdjsonPartsDataSource)
 
 
 class _DocsStreamReader(SimpleDataSourceStreamReader):
@@ -207,3 +212,77 @@ class SyntheticDocsStreamDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> _DocsStreamReader:
         return _DocsStreamReader(self.options)
+
+
+@dataclass
+class _PartFile(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class _NdjsonPartWriter(DataSourceWriter):
+    """Per-task NDJSON part writer with a two-phase commit: tasks write
+    to `.inprogress` files and report them in commit messages; the
+    driver's commit() renames all parts atomically-enough (rename per
+    part + a _SUCCESS marker), abort() removes strays — the same
+    task-commit/job-commit protocol Hadoop committers implement, in
+    ~40 lines of Python."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ndjson_parts writer requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _PartFile:
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        _os.makedirs(self.path, exist_ok=True)
+        tmp = _os.path.join(
+            self.path, f".part-{pid:05d}-{_uuid.uuid4().hex}.inprogress"
+        )
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _PartFile(path=tmp, rows=n)
+
+    def commit(self, messages) -> None:
+        import os as _os
+
+        for m in messages:
+            d, base = _os.path.split(m.path)
+            final = _os.path.join(
+                d, base.lstrip(".").replace(".inprogress", ".ndjson")
+            )
+            _os.rename(m.path, final)
+        with open(_os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(str(sum(m.rows for m in messages)))
+
+    def abort(self, messages) -> None:
+        import os as _os
+
+        for m in messages:
+            try:
+                _os.remove(m.path)
+            except FileNotFoundError:
+                pass
+
+
+class NdjsonPartsDataSource(DataSource):
+    """``df.write.format("ndjson_parts").option("path", ...)`` — the
+    writer half of the Python DataSource extension surface, with the
+    task-commit/job-commit protocol made explicit."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ndjson_parts"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _NdjsonPartWriter(self.options, overwrite)

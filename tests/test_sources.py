@@ -329,3 +329,31 @@ def test_python_datasource_synthetic_docs(spark):
     sub = df.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
     assert sub.count() == 50
     assert sub.agg(F.min("doc_id"), F.max("doc_id")).first() == (100, 149)
+
+
+def test_python_datasource_writer_roundtrip(spark, sf_dir, tmp_path_factory):
+    """Python DataSourceWriter: per-task part files with a two-phase
+    commit (inprogress -> rename + _SUCCESS), read back equal."""
+    import glob
+    import os
+
+    from ballista_extensions_spark.io import load_table
+    from ballista_extensions_spark.sources.pysource import register
+
+    register(spark)
+    out = str(tmp_path_factory.mktemp("ndjson_parts") / "docs")
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    src.repartition(4).write.format("ndjson_parts").option(
+        "path", out
+    ).mode("append").save()
+    parts = glob.glob(os.path.join(out, "part-*.ndjson"))
+    assert len(parts) == 4
+    assert not glob.glob(os.path.join(out, "*.inprogress"))
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    back = spark.read.json(os.path.join(out, "part-*.ndjson"))
+    assert back.count() == src.count()
+    a = {r.doc_id for r in src.collect()}
+    b = {r.doc_id for r in back.collect()}
+    assert a == b
