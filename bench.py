@@ -34,11 +34,14 @@ def main() -> None:
     from ballista_extensions_spark.queries import get_queries
 
     spark = get_session("bench")
-    # warm the JVM + parquet footers once so per-query numbers measure
-    # execution, not first-touch initialization
-    from ballista_extensions_spark.io import load_table
+    # warm the JVM + parquet footers of EVERY table once so per-query
+    # numbers measure execution, not first-touch initialization (the
+    # registry orders newest queries first, so without this the cold
+    # costs land on whatever happens to run early)
+    from ballista_extensions_spark.io import TABLES, load_table
 
-    load_table(spark, sf_dir, "lineitem").count()
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
