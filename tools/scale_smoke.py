@@ -56,6 +56,28 @@ def main() -> None:
     print(f"# corpora: {n_docs} -> {docs10.count()} docs, "
           f"{n_emb} -> {emb10.count()} vectors", file=sys.stderr)
 
+    def _curation(d):
+        # gate -> exact dedup -> closure -> summary (the end-to-end chain)
+        rep = T.repetition_stats(d)
+        ids = rep.filter(
+            (F.col("distinct_ratio") >= 0.2)
+            & (F.col("dup_trigram_frac") <= 0.5)
+            & (F.col("top_token_frac") <= 0.5)
+        ).select("doc_id")
+        gated = d.join(ids, "doc_id")
+        keep = (
+            gated.groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        exact = gated.join(keep, "doc_id").localCheckpoint()
+        pairs = D.near_dup_pairs_exact(exact, threshold=0.35, probe_mod=1)
+        comp = dedup_by_components(exact, pairs)
+        return comp.filter(F.col("is_representative")).count()
+
+    # NOTE: PageRank-over-near-dup-pairs is intentionally absent: its
+    # cost profile is dedup_components' (pair generation dominates; the
+    # rank loop adds O(iterations) cheap stages).
     ops = {
         "dedup_exact": lambda d, e: D.dedup_exact(d).count(),
         "near_dup_char_ngram": lambda d, e: D.near_dup_pairs_char_ngram(
@@ -71,6 +93,7 @@ def main() -> None:
         "lsh_ann_topk": lambda d, e: S.lsh_topk(
             e, e.filter(F.col("vec_id") % 199 == 0), dim=64, k=10
         ).count(),
+        "curation_chain": lambda d, e: _curation(d),
     }
 
     print(f"| op | t_1x (s) | t_{factor}x (s) | exponent |")
@@ -90,7 +113,7 @@ def main() -> None:
             exp = math.log(t10 / t1) / math.log(factor)
             print(f"| {name} | {t1:.2f} | {t10:.2f} | {exp:.2f} |")
         except Exception as e:  # noqa: BLE001
-            print(f"| {name} | ERROR {type(e).__name__}: {str(e)[:80]} | | |")
+            print(f"| {name} | ERROR {type(e).__name__}: {str(e)[:300]} | | |")
 
 
 if __name__ == "__main__":
