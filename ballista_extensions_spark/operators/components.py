@@ -266,22 +266,24 @@ def pagerank_integer(
     nodes = e.select(F.col("u").alias("node")).distinct()
     ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("pr"))
     contrib_src = e.join(deg, "u")
-    for _ in range(iterations):
+    for it in range(iterations):
         inflow = (
             contrib_src.join(ranks, F.col("u") == F.col("node"))
             .select("v", F.expr("pr DIV d").alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("m"))
         )
-        ranks = (
-            nodes.join(inflow, F.col("node") == F.col("v"), "left")
-            .select(
-                "node",
-                F.expr(
-                    "CAST(150000 AS BIGINT) + "
-                    "(CAST(850000 AS BIGINT) * COALESCE(m, 0L)) DIV 1000000"
-                ).alias("pr"),
-            )
-            .localCheckpoint(eager=False)
+        ranks = nodes.join(inflow, F.col("node") == F.col("v"), "left").select(
+            "node",
+            F.expr(
+                "CAST(150000 AS BIGINT) + "
+                "(CAST(850000 AS BIGINT) * COALESCE(m, 0L)) DIV 1000000"
+            ).alias("pr"),
         )
+        # Truncate lineage only every few rounds: the per-round plan
+        # growth is linear (unlike the star operators' ~6x), so short
+        # runs need no checkpoint at all — fewer materialized blocks to
+        # lose under storage pressure, one less failure mode.
+        if (it + 1) % 4 == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.col("pr").alias("pr_millionths"))
