@@ -1461,3 +1461,90 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("s_purchase"),
     )
+
+
+@register(
+    "mad_order_prices",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority,
+             quantile_disc(o_totalprice, 0.5) AS med_price
+      FROM orders GROUP BY o_orderpriority),
+    dev AS (
+      SELECT o.o_orderpriority,
+             abs(o.o_totalprice - m.med_price) AS adev,
+             m.med_price
+      FROM orders o JOIN med m USING (o_orderpriority))
+    SELECT o_orderpriority,
+           CAST(ANY_VALUE(med_price) AS DOUBLE) AS median_price,
+           CAST(quantile_disc(adev, 0.5) AS DOUBLE) AS mad,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dev GROUP BY o_orderpriority
+    """,
+)
+def mad_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    statistic outlier-resistant pipelines use instead of stddev. Both
+    medians are DISCRETE (actual data values, no interpolation), so
+    engine parity is value-identity; two grouped sort-aggregations plus
+    one broadcast-or-shuffle join of the (tiny) median table."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("bx_mad_orders")
+    return spark.sql(
+        """
+        WITH med AS (
+          SELECT o_orderpriority,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS med_price
+          FROM bx_mad_orders GROUP BY o_orderpriority),
+        dev AS (
+          SELECT o.o_orderpriority,
+                 abs(o.o_totalprice - m.med_price) AS adev,
+                 m.med_price
+          FROM bx_mad_orders o JOIN med m USING (o_orderpriority))
+        SELECT o_orderpriority,
+               CAST(ANY_VALUE(med_price) AS DOUBLE) AS median_price,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)
+                    AS DOUBLE) AS mad,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM dev GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "deterministic_mode_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                 ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+      FROM orders GROUP BY o_orderstatus, o_orderpriority)
+    WHERE rn = 1
+    """,
+)
+def deterministic_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: the most frequent value per group with an
+    explicit (count DESC, value ASC) tie-break — built-in mode()
+    functions leave ties engine-defined, which can never hash-match;
+    this is the portable formulation. One grouped count plus a tiny
+    ranked window over the group x value table."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+    )
