@@ -1548,3 +1548,39 @@ def deterministic_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "orderkey_islands",
+    oracle="""
+    SELECT MIN(o_orderkey) AS island_start,
+           MAX(o_orderkey) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM (
+      SELECT o_orderkey,
+             o_orderkey - ROW_NUMBER() OVER (ORDER BY o_orderkey) AS grp
+      FROM orders WHERE o_totalprice >= 150000)
+    GROUP BY grp
+    """,
+)
+def orderkey_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: contiguous o_orderkey ranges among high-value
+    orders via the classic value-minus-row_number grouping (the filter
+    makes the key sequence sparse, so real islands emerge). The demonstration uses one global
+    window — at fact scale, bucket by key range first and stitch
+    boundary islands in a second tiny pass."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 150000
+    )
+    w = Window.orderBy("o_orderkey")
+    grouped = o.select(
+        "o_orderkey",
+        (F.col("o_orderkey") - F.row_number().over(w)).alias("grp"),
+    )
+    return grouped.groupBy("grp").agg(
+        F.min("o_orderkey").alias("island_start"),
+        F.max("o_orderkey").alias("island_end"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    ).drop("grp")

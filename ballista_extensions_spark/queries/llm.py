@@ -1573,3 +1573,44 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+    SELECT doc_id, text_hash, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM (
+      SELECT doc_id, md5(text) AS text_hash, n_chars,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+             ROW_NUMBER() OVER (PARTITION BY md5(text)
+                 ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the BEST copy, not the first: per content
+    hash, survive the longest document (deterministic (n_chars DESC,
+    doc_id) tie-break) — the curation policy when duplicates differ in
+    truncation/metadata and you want the most complete one. Same
+    one-shuffle shape as min-id dedup, with a ranked window instead of
+    a min aggregate."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy(F.md5("text"))
+    return (
+        d.select(
+            "doc_id",
+            F.md5("text").alias("text_hash"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.count(F.lit(1)).over(wc).cast("long").alias("n_copies"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
