@@ -45,6 +45,11 @@ _REQUIRED_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.ansi.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
+    # Arrow transfer for toPandas()/pandas UDFs: required by the
+    # connected-components driver fast path (two int64 columns move as
+    # Arrow buffers, not Row objects) and assumed by every mapInPandas
+    # operator. Runtime-settable, so safe on a foreign driver session.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
 

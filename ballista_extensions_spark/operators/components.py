@@ -80,11 +80,15 @@ def _small_star(e: DataFrame) -> DataFrame:
     return rewired.unionByName(centers).distinct()
 
 
-#: Edge-count bound for the driver-side union-find fast path: 1M edges
-#: collect to ~16 MB — trivial for the driver, while each distributed
-#: star round costs a fixed multi-job overhead. Near-dup graphs at any
-#: corpus size are far sparser than their node count; graphs past the
-#: bound take the star rounds.
+#: Edge-count bound for the driver-side union-find fast path. At the
+#: bound the transfer is ~16 MB of Arrow buffers (2 int64 columns), and
+#: the Python-side structures — two materialized int lists plus a
+#: union-find dict of up to 2M entries — cost a few hundred MB of driver
+#: heap, transiently. That is the honest budget (not the raw Arrow
+#: bytes) and is comfortably within any driver sized for Spark work,
+#: while each distributed star round costs a fixed multi-job overhead.
+#: Near-dup graphs at any corpus size are far sparser than their node
+#: count; graphs past the bound take the star rounds.
 DRIVER_CC_MAX_EDGES = 1_000_000
 
 
@@ -159,10 +163,13 @@ def connected_components(
     )
     n_edges = prev.count()
     if n_edges <= DRIVER_CC_MAX_EDGES:
-        # collect(), not toLocalIterator(): the bound caps this at ~16 MB,
-        # and toLocalIterator schedules one sequential job per partition.
+        # Arrow-batched toPandas() on the 2-column frame, not collect():
+        # Row objects cost ~100+ bytes each (≈hundreds of MB at the
+        # bound) where Arrow moves two int64 buffers (~16 MB) and the
+        # transient Python lists stay within the documented budget.
+        pdf = prev.toPandas()
         labels_map = _union_find(
-            (r["u"], r["v"]) for r in prev.collect()
+            zip(pdf["u"].tolist(), pdf["v"].tolist())
         )
         spark = nodes.sparkSession
         if labels_map:

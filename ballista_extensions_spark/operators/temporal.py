@@ -58,9 +58,16 @@ def asof_join(
         F.col(ts).alias("__r_ts"),
     )
     unioned = lpart.unionByName(rpart)
+    # trailing __r_ keys: deterministic winner when several right rows
+    # share (key, ts) — last() picks the largest right tuple; without
+    # them the choice is sort-order luck (see asof_join_forward).
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(ts), F.col("__is_right").desc())
+        .orderBy(
+            F.col(ts),
+            F.col("__is_right").desc(),
+            *[F.col(f"__r_{c}") for c in rcols],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -171,10 +178,18 @@ def asof_join_forward(
     unioned = lpart.unionByName(rpart)
     # left (0) sorts before right (1) at equal ts, and the frame starts
     # at the current row — so an equal-timestamp right row is inside the
-    # left row's frame (inclusive >= semantics).
+    # left row's frame (inclusive >= semantics). The trailing __r_ keys
+    # break ties among right rows sharing (key, ts): without them
+    # first(ignorenulls) picks whichever duplicate the sort happened to
+    # place first, which is nondeterministic across runs and can diverge
+    # from the oracle's tie choice. Smallest right tuple wins.
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(ts), F.col("__is_right"))
+        .orderBy(
+            F.col(ts),
+            F.col("__is_right"),
+            *[F.col(f"__r_{c}") for c in rcols],
+        )
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     carried = unioned.select(

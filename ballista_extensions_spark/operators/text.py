@@ -33,7 +33,13 @@ TOKENS_SQL = r"split({col}, '\\s+')"
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization (matches DuckDB string_split_regex)."""
+    """Whitespace tokenization (matches DuckDB string_split_regex).
+
+    Contract: ``\\s`` here is Java-regex ASCII whitespace
+    (``[ \\t\\n\\x0B\\f\\r]``), identical to RE2's ``\\s`` in the DuckDB
+    oracle. It does NOT match Unicode spaces (U+0085 NEL, U+00A0 NBSP,
+    U+2028, ...). Python references comparing against this function must
+    split on ``[ \\t\\n\\r\\f\\v]+`` — Python ``re`` ``\\s`` is broader."""
     return F.split(text, r"\s+")
 
 
@@ -419,6 +425,24 @@ def token_budget_select(
             lo = mid  # too much data above this cutoff -> raise it
         else:
             hi = mid
-    return scored.filter(F.col("score") >= hi).select(
-        id_col, "n_tokens", "score"
-    )
+    # The loop only guarantees mass(hi) <= budget if some probe landed
+    # on hi; when every probed cutoff overflowed (e.g. a giant tie-block
+    # at score 1.0), hi is still its initial 1.0 and unverified. Verify
+    # once, and if even the top tie-block overflows the budget, trim it
+    # deterministically (by id) with one running total over the
+    # boundary-score docs only — a window over a single score's rows,
+    # not a global sort.
+    sel = scored.filter(F.col("score") >= hi)
+    final_mass = sel.agg(F.sum("n_tokens")).first()[0] or 0
+    if final_mass > budget:
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(F.col(id_col)).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        sel = (
+            sel.withColumn("__cum", F.sum("n_tokens").over(w))
+            .filter(F.col("__cum") <= budget)
+            .drop("__cum")
+        )
+    return sel.select(id_col, "n_tokens", "score")

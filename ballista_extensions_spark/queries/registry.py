@@ -63,6 +63,24 @@ PRIOR_DRIVER_GRADED: frozenset[str] = frozenset({
     "q11_important_stock", "q12_shipping_horizon",
     "q16_supplier_part_counts", "q20_excess_suppliers",
     "q21_waiting_suppliers",
+    # + the 43 hash-green keys of CORRECTNESS_r04.json plus its 4
+    # rows-only-by-design rows (ann_lsh/ivf/recall, embedding_near_dup —
+    # the driver already recorded their rows-only grade; re-grading buys
+    # nothing). 39 keys not already listed above:
+    "asof_join_forward_views", "repetition_stats", "rare_token_fraction",
+    "corpus_stats_by_lang", "source_quality_stats",
+    "embedding_quantize_int8", "bpe_merge_candidates", "bigram_lm_counts",
+    "incremental_dedup", "token_budget_selection", "profile_documents",
+    "cross_source_dup_matrix", "knn_label_accuracy", "contrastive_pairs",
+    "curation_pipeline_summary", "dedup_keep_best", "latest_event_per_user",
+    "array_functions", "events_lag_lead", "event_funnel",
+    "retention_cohorts", "lateral_top_customers", "year_spine_order_counts",
+    "pagerank_trade_graph", "edit_distance_neighbors",
+    "sliding_hour_value_sums", "bitwise_agg_keys", "explode_outer_tokens",
+    "hourly_anomaly_flags", "null_safe_join_segments", "phrase_locate_spans",
+    "session_funnel", "mad_order_prices", "deterministic_mode_priority",
+    "orderkey_islands", "ann_ivf_topk", "ann_lsh_topk",
+    "embedding_near_dup", "ann_recall_report",
 })
 
 

@@ -256,6 +256,20 @@ class _NdjsonPartWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import os as _os
 
+        if self.overwrite:
+            # mode("overwrite") contract: the committed directory holds
+            # ONLY this job's parts. Clear stale parts before renaming
+            # the new ones in, else overwrite silently behaves as append
+            # and a read-back returns the union of both writes.
+            fresh = {_os.path.basename(m.path) for m in messages}
+            for name in _os.listdir(self.path):
+                if name in fresh:
+                    continue
+                if name.endswith(".ndjson") or name == "_SUCCESS":
+                    try:
+                        _os.remove(_os.path.join(self.path, name))
+                    except FileNotFoundError:
+                        pass
         for m in messages:
             d, base = _os.path.split(m.path)
             final = _os.path.join(

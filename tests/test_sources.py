@@ -350,10 +350,48 @@ def test_python_datasource_writer_roundtrip(spark, sf_dir, tmp_path_factory):
     ).mode("append").save()
     parts = glob.glob(os.path.join(out, "part-*.ndjson"))
     assert len(parts) == 4
-    assert not glob.glob(os.path.join(out, "*.inprogress"))
+    # temp files are dot-prefixed, which "*" does not match — check by
+    # listing, not glob, so leftovers actually fail
+    assert not [
+        f for f in os.listdir(out) if f.endswith(".inprogress")
+    ]
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
     back = spark.read.json(os.path.join(out, "part-*.ndjson"))
     assert back.count() == src.count()
     a = {r.doc_id for r in src.collect()}
     b = {r.doc_id for r in back.collect()}
     assert a == b
+
+
+def test_python_datasource_writer_overwrite_clears_stale_parts(
+    spark, sf_dir, tmp_path_factory
+):
+    """mode("overwrite") must leave ONLY the new job's parts: a prior
+    write's part files are removed at commit, so a read-back returns the
+    new data alone, not the union (the append-masquerade bug)."""
+    import glob
+    import os
+
+    from ballista_extensions_spark.io import load_table
+    from ballista_extensions_spark.sources.pysource import register
+
+    register(spark)
+    out = str(tmp_path_factory.mktemp("ndjson_overwrite") / "docs")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    first = src.filter(F.col("doc_id") < 100)
+    second = src.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 150)
+    )
+    first.repartition(4).write.format("ndjson_parts").option(
+        "path", out
+    ).mode("append").save()
+    assert len(glob.glob(os.path.join(out, "part-*.ndjson"))) == 4
+    second.repartition(2).write.format("ndjson_parts").option(
+        "path", out
+    ).mode("overwrite").save()
+    assert len(glob.glob(os.path.join(out, "part-*.ndjson"))) == 2
+    back = spark.read.json(os.path.join(out, "part-*.ndjson"))
+    assert back.count() == 50
+    assert {r.doc_id for r in back.collect()} == {
+        r.doc_id for r in second.collect()
+    }
