@@ -314,6 +314,42 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dup_lsh_verified",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, {_dd_shingles_sql(_DD_TOKS)} AS shingles
+      FROM documents),
+    post AS (SELECT doc, unnest(shingles) AS s FROM sh),
+    kept AS (SELECT s FROM post GROUP BY s HAVING COUNT(*) <= 100),
+    capped AS (SELECT doc, p.s FROM post p JOIN kept k USING (s)),
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM capped GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS DOUBLE) AS i
+      FROM capped a JOIN capped b ON a.s = b.s AND a.doc < b.doc
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, i / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE i / (sa.sz + sb.sz - i) >= 0.35
+    """,
+)
+def near_dup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vs-corpus near-dup pairs via MinHash+LSH candidates with
+    df-capped exact-Jaccard verification
+    (operators/dedup.py:near_dup_pairs_lsh_verified) — the 100 TB dedup
+    path, graded against the SAME brute-force oracle as the exact
+    operator: signatures estimate the capped similarity, 64x2 banding
+    gives ~100% recall at the 0.35 threshold, and verification
+    recomputes the identical small-int ratio, so the output is
+    bit-equal to the exact inverted-index pair join (pytest asserts the
+    equality corpus-wide; here the oracle re-derives it from SQL)."""
+    return D.near_dup_pairs_lsh_verified(
+        load_table(spark, sf_dir, "documents"), threshold=0.35, max_df=100
+    )
+
+
+@register(
     "embedding_norms",
     oracle="""
     SELECT vec_id,
@@ -1565,6 +1601,104 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and dedup joins run once, not per branch
     exact = gated.join(keep, "doc_id").localCheckpoint()
     pairs = D.near_dup_pairs_exact(exact, threshold=0.35, probe_mod=1)
+    comp = dedup_by_components(exact, pairs)
+    reps = exact.join(
+        comp.filter(F.col("is_representative")).select("doc_id"), "doc_id"
+    )
+    return reps.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@register(
+    "curation_pipeline_lsh",
+    oracle=f"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, text, source,
+                 string_split_regex(text, '\\s+') AS toks
+          FROM documents),
+    rep AS (SELECT doc_id, text, source, toks, len(toks) AS n,
+                   list_transform(generate_series(1, len(toks) - 2),
+                       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                     AS tri
+            FROM t WHERE len(toks) >= 3),
+    gated AS (
+      SELECT doc_id, text, source, toks, n FROM rep
+      WHERE CAST(len(list_distinct(toks)) AS DOUBLE) / n >= 0.2
+        AND 1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri) <= 0.5
+        AND CAST(list_max(list_transform(list_distinct(toks),
+                 tk -> len(list_filter(toks, x -> x = tk)))) AS DOUBLE) / n
+            <= 0.5),
+    exact AS (
+      SELECT g.* FROM gated g
+      JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keep FROM gated
+            GROUP BY md5(text)) k
+        ON md5(g.text) = k.h AND g.doc_id = k.keep),
+    sh AS (SELECT doc_id AS doc,
+                  {_dd_shingles_sql("toks")} AS shingles
+           FROM exact),
+    post AS (SELECT doc, unnest(shingles) AS s FROM sh),
+    keptg AS (SELECT s FROM post GROUP BY s HAVING COUNT(*) <= 100),
+    capped AS (SELECT doc, p.s FROM post p JOIN keptg k USING (s)),
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM capped GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS da, b.doc AS db, CAST(COUNT(*) AS DOUBLE) AS i
+      FROM capped a JOIN capped b ON a.s = b.s AND a.doc < b.doc
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT da, db FROM inter
+      JOIN sizes sa ON sa.doc = da
+      JOIN sizes sb ON sb.doc = db
+      WHERE i / (sa.sz + sb.sz - i) >= 0.35),
+    sym AS (SELECT da AS u, db AS v FROM edges
+            UNION SELECT db, da FROM edges),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM exact
+      UNION
+      SELECT s.v, r.label FROM reach r JOIN sym s ON s.u = r.node),
+    comp AS (SELECT node AS doc_id, MIN(label) AS component
+             FROM reach GROUP BY node),
+    reps AS (SELECT e.source, e.n FROM exact e
+             JOIN comp c ON c.doc_id = e.doc_id
+             WHERE c.component = e.doc_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM reps GROUP BY source
+    """,
+)
+def curation_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation chain on its 100 TB dedup path: identical gate ->
+    exact dedup -> closure -> summary as ``curation_pipeline_summary``,
+    but the closure's edges come from MinHash+LSH candidate generation
+    with capped-exact-Jaccard verification
+    (operators/dedup.py:near_dup_pairs_lsh_verified) instead of the full
+    inverted-index pair join. The verified candidate edges are bit-equal
+    to the exact operator's (banding recall ~100% at threshold 0.35,
+    verification exact — pytest asserts edge-set equality), so this
+    variant shares the exact chain's recursive-CTE oracle: the SQL
+    below is the same end-to-end replay, proving the LSH path preserves
+    the whole pipeline's semantics, not just the pair stage's."""
+    from ballista_extensions_spark.operators.components import (
+        dedup_by_components,
+    )
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    rep = T.repetition_stats(d)
+    gate_ids = rep.filter(
+        (F.col("distinct_ratio") >= 0.2)
+        & (F.col("dup_trigram_frac") <= 0.5)
+        & (F.col("top_token_frac") <= 0.5)
+    ).select("doc_id", "n_tokens")
+    gated = d.join(gate_ids, "doc_id")
+    keep = (
+        gated.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact = gated.join(keep, "doc_id").localCheckpoint()
+    pairs = D.near_dup_pairs_lsh_verified(exact, threshold=0.35)
     comp = dedup_by_components(exact, pairs)
     reps = exact.join(
         comp.filter(F.col("is_representative")).select("doc_id"), "doc_id"

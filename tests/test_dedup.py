@@ -79,6 +79,43 @@ def test_minhash_recall_vs_exact(documents):
     assert recall >= 0.5, f"recall {recall:.2f} over {len(exact)} true pairs"
 
 
+def test_lsh_verified_equals_exact_pairs(documents):
+    """The LSH-candidate path must reproduce the exact inverted-index
+    pair join BIT-EXACTLY (same pairs, same jaccard values): banding
+    recall at the defaults is ~100% at threshold 0.35 and verification
+    recomputes the identical capped ratio. This equality is what lets
+    near_dup_lsh_verified and curation_pipeline_lsh share the exact
+    path's SQL oracles."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.near_dup_pairs_exact(
+            documents, threshold=0.35, probe_mod=1
+        ).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.near_dup_pairs_lsh_verified(
+            documents, threshold=0.35
+        ).collect()
+    }
+    assert exact == lsh
+
+
+def test_curation_chain_lsh_equals_exact_chain(spark, sf_dir):
+    """The end-to-end curation chain must yield the same per-source
+    survivor summary whether its closure consumes exact pairs or
+    LSH-verified candidates."""
+    from ballista_extensions_spark.queries.registry import get_queries
+
+    qs = get_queries()
+    a = {
+        tuple(r)
+        for r in qs["curation_pipeline_summary"](spark, sf_dir).collect()
+    }
+    b = {tuple(r) for r in qs["curation_pipeline_lsh"](spark, sf_dir).collect()}
+    assert a == b
+
+
 def test_simhash_identical_zero_distance(spark):
     rows = [
         (1, "aaa bbb ccc ddd eee"),
