@@ -2,11 +2,15 @@
 with typed metadata, processed by Arrow-batched pandas iterators.
 
 The Spark-side machinery — schema, partition sizing, mapInPandas batch
-shape, deterministic fakes — is real and tested; the actual media codecs
-(PIL/librosa/ffmpeg) are NOT in this container, so the decode kernels are
-stubbed behind clearly-marked hooks: `set_image_decoder()` installs a
-real one; the default raises NotImplementedError unless
-``fake=True`` (deterministic fake used by tests and demos).
+shape, deterministic fakes — is real and tested. Heavyweight media
+codecs (PIL/librosa/ffmpeg) are NOT in this container; the hooks accept
+any (`set_image_decoder()` etc.), and a REAL pure-Python BMP/PPM codec
+ships in ``operators/imagecodec.py`` — its ``install()`` wires decode,
+nearest-neighbor resize, and grid-pooling features, all exercised on
+real encoded bytes by tests and the ``multimodal_decode_real`` query.
+With no decoder given, ``fake=True`` selects a deterministic fake
+(used by the stub-parity oracle query) and otherwise the ops raise
+NotImplementedError at plan time.
 
 Scale notes: media blobs make rows heavy — the ops repartition by blob
 budget (`target_rows_per_batch`) and rely on
@@ -91,23 +95,66 @@ def docs_as_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_images(df: DataFrame, *, fake: bool = False) -> DataFrame:
+def docs_as_bmp_media(documents: DataFrame) -> DataFrame:
+    """Adapter producing REAL encoded image payloads from driver data:
+    each document becomes a 24-bit BMP (operators/imagecodec.py encoder)
+    whose dimensions derive arithmetically from ``n_chars``
+    (w = 4 + n%29, h = 4 + n%23) and whose pixels tile the text bytes —
+    deterministic, so a SQL oracle can predict the decoded metadata
+    (byte_len = 54 + rowpad(3w)*h) while the payload is a genuine BMP
+    the real decoder must parse. Encoding runs in mapInPandas
+    (Arrow-batched, distributed), same shape as the decode side."""
+    import numpy as np
+
+    from ballista_extensions_spark.operators.imagecodec import encode_bmp
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                n = len(b)
+                w, h = 4 + n % 29, 4 + n % 23
+                need = w * h * 3
+                buf = np.frombuffer(
+                    (b * (need // max(1, n) + 1))[:need], dtype=np.uint8
+                )
+                ids.append(mid)
+                payloads.append(encode_bmp(buf.reshape(h, w, 3)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return documents.select("doc_id", "text").mapInPandas(
+        _encode, schema="media_id long, payload binary"
+    )
+
+
+def decode_images(
+    df: DataFrame,
+    *,
+    fake: bool = False,
+    decoder: Callable[[bytes], tuple[int, int, int]] | None = None,
+) -> DataFrame:
     """Decode image payloads to (width, height, channels) metadata via
     mapInPandas (Arrow-batched; one python worker per partition, no
     driver involvement).
 
-    With no real decoder installed and fake=False this raises
+    Decoder precedence: the explicit ``decoder`` argument, else the
+    deterministic fake when ``fake=True`` (ALWAYS the fake — a
+    globally installed codec must not silently change a query that
+    promised fake semantics to its oracle), else the global
+    ``set_image_decoder`` hook. With none of the three this raises
     NotImplementedError at *plan* time — fail fast, not per-task.
+    A real pure-Python BMP/PPM codec ships in
+    ``operators/imagecodec.py`` (``install()`` wires all three hooks).
     """
-    decoder = _image_decoder
     if decoder is None:
-        if not fake:
-            raise NotImplementedError(
-                "no image decoder installed in this container; call "
-                "set_image_decoder(...) or pass fake=True for the "
-                "deterministic stub"
-            )
-        decoder = _fake_decode
+        decoder = _fake_decode if fake else _image_decoder
+    if decoder is None:
+        raise NotImplementedError(
+            "no image decoder installed in this container; call "
+            "set_image_decoder(...) (operators/imagecodec.py:install "
+            "ships one) or pass fake=True for the deterministic stub"
+        )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -215,7 +262,12 @@ def _fake_features(payload: bytes, dim: int = 16) -> list[float]:
 
 
 def resize_images(
-    df: DataFrame, target_w: int = 224, target_h: int = 224, *, fake: bool = False
+    df: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    *,
+    fake: bool = False,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
 ) -> DataFrame:
     """Resize image payloads via mapInPandas (Arrow-batched). Output:
     (media_id, payload, width, height, byte_len) with the resized bytes.
@@ -227,14 +279,14 @@ def resize_images(
     Scale: narrow per-row transform; at 100 TB runs as one Python worker
     per input partition with Arrow transfer, output co-partitioned with
     the input (no shuffle)."""
-    resizer = _image_resizer
     if resizer is None:
-        if not fake:
-            raise NotImplementedError(
-                "no image resizer installed; call set_image_resizer(...) "
-                "or pass fake=True for the deterministic stub"
-            )
-        resizer = _fake_resize
+        resizer = _fake_resize if fake else _image_resizer
+    if resizer is None:
+        raise NotImplementedError(
+            "no image resizer installed; call set_image_resizer(...) "
+            "(operators/imagecodec.py:install ships one) or pass "
+            "fake=True for the deterministic stub"
+        )
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -270,7 +322,11 @@ def resize_images(
 
 
 def extract_features(
-    df: DataFrame, dim: int = 16, *, fake: bool = False
+    df: DataFrame,
+    dim: int = 16,
+    *,
+    fake: bool = False,
+    extractor: Callable[[bytes], list[float]] | None = None,
 ) -> DataFrame:
     """Embed payloads to fixed-dim float vectors via mapInPandas —
     the bridge from raw media to the engine's ANN/near-dup operators
@@ -280,14 +336,16 @@ def extract_features(
     Model is pluggable (set_feature_extractor); fake=False without one
     raises at plan time. Scale: same narrow Arrow-batched shape as
     decode_images; model weights load once per worker, not per row."""
-    extractor = _feature_extractor
     if extractor is None:
-        if not fake:
-            raise NotImplementedError(
-                "no feature extractor installed; call "
-                "set_feature_extractor(...) or pass fake=True"
-            )
-        extractor = lambda b: _fake_features(b, dim)  # noqa: E731
+        extractor = (
+            (lambda b: _fake_features(b, dim)) if fake else _feature_extractor
+        )
+    if extractor is None:
+        raise NotImplementedError(
+            "no feature extractor installed; call "
+            "set_feature_extractor(...) (operators/imagecodec.py:install "
+            "ships one) or pass fake=True"
+        )
 
     def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

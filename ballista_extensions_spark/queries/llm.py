@@ -446,6 +446,42 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_real",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(4 + octet_length(encode(text)) % 29 AS INT) AS width,
+           CAST(4 + octet_length(encode(text)) % 23 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(54 + ((3 * (4 + octet_length(encode(text)) % 29) + 3) // 4 * 4)
+                     * (4 + octet_length(encode(text)) % 23) AS BIGINT)
+             AS byte_len,
+           CAST(NULL AS VARCHAR) AS decode_error
+    FROM documents
+    """,
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: documents are encoded as genuine
+    24-bit BMP files (operators/multimodal.py:docs_as_bmp_media — real
+    header, bottom-up padded BGR rows) in one mapInPandas pass, then
+    parsed back by the shipped pure-Python codec
+    (operators/imagecodec.py:decode_image) in another. The oracle
+    predicts width/height/channels/byte_len arithmetically (BMP size =
+    54 + 4-byte-padded rows), so a hash match proves the encoder emits
+    spec-correct files AND the decoder reads real bytes — no stub in
+    the loop, unlike multimodal_decode_meta's fake-parity check."""
+    from ballista_extensions_spark.operators.imagecodec import decode_image
+    from ballista_extensions_spark.operators.multimodal import (
+        decode_images,
+        docs_as_bmp_media,
+    )
+
+    media = docs_as_bmp_media(
+        ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    )
+    return decode_images(media, decoder=decode_image)
+
+
+@register(
     "dedup_components",
     oracle=f"""
     WITH RECURSIVE
