@@ -285,6 +285,36 @@ def join_right_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_left_mark",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal AS bal,
+           EXISTS(SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT') AS has_urgent
+    FROM customer
+    """,
+)
+def join_left_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT MARK join (proto/datafusion_common.proto:88, LEFTMARK = 9) as
+    user-facing API: every customer row with a boolean mark — does an
+    urgent order exist? — via operators/joins.py:exists_flag_join. This
+    is the tenth join type surfaced directly (q4 exercises the same
+    ExistenceJoin through SQL EXISTS); the equi-key path is ONE
+    outer join against distinct keys, no row multiplication."""
+    from ballista_extensions_spark.operators.joins import exists_flag_join
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.col("c_acctbal").alias("bal")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return exists_flag_join(c, o, ["c_custkey"], flag="has_urgent")
+
+
+@register(
     "join_cross",
     oracle="""
     SELECT r_name, n_name

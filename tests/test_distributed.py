@@ -1,0 +1,73 @@
+"""Distributed-boundary smoke: run real queries on ``local-cluster``.
+
+The reference's whole point is plans crossing process boundaries —
+client -> scheduler -> executor (examples/ballista_client.rs:26-41,
+examples/ballista_scheduler.rs:27-56). Everything else in this suite
+runs ``local[32]`` (one JVM, no serialization boundary). This test
+starts a REAL multi-process cluster — ``local-cluster[2,2,2048]``
+spawns two separate executor JVMs under a standalone-style scheduler —
+and drives three representative paths across it:
+
+- the flagship ``entry()`` (scan -> sample -> filter -> agg),
+- an exact-dedup shuffle (groupBy on md5),
+- a mapInPandas query whose Python workers must import the engine
+  package shipped via addPyFile (multimodal_decode_real: the pickled
+  closure references operators/imagecodec.py, which only reaches the
+  executors through io.ensure_engine_confs' package zip).
+
+It runs in a SUBPROCESS so the session fixture's local[32] JVM and the
+cluster JVMs never fight over one driver process.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+_SCRIPT = r"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+from ballista_extensions_spark.session import get_session
+import __spark_entry__ as e
+
+spark = get_session("distributed-smoke")
+out = {"master": spark.sparkContext.master}
+qs = e.queries()
+sf = "/root/testdata/sf0.001"
+out["entry_rows"] = len(e.entry(spark).collect())
+out["dedup_rows"] = len(qs["dedup_exact"](spark, sf).collect())
+decoded = qs["multimodal_decode_real"](spark, sf).collect()
+out["decode_rows"] = len(decoded)
+out["decode_errors"] = sum(1 for r in decoded if r.decode_error is not None)
+spark.stop()
+print("RESULT:" + json.dumps(out))
+"""
+
+
+def test_queries_survive_scheduler_boundary():
+    env = dict(os.environ)
+    env["SPARK_GRAFT_MASTER"] = "local-cluster[2,2,2048]"
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd="/tmp",  # NOT the repo: proves the addPyFile zip, not cwd,
+        # delivers the package to executor python workers
+    )
+    lines = [
+        line for line in proc.stdout.splitlines() if line.startswith("RESULT:")
+    ]
+    assert proc.returncode == 0 and lines, (
+        f"subprocess failed rc={proc.returncode}\n"
+        f"stdout tail: {proc.stdout[-2000:]}\nstderr tail: {proc.stderr[-2000:]}"
+    )
+    got = json.loads(lines[0][len("RESULT:") :])
+    assert got["master"] == "local-cluster[2,2,2048]"
+    assert got["entry_rows"] > 0
+    assert got["dedup_rows"] > 0
+    assert got["decode_rows"] > 0
+    assert got["decode_errors"] == 0

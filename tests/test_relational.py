@@ -92,3 +92,30 @@ def test_exists_decorrelates_to_semi(spark, sf_dir):
     Spark's LEFT MARK equivalent (proto/datafusion_common.proto:86)."""
     plan = _plan(get_queries()["q4_order_priority_exists"](spark, sf_dir))
     assert "LeftSemi" in plan or "ExistenceJoin" in plan
+
+
+def test_exists_flag_join_paths_agree(spark, sf_dir):
+    """exists_flag_join: the one-pass equi-key path and the semi/anti
+    union path must produce identical marks, the left side must never
+    multiply, and the flag must be non-null."""
+    from pyspark.sql import functions as F
+
+    from ballista_extensions_spark.io import load_table
+    from ballista_extensions_spark.operators.joins import exists_flag_join
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    eq = exists_flag_join(
+        c, o.select(F.col("o_custkey").alias("c_custkey")), ["c_custkey"]
+    )
+    cond = exists_flag_join(
+        c, o, F.col("c_custkey") == F.col("o_custkey")
+    )
+    a = {r.c_custkey: r.exists for r in eq.collect()}
+    b = {r.c_custkey: r.exists for r in cond.collect()}
+    assert a == b
+    assert len(a) == c.count()  # no multiplication, no drops
+    assert all(v is not None for v in a.values())
+    assert any(a.values()) and not all(a.values())
