@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ballista_extensions_spark.functions.exact import lcount
 from ballista_extensions_spark.io import ensure_parallelism, load_table
 from ballista_extensions_spark.operators import dedup as D
 from ballista_extensions_spark.operators import similarity as S
@@ -1783,4 +1784,353 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") == 1)
         .drop("rn")
+    )
+
+
+@register(
+    "doc_char_class_profile",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                AS BIGINT) AS n_digits,
+           CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+                AS BIGINT) AS n_upper,
+           CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+                AS BIGINT) AS n_alpha,
+           CAST(length(text) - length(regexp_replace(text, ' ', '', 'g'))
+                AS BIGINT) AS n_spaces
+    FROM documents
+    """,
+)
+def doc_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-class census (digits/upper/alpha/spaces)
+    via length-difference after class deletion — pure codegen'd string
+    ops, zero shuffle, exact integers; the character-level complement
+    of the token-level quality stats."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def cnt(pat: str):
+        return (
+            F.length("text")
+            - F.length(F.regexp_replace("text", pat, ""))
+        ).cast("long")
+
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        cnt("[0-9]").alias("n_digits"),
+        cnt("[A-Z]").alias("n_upper"),
+        cnt("[a-zA-Z]").alias("n_alpha"),
+        cnt(" ").alias("n_spaces"),
+    )
+
+
+@register(
+    "token_length_histogram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_DD_TOKS}) AS t FROM documents)
+    SELECT CAST(length(t) AS INT) AS token_len,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT t) AS BIGINT) AS n_distinct
+    FROM toks WHERE length(t) > 0
+    GROUP BY length(t)
+    """,
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length distribution — explode tokens, group by
+    length. Partial aggregation collapses the exploded rows map-side
+    before the one small shuffle (token lengths have tiny cardinality);
+    the distinct count rides the same exchange."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        F.explode(F.expr(T.TOKENS_SQL.format(col="text"))).alias("t")
+    ).filter(F.length("t") > 0)
+    return toks.groupBy(
+        F.length("t").cast("int").alias("token_len")
+    ).agg(
+        lcount("n_tokens"),
+        F.count_distinct(F.col("t")).cast("long").alias("n_distinct"),
+    )
+
+
+@register(
+    "near_dup_threshold_sweep",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, {_dd_shingles_sql(_DD_TOKS)} AS shingles
+      FROM documents),
+    post AS (SELECT doc, unnest(shingles) AS s FROM sh),
+    kept AS (SELECT s FROM post GROUP BY s HAVING COUNT(*) <= 100),
+    capped AS (SELECT doc, p.s FROM post p JOIN kept k USING (s)),
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM capped GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS DOUBLE) AS i
+      FROM capped a JOIN capped b ON a.s = b.s AND a.doc < b.doc
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT i / (sa.sz + sb.sz - i) AS j
+      FROM inter
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+      WHERE i / (sa.sz + sb.sz - i) >= 0.2)
+    SELECT CAST(floor(j * 10) / 10 AS DOUBLE) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM jac GROUP BY floor(j * 10) / 10
+    """,
+)
+def near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-threshold calibration report: ONE capped-Jaccard pair
+    pass (the same inverted-index join the dedup family uses) bucketed
+    by jaccard decile — the sweep a pipeline owner runs to pick the
+    dedup threshold, as a single query instead of N re-runs. Bucket
+    edges apply floor() to bit-exact doubles, so binning is stable
+    across engines."""
+    pairs = D.near_dup_pairs_exact(
+        load_table(spark, sf_dir, "documents"), threshold=0.2, probe_mod=1
+    )
+    return pairs.groupBy(
+        (F.floor(F.col("jaccard") * 10) / 10)
+        .cast("double")
+        .alias("bucket_lo")
+    ).agg(lcount("n_pairs"))
+
+
+@register(
+    "dup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, {_dd_shingles_sql(_DD_TOKS)} AS s FROM documents),
+    post AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+    kept AS (SELECT tok FROM post GROUP BY tok HAVING COUNT(*) <= 100),
+    capped AS (SELECT doc_id, p.tok FROM post p JOIN kept k USING (tok)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS DOUBLE) AS i
+      FROM capped a JOIN capped b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    edges AS (
+      SELECT da, db FROM inter
+      JOIN sizes sa ON sa.doc_id = da
+      JOIN sizes sb ON sb.doc_id = db
+      WHERE i / (sa.sz + sb.sz - i) >= 0.35),
+    sym AS (SELECT da AS u, db AS v FROM edges
+            UNION SELECT db, da FROM edges),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.v, r.label FROM reach r JOIN sym s ON s.u = r.node),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+    csize AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM csize GROUP BY sz
+    """,
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup QA report: how
+    many clusters of each size does the near-dup graph contain
+    (singletons included)? Connected components over the capped-Jaccard
+    edges, then two tiny aggregates. The oracle replays the closure as
+    a recursive CTE."""
+    from ballista_extensions_spark.operators.components import (
+        connected_components,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs_exact(d, threshold=0.35, probe_mod=1)
+    comp = connected_components(
+        d.select("doc_id"), pairs, id_col="doc_id", src="doc_a", dst="doc_b"
+    )
+    csize = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return csize.groupBy(F.col("sz").cast("long").alias("cluster_size")).agg(
+        lcount("n_clusters")
+    )
+
+
+@register(
+    "token_cooccurrence_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+    p AS (
+      SELECT unnest(list_slice(toks, 1, len(toks) - 1)) AS t_a,
+             unnest(list_slice(toks, 2, len(toks))) AS t_b
+      FROM t WHERE len(toks) >= 2
+      UNION ALL
+      SELECT unnest(list_slice(toks, 1, len(toks) - 2)),
+             unnest(list_slice(toks, 3, len(toks)))
+      FROM t WHERE len(toks) >= 3)
+    SELECT t_a, t_b, CAST(COUNT(*) AS BIGINT) AS n_cooc
+    FROM p
+    WHERE t_a <> '' AND t_b <> ''
+    GROUP BY t_a, t_b
+    ORDER BY n_cooc DESC, t_a, t_b LIMIT 25
+    """,
+)
+def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top skip-gram co-occurrences (ordered pairs within distance <= 2)
+    — the collocation statistic under PMI/word-vector pipelines. Pairs
+    are built by zipping the token array against its 1- and 2-shifted
+    slices (constant evaluations per row, codegen-friendly — same
+    rationale as shingle_expr), partial-aggregated map-side, one
+    shuffle, then a deterministic (count desc, pair) top-k."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = d.select(F.expr(T.TOKENS_SQL.format(col="text")).alias("toks"))
+    pair_expr = (
+        "concat("
+        "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+        "         slice(toks, 2, greatest(size(toks) - 1, 0)),"
+        "         (a, b) -> struct(a AS t_a, b AS t_b)),"
+        "zip_with(slice(toks, 1, greatest(size(toks) - 2, 0)),"
+        "         slice(toks, 3, greatest(size(toks) - 2, 0)),"
+        "         (a, b) -> struct(a AS t_a, b AS t_b)))"
+    )
+    pairs = (
+        toks.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.t_a", "p.t_b")
+        .filter((F.col("t_a") != "") & (F.col("t_b") != ""))
+    )
+    return (
+        pairs.groupBy("t_a", "t_b")
+        .agg(lcount("n_cooc"))
+        .orderBy(F.col("n_cooc").desc(), "t_a", "t_b")
+        .limit(25)
+    )
+
+
+@register(
+    "docs_quality_quartiles",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, len(toks) AS n,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ratio
+      FROM t WHERE len(toks) >= 3),
+    q AS (SELECT doc_id, n, ratio,
+                 NTILE(4) OVER (ORDER BY ratio, doc_id) AS quartile
+          FROM scored)
+    SELECT CAST(quartile AS INT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(MIN(ratio) AS DOUBLE) AS min_ratio,
+           CAST(MAX(ratio) AS DOUBLE) AS max_ratio
+    FROM q GROUP BY quartile
+    """,
+)
+def docs_quality_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality quartiles by distinct-token ratio: deterministic
+    (ratio, doc_id) ntile, then per-quartile size/token totals and
+    ratio bounds — min/max (order-free, exact) rather than a float
+    mean, so the whole report is bit-stable. The ntile sorts one row
+    per SURVIVING doc (len >= 3), not the corpus text."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = F.expr(T.TOKENS_SQL.format(col="text"))
+    scored = d.select(
+        "doc_id", F.size(toks).alias("n"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("ratio"),
+    ).filter(F.col("n") >= 3)
+    w = Window.orderBy("ratio", "doc_id")
+    q = scored.withColumn("quartile", F.ntile(4).over(w))
+    return q.groupBy(F.col("quartile").cast("int").alias("quartile")).agg(
+        lcount("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.min("ratio").cast("double").alias("min_ratio"),
+        F.max("ratio").cast("double").alias("max_ratio"),
+    )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    WITH expanded AS (
+      SELECT label, vec_id,
+             unnest(generate_series(1, len(embedding))) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings),
+    grouped AS (
+      SELECT label, dim,
+             list(val ORDER BY vec_id) AS vals,
+             COUNT(*) AS n
+      FROM expanded GROUP BY label, dim)
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE), vals),
+                            (acc, v) -> acc + v) / n AS DOUBLE) AS centroid,
+           CAST(n AS BIGINT) AS n_vectors
+    FROM grouped
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the class-prototype/IVF-training
+    primitive — with bit-exact float discipline: each (label, dim)
+    group's values fold in ASCENDING vec_id order (collect -> sort ->
+    sequential sum), the same order the oracle's list_reduce uses, so
+    the double sum is bit-identical rather than shuffle-order-dependent.
+    Scale: the explode is narrow (rows x dims), the fold happens on one
+    row per (label, dim) group; for production-size groups switch to a
+    tree aggregate and accept order-defined (not order-free) semantics."""
+    e = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    expanded = e.select(
+        "label",
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        "vec_id",
+        F.col("val").cast("double").alias("val"),
+    )
+    grouped = expanded.groupBy("label", "dim").agg(
+        F.sort_array(
+            F.collect_list(F.struct("vec_id", "val"))
+        ).alias("pairs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return grouped.select(
+        "label",
+        F.col("dim").cast("int").alias("dim"),
+        (
+            F.aggregate(
+                F.transform(F.col("pairs"), lambda x: x["val"]),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.col("n")
+        )
+        .cast("double")
+        .alias("centroid"),
+        F.col("n").cast("long").alias("n_vectors"),
+    )
+
+
+@register(
+    "source_lang_crosstab",
+    oracle="""
+    SELECT source,
+           CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+           CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+           CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+           CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+    FROM documents GROUP BY source
+    """,
+)
+def source_lang_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source x language contingency table via pivot with a PINNED
+    column domain (the corpus's five langs) — pinning keeps the pivot
+    single-pass (no distinct-values pre-query) and the output schema
+    stable, which is what a production pivot at scale requires."""
+    d = load_table(spark, sf_dir, "documents")
+    out = (
+        d.groupBy("source")
+        .pivot("lang", ["de", "en", "es", "fr", "zh"])
+        .count()
+    )
+    return out.select(
+        "source",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+          for c in ["de", "en", "es", "fr", "zh"]],
     )
