@@ -158,18 +158,18 @@ def assert_no_exchange(df: DataFrame) -> None:
 def assert_plan_stable(build_df, times: int = 2) -> None:
     """Same plan from repeated construction — the Spark-native form of
     the reference's serialization round-trip test (tests/e2e.rs:53-92).
-    Expression ids (#123) and generated subexpression aliases
-    (_common_expr_N from FILTER/count_if rewrites, _groupingexpression_N)
-    are globally monotonic allocation counters, not plan structure, so
-    they are normalized away before comparing."""
-    plans = {
-        re.sub(
-            r"(_common_expr_|_groupingexpression_?)\d+",
-            r"\1",
-            re.sub(r"#\d+", "#", optimized_plan(build_df())),
-        )
-        for _ in range(times)
-    }
+    Expression ids (#123), generated subexpression aliases
+    (_common_expr_N from FILTER/count_if rewrites, _groupingexpression_N),
+    and higher-order-function lambda variables (lambda x_7 from
+    transform/aggregate — UnresolvedNamedLambdaVariable suffixes share the
+    same global counter) are globally monotonic allocation counters, not
+    plan structure, so they are normalized away before comparing."""
+    def _norm(text: str) -> str:
+        text = re.sub(r"#\d+", "#", text)
+        text = re.sub(r"(_common_expr_|_groupingexpression_?)\d+", r"\1", text)
+        return re.sub(r"\blambda ([A-Za-z]+)_\d+", r"lambda \1_", text)
+
+    plans = {_norm(optimized_plan(build_df())) for _ in range(times)}
     if len(plans) != 1:
         raise AssertionError("plan text differs across constructions")
 

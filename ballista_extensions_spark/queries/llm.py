@@ -862,25 +862,23 @@ def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulated, and each doc assigned the 2048-token bin its first
     token lands in.
 
-    The unpartitioned running-sum window is a single sorted task — fine
-    for a dimension-sized manifest; at corpus scale you pack WITHIN
-    shards (partitionBy(shard) windows) and concatenate shard outputs,
-    which this same expression tree does once a shard column exists."""
+    The global running sum is computed by the two-phase distributed
+    prefix (operators/prefix.py) — range partition on doc_id,
+    per-partition running sums, O(num_partitions) driver offsets
+    broadcast back — so NO single-task window appears and the same plan
+    packs a 100 TB corpus manifest; long addition is exact, so parity
+    with the oracle's global window is bit-level."""
+    from ballista_extensions_spark.operators.prefix import distributed_cumsum
+
     d = load_table(spark, sf_dir, "documents")
     tok_sql = T.TOKENS_SQL.format(col="text")
     t = d.select(
         "doc_id", F.expr(f"size({tok_sql})").cast("long").alias("n_tokens")
     )
-    w = (
-        Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    o = t.select(
+    o = distributed_cumsum(t, ["doc_id"], "n_tokens", out_col="__cum").select(
         "doc_id",
         "n_tokens",
-        F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-        .cast("long")
-        .alias("offset_tokens"),
+        (F.col("__cum") - F.col("n_tokens")).cast("long").alias("offset_tokens"),
     )
     return o.select(
         "doc_id",

@@ -1,0 +1,90 @@
+"""Distributed prefix aggregation: row-for-row parity with the global
+window, determinism across runs, and the no-single-partition-window plan
+contract (the whole point of the operator)."""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.window import Window
+
+from ballista_extensions_spark.io import load_table
+from ballista_extensions_spark.operators.prefix import (
+    distributed_cumsum,
+    distributed_row_number,
+)
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
+        )
+        .repartition(8)  # scramble so range partitioning has real work
+        .localCheckpoint()
+    )
+
+
+ORDER = ["l_orderkey", "l_linenumber"]
+
+
+def test_cumsum_matches_global_window(lineitem):
+    got = distributed_cumsum(lineitem, ORDER, "v", out_col="cum")
+    w = Window.orderBy(*ORDER).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = lineitem.withColumn("cum", F.sum("v").over(w))
+    key = lambda r: (r["l_orderkey"], r["l_linenumber"])
+    g = {key(r): r["cum"] for r in got.collect()}
+    e = {key(r): r["cum"] for r in want.collect()}
+    assert g == e
+
+
+def test_row_number_matches_global_window(lineitem):
+    got = distributed_row_number(lineitem, ORDER, out_col="rn")
+    w = Window.orderBy(*ORDER)
+    want = lineitem.withColumn("rn", F.row_number().over(w).cast("long"))
+    key = lambda r: (r["l_orderkey"], r["l_linenumber"])
+    g = {key(r): r["rn"] for r in got.collect()}
+    e = {key(r): r["rn"] for r in want.collect()}
+    assert g == e
+
+
+def test_cumsum_deterministic_across_runs(lineitem):
+    a = distributed_cumsum(lineitem, ORDER, "v", out_col="cum").collect()
+    b = distributed_cumsum(lineitem, ORDER, "v", out_col="cum").collect()
+    key = lambda r: (r["l_orderkey"], r["l_linenumber"])
+    assert {key(r): r["cum"] for r in a} == {key(r): r["cum"] for r in b}
+
+
+def test_no_unpartitioned_window_in_plan(lineitem):
+    """The operator exists to avoid WindowExec's all-to-one path: every
+    Window node in the physical plan must carry a partition spec."""
+    df = distributed_cumsum(lineitem, ORDER, "v", out_col="cum")
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    for line in phys.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__bx_pid" in line, line
+
+
+def test_row_number_dense_and_total(lineitem):
+    n = lineitem.count()
+    got = distributed_row_number(lineitem, ORDER, out_col="rn")
+    rns = [r["rn"] for r in got.select("rn").collect()]
+    assert sorted(rns) == list(range(1, n + 1))
+
+
+def test_cumsum_respects_explicit_partitions(lineitem):
+    got = distributed_cumsum(
+        lineitem, ORDER, "v", out_col="cum", num_partitions=3
+    )
+    w = Window.orderBy(*ORDER).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = lineitem.withColumn("cum", F.sum("v").over(w))
+    key = lambda r: (r["l_orderkey"], r["l_linenumber"])
+    g = {key(r): r["cum"] for r in got.collect()}
+    e = {key(r): r["cum"] for r in want.collect()}
+    assert g == e
