@@ -1,0 +1,139 @@
+"""Deterministic hash-randomized sampling and history compaction.
+
+Extends the reference's sampling surface (ballista_extensions'
+``sample`` logical node, src/logical.rs:21-74, is an unweighted
+Bernoulli operator) with the weighted/grouped variants an LLM-data
+pipeline actually runs: importance-weighted corpus draws, per-stratum
+exact-k draws, and SCD2 history compaction for incremental corpus
+metadata.
+
+Randomness discipline: every "random" draw here is a pure function of
+(seed, row key) via md5 — the same recipe as `sample`'s xxhash64 gate
+but md5 so a SQL oracle can replay it bit-for-bit (DuckDB and Spark
+agree on md5 hex). Deterministic across runs, partitionings, and
+cluster sizes; re-running a 100 TB job reproduces the same sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "uniform_from_hash",
+    "weighted_sample",
+    "group_sample_exact_k",
+    "scd2_compact",
+]
+
+# 15 hex digits = 60 bits; (h + 1) / 2^60 lies in (0, 1] — never 0, so
+# pow(u, 1/w) and log(u) are always finite.
+_DENOM = float(1 << 60)
+
+
+def uniform_from_hash(key: Column, seed: int = 42) -> Column:
+    """Deterministic uniform draw in (0, 1] from md5(seed|key).
+
+    SQL-oracle twin (DuckDB):
+    ``(CAST('0x' || substr(md5(<seed>|| '|' || key),1,15) AS BIGINT)+1)/2^60``
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), key)), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return (h + F.lit(1)).cast("double") / F.lit(_DENOM)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """A-Res weighted reservoir sampling (Efraimidis & Spirakis 2006):
+    each row draws priority u^(1/w); the k highest priorities form an
+    exact-k sample where inclusion probability is proportional to
+    weight. Rows with weight <= 0 are excluded (their priority would be
+    ill-defined).
+
+    Scale: orderBy(...).limit(k) compiles to TakeOrderedAndProject —
+    per-partition top-k heaps merged on the driver, O(k) driver memory,
+    no global sort materialization. The draw is deterministic per
+    (seed, key), so the sample is stable across partitionings."""
+    u = uniform_from_hash(F.col(key_col), seed)
+    pri = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__pri", pri)
+        .orderBy(F.col("__pri").desc(), F.col(key_col))
+        .limit(k)
+        .drop("__pri")
+    )
+
+
+def group_sample_exact_k(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, drawn uniformly without
+    replacement: rank rows inside each group by their hash-uniform and
+    keep the first k. The complement of `sample_by` (fraction-based,
+    approximate count) when downstream needs fixed-size strata — eval
+    set construction, per-language inspection samples.
+
+    Scale: one hash shuffle on the group key; the window is partitioned
+    (never all-to-one) and rank<=k truncates before anything wide."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        uniform_from_hash(F.col(key_col), seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def scd2_compact(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    attr_col: str,
+) -> DataFrame:
+    """Compact a change history into SCD2 validity intervals: per key,
+    consecutive runs of an identical attribute value collapse to one
+    row carrying [valid_from, valid_to) bounds (valid_to NULL for the
+    current run). The standard islands construction: a lag-change flag,
+    a per-key running count of changes (the island id), then one
+    aggregate per island.
+
+    Scale: both windows partition by the key — parallel across keys, no
+    global sort; the aggregate is one shuffle on (key, island)."""
+    order = [F.col(c) for c in order_cols]
+    wseq = Window.partitionBy(key_col).orderBy(*order)
+    first_order = order_cols[0]
+    changed = F.when(
+        F.lag(attr_col).over(wseq).eqNullSafe(F.col(attr_col)), F.lit(0)
+    ).otherwise(F.lit(1))
+    runs = df.withColumn(
+        "__island",
+        F.sum(changed).over(
+            wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    islands = runs.groupBy(key_col, "__island", attr_col).agg(
+        F.min(first_order).alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    wnext = Window.partitionBy(key_col).orderBy("__island")
+    return islands.select(
+        key_col,
+        attr_col,
+        "valid_from",
+        F.lead("valid_from").over(wnext).alias("valid_to"),
+        "n_rows",
+    )
