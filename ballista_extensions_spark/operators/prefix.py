@@ -74,10 +74,18 @@ def distributed_cumsum(
         .collect()
     )
     totals.sort(key=lambda r: r[_PID])
+    # NULL discipline matches SUM OVER: NULL values contribute nothing to
+    # the running sum, and a prefix that has seen only NULLs is NULL. A
+    # partition whose values are all NULL therefore adds 0 to later
+    # partitions' offsets (not None, which would poison the accumulation),
+    # and the offset add below must not turn a NULL local prefix into NULL
+    # output when earlier partitions did contribute.
     offsets, acc = [], None
     for r in totals:
         offsets.append((r[_PID], acc))
-        acc = r["__t"] if acc is None else acc + r["__t"]
+        t = r["__t"]
+        if t is not None:
+            acc = t if acc is None else acc + t
     spark = df.sparkSession
     total_type = local.schema[_LOCAL].dataType
     off_df = spark.createDataFrame(
@@ -85,8 +93,10 @@ def distributed_cumsum(
         schema=f"{_PID} int, {_OFF} {total_type.simpleString()}",
     )
     joined = local.join(F.broadcast(off_df), _PID)
-    cum = F.when(F.col(_OFF).isNull(), F.col(_LOCAL)).otherwise(
-        F.col(_LOCAL) + F.col(_OFF)
+    cum = (
+        F.when(F.col(_OFF).isNull(), F.col(_LOCAL))
+        .when(F.col(_LOCAL).isNull(), F.col(_OFF))
+        .otherwise(F.col(_LOCAL) + F.col(_OFF))
     )
     return joined.withColumn(out_col, cum).drop(_PID, _LOCAL, _OFF)
 

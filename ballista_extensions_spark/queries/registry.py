@@ -49,7 +49,10 @@ PRIOR_DRIVER_GRADED: frozenset[str] = frozenset({
     "multimodal_decode_meta", "dedup_components", "tfidf_top_terms",
     "corpus_vocabulary", "doc_length_histogram", "dataset_split",
     "pii_scrub", "quality_filter_chain", "chunk_documents",
-    "contamination_check", "pack_token_bins", "rollup_revenue",
+    # "pack_token_bins" removed from this set in round 6: its
+    # implementation changed in round 5 (global window -> distributed
+    # cumsum), so it must be re-graded by the driver, not deferred.
+    "contamination_check", "rollup_revenue",
     "cube_orders", "grouping_sets_revenue", "price_buckets",
     "null_safe_arithmetic", "q17_small_quantity_revenue",
     "q18_large_orders", "q19_disjunctive_revenue", "q7_nation_volume",

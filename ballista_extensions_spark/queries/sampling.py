@@ -5,8 +5,10 @@ diagnostics.
 All randomness is md5-derived (operators/weighted.py) so every query
 here carries a bit-exact DuckDB oracle — unlike the xxhash64-based
 `sample` family, these draws are ANSI-replayable. The uniform is
-(h + 1) / 2^60 with h the first 15 md5 hex digits: exactly
-representable in a double, identical in both engines.
+(h + 1) / 2^60 with h the first 15 md5 hex digits: h + 1 can need up
+to 60 significant bits (more than a double's 53), but both engines
+apply the same IEEE round-to-nearest when casting the integer to
+double, so the quotient agrees bit-for-bit anyway.
 """
 
 from __future__ import annotations
@@ -42,8 +44,11 @@ def weighted_sample_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Importance-weighted corpus draw: 200 parts, inclusion odds
     proportional to retail price, via A-Res priorities pow(u, 1/w)
     (operators/weighted.py:weighted_sample). The oracle replays the
-    identical md5 draw and pow ordering, so the sample is bit-exact —
-    a weighted sampler you can AUDIT in SQL.
+    identical md5 draw and pow ordering — a weighted sampler you can
+    AUDIT in SQL. Caveat: the md5 uniform is exact in both engines, but
+    pow is not a correctly-rounded operation, so a 1-ulp libm divergence
+    could in principle reorder priorities at the k boundary; ties on the
+    priority are already broken by key order.
 
     Scale: TakeOrderedAndProject top-k (per-partition heaps, O(k)
     driver merge), no global sort."""
@@ -140,7 +145,7 @@ def orders_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scd2_compact(
         o, "o_custkey", ["o_orderdate", "o_orderkey"], "o_orderpriority"
-    ).drop("__island")
+    )
 
 
 @register(

@@ -76,6 +76,31 @@ def test_row_number_dense_and_total(lineitem):
     assert sorted(rns) == list(range(1, n + 1))
 
 
+def test_cumsum_null_values_match_global_window(spark):
+    """SUM OVER semantics for NULLs: NULL contributes nothing; a prefix
+    that has seen only NULLs is NULL. Exercises the degenerate cases the
+    offset machinery must survive: an all-NULL partition (total None) and
+    a partition whose local prefix starts all-NULL."""
+    rows = [(i, None if i % 3 == 0 or i < 20 else i * 10) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "k int, v long").repartition(7)
+    got = distributed_cumsum(df, ["k"], "v", out_col="cum", num_partitions=5)
+    w = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("cum", F.sum("v").over(w))
+    g = {r["k"]: r["cum"] for r in got.collect()}
+    e = {r["k"]: r["cum"] for r in want.collect()}
+    assert g == e
+
+
+def test_cumsum_all_null_column(spark):
+    df = spark.createDataFrame(
+        [(i, None) for i in range(1, 50)], "k int, v long"
+    ).repartition(4)
+    got = distributed_cumsum(df, ["k"], "v", out_col="cum", num_partitions=3)
+    assert all(r["cum"] is None for r in got.collect())
+
+
 def test_cumsum_respects_explicit_partitions(lineitem):
     got = distributed_cumsum(
         lineitem, ORDER, "v", out_col="cum", num_partitions=3
