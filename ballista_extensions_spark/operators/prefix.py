@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["distributed_cumsum", "distributed_row_number"]
+__all__ = ["distributed_cumsum", "distributed_row_number", "ntile_from_rank"]
 
 _PID = "__bx_pid"
 _LOCAL = "__bx_local"
@@ -126,3 +126,23 @@ def distributed_row_number(
     return joined.withColumn(
         out_col, (F.col(_LOCAL) + F.col(_OFF)).cast("long")
     ).drop(_PID, _LOCAL, _OFF)
+
+
+def ntile_from_rank(rn_col: str, n_col: str, k: int):
+    """Exact ``NTILE(k)`` reconstructed from a global rank column and a
+    total-count column — the scalable replacement for
+    ``ntile(k).over(Window.orderBy(...))`` when the rank comes from
+    :func:`distributed_row_number`.
+
+    NTILE's fill rule: with q = n div k and r = n mod k, the first r
+    tiles hold q+1 rows and the rest hold q. The CASE short-circuits per
+    row, so the div-by-q branch is never evaluated when q = 0 (n < k
+    puts every row in the first branch because then r = n).
+    """
+    q = f"({n_col} div {k})"
+    r = f"({n_col} % {k})"
+    return F.expr(
+        f"CASE WHEN {rn_col} <= {r} * ({q} + 1) "
+        f"THEN ({rn_col} - 1) div ({q} + 1) + 1 "
+        f"ELSE {r} + 1 + ({rn_col} - {r} * ({q} + 1) - 1) div {q} END"
+    )

@@ -1566,18 +1566,27 @@ def deterministic_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orderkey_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: contiguous o_orderkey ranges among high-value
     orders via the classic value-minus-row_number grouping (the filter
-    makes the key sequence sparse, so real islands emerge). The demonstration uses one global
-    window — at fact scale, bucket by key range first and stitch
-    boundary islands in a second tiny pass."""
-    from pyspark.sql.window import Window
+    makes the key sequence sparse, so real islands emerge). The global
+    rank comes from distributed_row_number (operators/prefix.py), which
+    IS the bucket-and-stitch recipe — range-partition by key, rank each
+    contiguous bucket in parallel, stitch with O(partitions) offsets —
+    so no row ever passes through a single-task window. Rows of one
+    island share a key-range bucket except at partition boundaries,
+    which the offset add stitches exactly; the island aggregate is one
+    shuffle on grp."""
+    from ballista_extensions_spark.operators.prefix import (
+        distributed_row_number,
+    )
 
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_totalprice") >= 150000
     )
-    w = Window.orderBy("o_orderkey")
-    grouped = o.select(
+    ranked = distributed_row_number(
+        o.select("o_orderkey"), ["o_orderkey"], out_col="rn"
+    )
+    grouped = ranked.select(
         "o_orderkey",
-        (F.col("o_orderkey") - F.row_number().over(w)).alias("grp"),
+        (F.col("o_orderkey") - F.col("rn")).alias("grp"),
     )
     return grouped.groupBy("grp").agg(
         F.min("o_orderkey").alias("island_start"),

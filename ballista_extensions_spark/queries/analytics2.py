@@ -81,6 +81,85 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_rfm_segments_scalable",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(o_orderkey) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey)
+    SELECT c_custkey,
+           CAST(NTILE(4) OVER (ORDER BY last_order, c_custkey) AS INT) AS r_bucket,
+           CAST(NTILE(4) OVER (ORDER BY freq, c_custkey) AS INT) AS f_bucket,
+           CAST(NTILE(4) OVER (ORDER BY monetary, c_custkey) AS INT) AS m_bucket,
+           CAST(freq AS BIGINT) AS n_orders,
+           CAST(monetary AS DOUBLE) AS total_spend
+    FROM base
+    """,
+)
+def customer_rfm_segments_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation with NO single-task window: the scale twin of
+    customer_rfm_segments. Each of the three quartile dimensions gets a
+    global rank from distributed_row_number (operators/prefix.py —
+    range partition, parallel per-partition rank, O(partitions) offset
+    stitch), and NTILE(4) is reconstructed exactly from (rank, total)
+    via ntile_from_rank, so the output is row-identical to the
+    global-window form at any customer-dimension size. The per-customer
+    aggregate materializes once (lazy localCheckpoint) and feeds all
+    three rank passes; the three rank frames join back on c_custkey —
+    three bounded key-shuffles of one row per customer."""
+    from ballista_extensions_spark.operators.prefix import (
+        distributed_row_number,
+        ntile_from_rank,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    base = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("o_orderkey").alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "monetary"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    r = distributed_row_number(
+        base.select("c_custkey", "last_order"),
+        ["last_order", "c_custkey"],
+        out_col="rn_r",
+    ).select("c_custkey", "rn_r")
+    f = distributed_row_number(
+        base.select("c_custkey", "freq"), ["freq", "c_custkey"], out_col="rn_f"
+    ).select("c_custkey", "rn_f")
+    m = distributed_row_number(
+        base.select("c_custkey", "monetary"),
+        ["monetary", "c_custkey"],
+        out_col="rn_m",
+    ).select("c_custkey", "rn_m")
+    totals = r.agg(F.max("rn_r").alias("n_total"))
+    return (
+        base.join(r, "c_custkey")
+        .join(f, "c_custkey")
+        .join(m, "c_custkey")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "c_custkey",
+            ntile_from_rank("rn_r", "n_total", 4).cast("int").alias("r_bucket"),
+            ntile_from_rank("rn_f", "n_total", 4).cast("int").alias("f_bucket"),
+            ntile_from_rank("rn_m", "n_total", 4).cast("int").alias("m_bucket"),
+            F.col("freq").cast("long").alias("n_orders"),
+            F.col("monetary").cast("double").alias("total_spend"),
+        )
+    )
+
+
+@register(
     "acctbal_zscore_outliers",
     oracle="""
     WITH m AS (

@@ -2017,11 +2017,21 @@ def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_quality_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus quality quartiles by distinct-token ratio: deterministic
-    (ratio, doc_id) ntile, then per-quartile size/token totals and
-    ratio bounds — min/max (order-free, exact) rather than a float
-    mean, so the whole report is bit-stable. The ntile sorts one row
-    per SURVIVING doc (len >= 3), not the corpus text."""
+    """Corpus quality quartiles by distinct-token ratio, computed at
+    corpus scale: the deterministic (ratio, doc_id) rank comes from
+    distributed_row_number (operators/prefix.py — range partition +
+    per-partition window + O(partitions) offsets), NOT an
+    all-rows-to-one-task ``NTILE(4) OVER (ORDER BY ...)``. The quartile
+    is then derived from (rank, total) with the exact NTILE fill rule —
+    the first n%4 quartiles take one extra row — so the result is
+    row-identical to the oracle's NTILE at any scale. Per-quartile
+    bounds use min/max (order-free, exact) rather than a float mean, so
+    the whole report is bit-stable."""
+    from ballista_extensions_spark.operators.prefix import (
+        distributed_row_number,
+        ntile_from_rank,
+    )
+
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = F.expr(T.TOKENS_SQL.format(col="text"))
     scored = d.select(
@@ -2031,8 +2041,14 @@ def docs_quality_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(toks).cast("double")
         ).alias("ratio"),
     ).filter(F.col("n") >= 3)
-    w = Window.orderBy("ratio", "doc_id")
-    q = scored.withColumn("quartile", F.ntile(4).over(w))
+    ranked = distributed_row_number(scored, ["ratio", "doc_id"], out_col="rn")
+    # One scalar (the survivor count) broadcast back; rank output is
+    # localCheckpoint-backed inside the operator, so this re-read is a
+    # cheap scan of materialized blocks, not a re-tokenization.
+    totals = ranked.agg(F.max("rn").alias("n_total"))
+    q = ranked.crossJoin(F.broadcast(totals)).withColumn(
+        "quartile", ntile_from_rank("rn", "n_total", 4)
+    )
     return q.groupBy(F.col("quartile").cast("int").alias("quartile")).agg(
         lcount("n_docs"),
         F.sum("n").cast("long").alias("total_tokens"),

@@ -79,6 +79,31 @@ def test_plan_stability_all_oracle_queries(spark, sf_dir):
         P.assert_plan_stable(lambda fn=fn: fn(spark, sf_dir))
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "docs_quality_quartiles",
+        "orderkey_islands",
+        "customer_rfm_segments_scalable",
+        "cumulative_revenue_scalable",
+        "customer_rank_scalable",
+        "pack_token_bins",
+    ],
+)
+def test_no_unpartitioned_window(spark, sf_dir, name):
+    """The distributed-prefix rewrites exist to kill WindowExec's
+    all-rows-to-one-task path: every Window node in these queries'
+    physical plans must carry a partition spec (__bx_pid or a real
+    key)."""
+    df = get_queries()[name](spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    for line in phys.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            # every window in these queries comes from the prefix
+            # machinery, so it must be partitioned by the range bucket
+            assert "__bx_pid" in line, line
+
+
 def test_plan_summary_shape(spark, sf_dir):
     s = P.plan_summary(get_queries()["q3_shipping_priority"](spark, sf_dir))
     assert set(s) == {
