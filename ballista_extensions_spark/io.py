@@ -65,14 +65,7 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     _ship_package(spark)
 
 
-def _ship_package(spark: SparkSession) -> None:
-    """addPyFile a zip of this package so executor Python workers can
-    unpickle pandas-UDF/mapInPandas closures (which reference the module
-    by name) even when the driver process was started outside the repo
-    and the workers' PYTHONPATH doesn't include it."""
-    sc = spark.sparkContext
-    if getattr(sc, "_bx_pkg_shipped", False):
-        return
+def _pkg_zip() -> str:
     import tempfile
     import zipfile
 
@@ -91,8 +84,39 @@ def _ship_package(spark: SparkSession) -> None:
                             os.path.relpath(full, pkg_dir),
                         )
                         zf.write(full, rel)
-    sc.addPyFile(zpath)
+    return zpath
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """addPyFile a zip of this package so executor Python workers can
+    unpickle pandas-UDF/mapInPandas closures (which reference the module
+    by name) even when the driver process was started outside the repo
+    and the workers' PYTHONPATH doesn't include it. Spark Connect
+    sessions have no client-side SparkContext — there the zip travels
+    through the session-scoped artifact channel (addArtifacts)."""
+    try:
+        sc = spark.sparkContext
+    except Exception:  # Spark Connect: artifact API instead of addPyFile
+        if getattr(spark, "_bx_pkg_shipped", False):
+            return
+        if hasattr(spark, "addArtifacts"):
+            spark.addArtifacts(_pkg_zip(), pyfile=True)
+        spark._bx_pkg_shipped = True
+        return
+    if getattr(sc, "_bx_pkg_shipped", False):
+        return
+    sc.addPyFile(_pkg_zip())
     sc._bx_pkg_shipped = True
+
+
+def default_parallelism(spark: SparkSession) -> int:
+    """The session's target partition count, readable on classic AND
+    Spark Connect sessions (Connect exposes no SparkContext; the shuffle
+    partition conf is the equivalent sizing signal there)."""
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
 
 #: DataFrame handles per (session, sf_dir, table). A DataFrame is an
@@ -133,9 +157,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Catalyst as long as callers keep the plan declarative."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect: no client-side SparkContext
+        app_id = spark.conf.get("spark.app.id", "connect")
     key = (
         id(spark),
-        spark.sparkContext.applicationId,
+        app_id,
         os.path.realpath(sf_dir),
         name,
     )
@@ -224,17 +252,26 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     regardless of maxPartitionBytes). At production scale inputs already
     carry many partitions, so this is a no-op — the check costs only plan
     analysis, not a job."""
-    sc = df.sparkSession.sparkContext
-    target = min_parts or sc.defaultParallelism
+    target = min_parts or default_parallelism(df.sparkSession)
     # memoized per DataFrame object: the getNumPartitions probe compiles
     # the physical plan (~13 ms), and cached load_table handles are shared
     # across every query in a sweep.
     memo = getattr(df, "_bx_par_memo", None)
     if memo is None:
         memo = {}
-        df._bx_par_memo = memo
+        try:
+            df._bx_par_memo = memo
+        except Exception:  # Connect DataFrames may reject attribute set
+            pass
     out = memo.get(target)
     if out is None:
-        out = df.repartition(target) if df.rdd.getNumPartitions() < target else df
+        try:
+            n_parts = df.rdd.getNumPartitions()
+        except Exception:
+            # Spark Connect: no RDD probe client-side. Under-parallel
+            # inputs only arise from tiny single-row-group local files;
+            # let AQE handle sizing rather than force a blind shuffle.
+            n_parts = target
+        out = df.repartition(target) if n_parts < target else df
         memo[target] = out
     return out

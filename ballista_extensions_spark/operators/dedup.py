@@ -314,9 +314,9 @@ def near_dup_pairs_lsh_verified(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    cands = cands.repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    )
+    from ballista_extensions_spark.io import default_parallelism
+
+    cands = cands.repartition(default_parallelism(df.sparkSession))
     sa = capped_sets.select(
         F.col("doc").alias("doc_a"), F.col("shset").alias("sh_a")
     )
@@ -488,10 +488,13 @@ def lsh_candidate_pairs(
             F.explode(F.expr(f"array({', '.join(band_structs)})")).alias("band"),
         )
         .select("doc", "band.band_id", "band.band_hash")
-        # cache: the self-join below would otherwise recompute the whole
-        # signature pipeline once per side (at corpus scale you'd persist
-        # the signature table explicitly — same idea)
-        .cache()
+        # lazy localCheckpoint: the self-join below would otherwise
+        # recompute the whole signature pipeline once per side. Unlike
+        # .cache(), checkpoint blocks are released by the ContextCleaner
+        # when this frame goes unreferenced, so a long-lived session
+        # sweeping many queries doesn't accumulate block-manager state
+        # (at corpus scale you'd persist the signature table explicitly).
+        .localCheckpoint(eager=False)
     )
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -607,7 +610,11 @@ def simhash_near_pairs(
                 + ")"
             )
         ).alias("ch"),
-    ).select("doc", "simhash", "ch.chunk_id", "ch.chunk_val").cache()
+    ).select("doc", "simhash", "ch.chunk_id", "ch.chunk_val").localCheckpoint(
+        # lazy checkpoint, not .cache(): both join sides share one
+        # materialization and the blocks are GC-released after use
+        eager=False
+    )
     a = chunks.alias("a")
     b = chunks.alias("b")
     return (

@@ -39,7 +39,9 @@ _OFF = "__bx_offset"
 
 
 def _range_partitioned(df: DataFrame, order_cols: list[str], num_partitions: int | None):
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    from ballista_extensions_spark.io import default_parallelism
+
+    n = num_partitions or default_parallelism(df.sparkSession)
     part = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
     # Materialize ONCE: the per-partition totals job and the final output
     # job must see identical partitioning (range bounds are sampled, so a

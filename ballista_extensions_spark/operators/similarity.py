@@ -354,13 +354,16 @@ def embedding_cosine_near_dup(
     cosine verification >= threshold. Same shape as MinHash dedup but in
     embedding space."""
     cb = lsh_bucket(ensure_parallelism(df), dim, n_planes, id_col, vec_col)
-    # cache: both sides of the self-join read the bucketed projection
+    # lazy localCheckpoint: both sides of the self-join read the bucketed
+    # projection from one materialization, and the blocks are released by
+    # the ContextCleaner when the frame goes unreferenced (a .cache()
+    # here leaked block-manager state across long query sweeps)
     enriched = cb.select(
         F.col(id_col).alias("id"),
         F.expr(as_double(vec_col)).alias("vec"),
         F.expr(norm_sql(as_double(vec_col))).alias("nrm"),
         "bucket",
-    ).cache()
+    ).localCheckpoint(eager=False)
     a = enriched.alias("a")
     b = enriched.alias("b")
     cos = F.expr(dot_sql("a.vec", "b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))

@@ -3,6 +3,15 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+Protocol (round 6+): each query runs $SPARK_GRAFT_BENCH_REPS times
+(default 3) and the reported number is the MEDIAN — single-shot numbers
+proved untrustworthy (round-5 post-mortem measured the same unchanged
+query at 8.5 s in the sweep vs 0.8-4.3 s solo; cache/JIT state dominates
+one-shot timings). BENCH_FULL.json additionally records per-query
+min/max so spread is auditable. Python GC runs between queries so
+lazily-checkpointed operator frames release their block-manager state
+instead of skewing later queries.
+
 The full result (3-decimal timings + row counts) is also written to
 BENCH_FULL.json next to this script; the printed line uses 2-decimal
 timings and compact separators so it stays well inside the driver's
@@ -16,6 +25,7 @@ plan-constructor functions the driver's correctness gate runs).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -43,26 +53,45 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
     errors: dict[str, str] = {}
     for name, fn in get_queries().items():
         if name in EXCLUDE:
             continue
-        t0 = time.time()
-        # One broken query must not zero the whole benchmark (BENCH_r03
-        # rc=1: a testdata schema change crashed query #28 and lost the
-        # timings of the 27 already-measured queries).
-        try:
-            df = fn(spark, sf_dir)
-            n = df.count()
-        except Exception as e:  # noqa: BLE001 — record and keep sweeping
-            errors[name] = f"{type(e).__name__}: {e}"[:300]
-            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+        samples: list[float] = []
+        n = -1
+        for _ in range(reps):
+            t0 = time.time()
+            # One broken query must not zero the whole benchmark
+            # (BENCH_r03 rc=1: a testdata schema change crashed query #28
+            # and lost the timings of the 27 already-measured queries).
+            try:
+                df = fn(spark, sf_dir)
+                n = df.count()
+            except Exception as e:  # noqa: BLE001 — record, keep sweeping
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+                print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+                break
+            samples.append(time.time() - t0)
+        # drop references to per-query frames and let the ContextCleaner
+        # release lazily-checkpointed blocks before the next query's
+        # timing window
+        df = None
+        gc.collect()
+        if name in errors or not samples:
             continue
-        timings[name] = round(time.time() - t0, 3)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
         rows[name] = n
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        print(
+            f"# {name}: median {timings[name]:.2f}s of {reps} "
+            f"[{samples[0]:.2f}, {samples[-1]:.2f}] ({n} rows)",
+            file=sys.stderr,
+        )
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -73,7 +102,9 @@ def main() -> None:
         "metric": "total_wall_sec_all_queries",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "protocol": f"median of {reps} runs per query",
         "queries": timings,
+        "min_max": spread,
         "rows": rows,
         "errors": errors,
         "sf": sf_val,

@@ -146,6 +146,59 @@ def test_idempotent_foreachbatch_sink(spark, events_dir, tmp_path_factory):
     assert spark.read.parquet(out).count() == n
 
 
+def test_idempotent_sink_engine_replay(spark, events_dir, tmp_path_factory):
+    """End-to-end exactly-once: run the stream to completion with a
+    checkpoint, then delete the last batch's commit marker and restart —
+    Structured Streaming itself re-invokes foreachBatch for that batch
+    (the crash-between-write-and-commit scenario), and the partition
+    overwrite makes the replay a no-op: same rows, same content."""
+    import os
+    import shutil
+
+    from ballista_extensions_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+    )
+
+    root = tmp_path_factory.mktemp("sink_replay")
+    out = str(root / "out")
+    ckpt = str(root / "ckpt")
+    schema = spark.read.parquet(events_dir).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(events_dir)
+        q = (
+            stream.writeStream.foreachBatch(idempotent_parquet_sink(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    first = spark.read.parquet(out)
+    n = first.count()
+    content = {tuple(r) for r in first.drop("__batch_id").collect()}
+    assert n == spark.read.parquet(events_dir).count()
+
+    # inject the failure: the batch committed its writes but not its
+    # checkpoint marker -> on restart the engine MUST replay it
+    commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(ckpt, "commits", last))
+    # the checksum sidecar must go with it, or the replayed commit's
+    # rename-into-place fails on the local filesystem
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    shutil.rmtree(os.path.join(ckpt, "__spark_metadata"), ignore_errors=True)
+
+    run_once()
+    replayed = spark.read.parquet(out)
+    assert replayed.count() == n
+    assert {tuple(r) for r in replayed.drop("__batch_id").collect()} == content
+
+
 def test_dedup_stream_drops_dupes(spark, events_dir):
     schema = spark.read.parquet(events_dir).schema
     base = spark.read.parquet(events_dir).limit(100)

@@ -56,7 +56,7 @@ def main() -> None:
     print(f"# corpora: {n_docs} -> {docs10.count()} docs, "
           f"{n_emb} -> {emb10.count()} vectors", file=sys.stderr)
 
-    def _curation(d):
+    def _curation(d, pair_fn):
         # gate -> exact dedup -> closure -> summary (the end-to-end chain)
         rep = T.repetition_stats(d)
         ids = rep.filter(
@@ -71,9 +71,15 @@ def main() -> None:
             .select("doc_id")
         )
         exact = gated.join(keep, "doc_id").localCheckpoint()
-        pairs = D.near_dup_pairs_exact(exact, threshold=0.35, probe_mod=1)
+        pairs = pair_fn(exact)
         comp = dedup_by_components(exact, pairs)
         return comp.filter(F.col("is_representative")).count()
+
+    def _pairs_exact(d):
+        return D.near_dup_pairs_exact(d, threshold=0.35, probe_mod=1)
+
+    def _pairs_lsh(d):
+        return D.near_dup_pairs_lsh_verified(d, threshold=0.35)
 
     # NOTE: PageRank-over-near-dup-pairs is intentionally absent: its
     # cost profile is dedup_components' (pair generation dominates; the
@@ -93,7 +99,14 @@ def main() -> None:
         "lsh_ann_topk": lambda d, e: S.lsh_topk(
             e, e.filter(F.col("vec_id") % 199 == 0), dim=64, k=10
         ).count(),
-        "curation_chain": lambda d, e: _curation(d),
+        # exact-vs-LSH crossover evidence (same contract, threshold 0.35):
+        # the LSH path's justification is corpus-scale behavior — its
+        # exponent and the ratio t_lsh/t_exact at 1x vs factor-x are the
+        # measurements BASELINE.md's scale table records.
+        "near_dup_exact_full": lambda d, e: _pairs_exact(d).count(),
+        "near_dup_lsh_verified": lambda d, e: _pairs_lsh(d).count(),
+        "curation_chain": lambda d, e: _curation(d, _pairs_exact),
+        "curation_chain_lsh": lambda d, e: _curation(d, _pairs_lsh),
     }
 
     print(f"| op | t_1x (s) | t_{factor}x (s) | exponent |")
