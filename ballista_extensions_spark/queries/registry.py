@@ -82,8 +82,26 @@ PRIOR_DRIVER_GRADED: frozenset[str] = frozenset({
     "sliding_hour_value_sums", "bitwise_agg_keys", "explode_outer_tokens",
     "hourly_anomaly_flags", "null_safe_join_segments", "phrase_locate_spans",
     "session_funnel", "mad_order_prices", "deterministic_mode_priority",
-    "orderkey_islands", "ann_ivf_topk", "ann_lsh_topk",
+    # "orderkey_islands" left out in round 6 (rewritten onto the
+    # distributed-prefix rank; must be driver re-graded)
+    "ann_ivf_topk", "ann_lsh_topk",
     "embedding_near_dup", "ann_recall_report",
+    # + the 24 driver-green keys of CORRECTNESS_r05.json not already
+    # above. "docs_quality_quartiles" (graded r05) is intentionally
+    # absent: round 6 replaced its single-task ntile window with the
+    # distributed prefix rank, so the driver must re-grade it.
+    "acctbal_zscore_outliers", "brand_year_revenue",
+    "cumulative_revenue_scalable", "curation_pipeline_lsh",
+    "customer_rank_scalable", "customer_rfm_segments",
+    "doc_char_class_profile", "dup_cluster_size_histogram",
+    "embedding_centroids", "events_out_of_order_stats",
+    "events_top_hour_per_user", "group_sample_customers",
+    "join_left_mark", "key_skew_report", "multimodal_decode_real",
+    "near_dup_lsh_verified", "near_dup_threshold_sweep",
+    "orders_priority_scd2", "orders_running_share",
+    "source_lang_crosstab", "token_cooccurrence_topk",
+    "token_length_histogram", "weighted_sample_parts",
+    "year_over_year_revenue",
 })
 
 

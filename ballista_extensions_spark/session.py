@@ -43,6 +43,11 @@ def get_session(app_name: str = "ballista_extensions_spark") -> SparkSession:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # ANSI off: TPC-H-ish doubles; we validate explicitly in operators.
         .config("spark.sql.ansi.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Local mode: the driver JVM is also the executor, so it holds
+        # every localCheckpoint block of every concurrently-live frame
+        # plus broadcast build memory. 16g of the box's 128 GiB is the
+        # honest local sizing; on a real cluster blocks live on
+        # executors and the driver needs far less.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     return builder.getOrCreate()

@@ -113,6 +113,8 @@ def main() -> None:
     print("|---|---|---|---|")
     import math
 
+    import gc
+
     for name, fn in ops.items():
         try:
             t0 = time.time()
@@ -127,6 +129,10 @@ def main() -> None:
             print(f"| {name} | {t1:.2f} | {t10:.2f} | {exp:.2f} |")
         except Exception as e:  # noqa: BLE001
             print(f"| {name} | ERROR {type(e).__name__}: {str(e)[:300]} | | |")
+        # release each op's lazily-checkpointed frames before the next
+        # op's run — in local mode those blocks share the one JVM with
+        # broadcast build memory
+        gc.collect()
 
 
 if __name__ == "__main__":
