@@ -10,6 +10,7 @@ from ballista_extensions_spark.io import load_table
 from ballista_extensions_spark.operators.prefix import (
     distributed_cumsum,
     distributed_row_number,
+    ntile_from_rank,
 )
 
 
@@ -99,6 +100,25 @@ def test_cumsum_all_null_column(spark):
     ).repartition(4)
     got = distributed_cumsum(df, ["k"], "v", out_col="cum", num_partitions=3)
     assert all(r["cum"] is None for r in got.collect())
+
+
+@pytest.mark.parametrize("n,k", [(1, 4), (3, 4), (4, 4), (10, 4), (11, 4), (97, 4), (7, 3), (100, 7)])
+def test_ntile_from_rank_matches_ntile(spark, n, k):
+    """ntile_from_rank must reproduce NTILE(k) exactly, including the
+    unequal fill when n % k != 0 and the degenerate n < k case."""
+    df = spark.createDataFrame([(i,) for i in range(1, n + 1)], "rn long")
+    got = {
+        r["rn"]: r["t"]
+        for r in df.withColumn("n_total", F.lit(n).cast("long"))
+        .withColumn("t", ntile_from_rank("rn", "n_total", k))
+        .collect()
+    }
+    w = Window.orderBy("rn")
+    want = {
+        r["rn"]: r["t"]
+        for r in df.withColumn("t", F.ntile(k).over(w)).collect()
+    }
+    assert got == want
 
 
 def test_cumsum_respects_explicit_partitions(lineitem):
