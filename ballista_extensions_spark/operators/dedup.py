@@ -244,6 +244,42 @@ def near_dup_pairs_lsh_verified(
       CPU-bound array_intersect over large string sets — the classic
       small-bytes/heavy-CPU case where AQE's size heuristic is wrong.
     """
+    capped = _capped_word_postings(df, text_col, id_col, n, max_df)
+    # one shuffle to per-doc capped sets; signatures + both verification
+    # sides read this SAME plan object, so Spark's ReusedExchange serves
+    # all three consumers from one physical shuffle — no checkpoint
+    # needed (an eager localCheckpoint re-materializes every shingle
+    # set, measured ~3.5s of pure overhead at sf0.1)
+    capped_sets = capped.groupBy("doc").agg(
+        F.collect_set("s").alias("shset")
+    )
+    buckets = _minhash_band_buckets(capped, bands, rows_per_band)
+    l = buckets.alias("a")
+    r = buckets.alias("b")
+    cands = (
+        l.join(
+            r,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_capped_jaccard(
+        cands, capped_sets, threshold, df.sparkSession
+    )
+
+
+def _capped_word_postings(
+    df: DataFrame, text_col: str, id_col: str, n: int, max_df: int
+) -> DataFrame:
+    """(doc, shingle) postings with the stop-shingle df cap applied —
+    the shared front of the exact, LSH and incremental near-dup paths.
+    Postings explode token POSITIONS (codegen'd int sequence) with the
+    shingle built in the post-Generate projection; see
+    near_dup_pairs_exact for why (the lambda-built alternative runs
+    interpreted, ~7x slower)."""
     tok_sql = TOKENS_SQL.format(col=text_col)
     base = (
         ensure_parallelism(df)
@@ -264,22 +300,21 @@ def near_dup_pairs_lsh_verified(
         .filter(F.col("df_s") > max_df)
         .select("s")
     )
-    capped = posting.join(heavy, "s", "left_anti")
-    # one shuffle to per-doc capped sets; signatures + both verification
-    # sides read this SAME plan object, so Spark's ReusedExchange serves
-    # all three consumers from one physical shuffle — no checkpoint
-    # needed (an eager localCheckpoint re-materializes every shingle
-    # set, measured ~3.5s of pure overhead at sf0.1)
-    capped_sets = capped.groupBy("doc").agg(
-        F.collect_set("s").alias("shset")
-    )
-    # Signatures as a wide codegen'd aggregate over the exploded capped
-    # postings (one row per (doc, shingle)): min(h*A_i+B_i) per hash
-    # function, map-side combined, whole-stage codegen. The per-doc
-    # array formulation (transform(shset, ...) x 128 lambdas) runs
-    # interpreted and measured ~2s slower at sf0.1 — higher-order
-    # functions sit outside codegen, the same cliff shingle_expr
-    # documents.
+    return posting.join(heavy, "s", "left_anti")
+
+
+def _minhash_band_buckets(
+    capped: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(doc, band_id, band_hash) LSH bucket rows from capped postings.
+
+    Signatures are a wide codegen'd aggregate over the exploded capped
+    postings (one row per (doc, shingle)): min(h*A_i+B_i) per hash
+    function, map-side combined, whole-stage codegen. The per-doc
+    array formulation (transform(shset, ...) x 128 lambdas) runs
+    interpreted and measured ~2s slower at sf0.1 — higher-order
+    functions sit outside codegen, the same cliff shingle_expr
+    documents."""
     num_hashes = bands * rows_per_band
     sig_aggs = []
     for i in range(num_hashes):
@@ -298,25 +333,23 @@ def near_dup_pairs_lsh_verified(
         band_structs.append(
             f"struct({bi}L AS band_id, xxhash64({cols}) AS band_hash)"
         )
-    buckets = sigs.select(
+    return sigs.select(
         "doc",
         F.explode(F.expr(f"array({', '.join(band_structs)})")).alias("bd"),
     ).select("doc", "bd.band_id", "bd.band_hash")
-    l = buckets.alias("a")
-    r = buckets.alias("b")
-    cands = (
-        l.join(
-            r,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-    )
+
+
+def _verify_capped_jaccard(
+    cands: DataFrame, capped_sets: DataFrame, threshold: float, spark
+) -> DataFrame:
+    """Exact capped-Jaccard verification of candidate pairs. The
+    candidate frame is explicitly repartitioned first: AQE sees a few-MB
+    shuffle and would coalesce it to one task, but the work is CPU-bound
+    array_intersect over large string sets — the classic
+    small-bytes/heavy-CPU case where AQE's size heuristic is wrong."""
     from ballista_extensions_spark.io import default_parallelism
 
-    cands = cands.repartition(default_parallelism(df.sparkSession))
+    cands = cands.repartition(default_parallelism(spark))
     sa = capped_sets.select(
         F.col("doc").alias("doc_a"), F.col("shset").alias("sh_a")
     )
@@ -336,6 +369,66 @@ def near_dup_pairs_lsh_verified(
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_near_dup_lsh(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_df: int = 100,
+    bands: int = 64,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING a new document batch: every pair
+    (a, b), a < b, with df-capped n-gram Jaccard >= threshold where at
+    least one side is in ``batch`` — within-batch pairs included. The
+    daily-crawl-increment pattern: a full corpus-vs-corpus re-run per
+    increment is O(corpus) even when the increment is tiny; here only
+    BATCH band buckets drive the candidate join, so candidate cost is
+    O(|batch| x bucket collisions), linear in the increment.
+
+    Ids must be disjoint between corpus and batch. The df cap and set
+    sizes are computed over corpus UNION batch — the same statistics a
+    full re-run would use, so accepted pairs carry exactly the jaccard
+    the corpus-wide operator (near_dup_pairs_lsh_verified) would emit;
+    pytest asserts that restriction equality corpus-wide.
+
+    At production scale the corpus side's capped sets and band buckets
+    are write-once artifacts (persist them bucketed by band_hash /
+    doc); this operator derives them from the corpus frame because the
+    test corpus is small, but the batch-side-driven join shape — the
+    part that matters — is identical either way."""
+    all_docs = corpus.select(
+        F.col(id_col), F.col(text_col)
+    ).unionByName(batch.select(F.col(id_col), F.col(text_col)))
+    capped = _capped_word_postings(all_docs, text_col, id_col, n, max_df)
+    capped_sets = capped.groupBy("doc").agg(F.collect_set("s").alias("shset"))
+    buckets = _minhash_band_buckets(capped, bands, rows_per_band)
+    batch_ids = batch.select(F.col(id_col).alias("doc")).distinct()
+    # no broadcast hint: AQE broadcasts the id list while it fits
+    batch_buckets = buckets.join(batch_ids, "doc")
+    cands = (
+        batch_buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        # batch-batch pairs surface twice (each end drives once);
+        # normalize direction, then distinct
+        .select(
+            F.least(F.col("a.doc"), F.col("b.doc")).alias("doc_a"),
+            F.greatest(F.col("a.doc"), F.col("b.doc")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _verify_capped_jaccard(
+        cands, capped_sets, threshold, corpus.sparkSession
     )
 
 

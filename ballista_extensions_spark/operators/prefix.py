@@ -31,7 +31,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["distributed_cumsum", "distributed_row_number", "ntile_from_rank"]
+__all__ = [
+    "distributed_cumsum",
+    "distributed_percentile_disc",
+    "distributed_row_number",
+    "ntile_from_rank",
+]
 
 _PID = "__bx_pid"
 _LOCAL = "__bx_local"
@@ -128,6 +133,59 @@ def distributed_row_number(
     return joined.withColumn(
         out_col, (F.col(_LOCAL) + F.col(_OFF)).cast("long")
     ).drop(_PID, _LOCAL, _OFF)
+
+
+def distributed_percentile_disc(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    tiebreak_cols: tuple[str, ...] = (),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``PERCENTILE_DISC(p) WITHIN GROUP (ORDER BY value)``
+    for several probabilities at once, with NO single-task sort.
+
+    Spark's built-in percentile aggregates buffer the group's values in
+    one aggregation state — a whole-TABLE percentile funnels every value
+    through one reducer. Here the rank comes from
+    :func:`distributed_row_number` (range partition + parallel rank +
+    O(partitions) offsets); the SQL-standard target rank ceil(p*n) is
+    computed in exact integer arithmetic (Fraction, never float — a
+    1-ulp error in p*n flips the selected row exactly when p*n is
+    integral, which is the common case for round probabilities); the
+    result is the tiny rank-filter join. DuckDB's quantile_disc /
+    percentile_disc use the same ceil(p*n) convention (probe-verified),
+    so results are value-identical across engines.
+
+    Returns one row per prob: (prob, <value_col>, rank, n). Driver
+    state: one count scalar + the per-partition offsets — O(partitions).
+    """
+    from fractions import Fraction
+
+    ranked = distributed_row_number(
+        df,
+        [value_col, *tiebreak_cols],
+        out_col="__bx_rn",
+        num_partitions=num_partitions,
+    )
+    row = ranked.agg(F.max("__bx_rn").alias("n")).first()
+    n = int(row["n"] or 0)
+    targets = []
+    for p in probs:
+        fr = Fraction(str(p))
+        rank = -((-fr.numerator * n) // fr.denominator)  # ceil(p*n), exact
+        targets.append((float(p), max(1, rank)))
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(targets, schema="prob double, __bx_rn long")
+    return (
+        ranked.join(F.broadcast(tgt), "__bx_rn")
+        .select(
+            "prob",
+            F.col(value_col),
+            F.col("__bx_rn").alias("rank"),
+            F.lit(n).cast("long").alias("n"),
+        )
+    )
 
 
 def ntile_from_rank(rn_col: str, n_col: str, k: int):

@@ -160,6 +160,48 @@ def customer_rfm_segments_scalable(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "price_percentiles_scalable",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_disc(l_extendedprice, [0.25, 0.5, 0.75, 0.9]) AS qs,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem),
+    p AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS prob,
+                 unnest([1, 1, 3, 9]) AS num,
+                 unnest([4, 2, 4, 10]) AS den,
+                 unnest([1, 2, 3, 4]) AS i)
+    SELECT CAST(p.prob AS DOUBLE) AS prob, q.qs[p.i] AS l_extendedprice,
+           CAST((p.num * q.n + p.den - 1) // p.den AS BIGINT) AS rank,
+           q.n AS n
+    FROM q, p
+    """,
+)
+def price_percentiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact whole-fact-table discrete percentiles with no single-task
+    sort or single-reducer percentile buffer
+    (operators/prefix.py:distributed_percentile_disc): the global rank
+    comes from the range-partitioned two-phase scan, the SQL-standard
+    target rank ceil(p*n) is exact integer arithmetic on both sides
+    (the oracle's rank uses integer num/den division, never a float
+    p*n), and the result is the tiny rank-filter join. DuckDB's
+    quantile_disc shares the ceil(p*n) convention, so values are
+    identical."""
+    from ballista_extensions_spark.operators.prefix import (
+        distributed_percentile_disc,
+    )
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return distributed_percentile_disc(
+        l,
+        "l_extendedprice",
+        [0.25, 0.5, 0.75, 0.9],
+        tiebreak_cols=("l_orderkey", "l_linenumber"),
+    )
+
+
+@register(
     "acctbal_zscore_outliers",
     oracle="""
     WITH m AS (

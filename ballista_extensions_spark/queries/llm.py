@@ -351,6 +351,45 @@ def near_dup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_near_dup_lsh",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, {_dd_shingles_sql(_DD_TOKS)} AS shingles
+      FROM documents),
+    post AS (SELECT doc, unnest(shingles) AS s FROM sh),
+    kept AS (SELECT s FROM post GROUP BY s HAVING COUNT(*) <= 100),
+    capped AS (SELECT doc, p.s FROM post p JOIN kept k USING (s)),
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM capped GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS DOUBLE) AS i
+      FROM capped a JOIN capped b ON a.s = b.s AND a.doc < b.doc
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, i / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE i / (sa.sz + sb.sz - i) >= 0.35
+      AND (doc_a % 7 = 3 OR doc_b % 7 = 3)
+    """,
+)
+def incremental_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: documents with doc_id % 7 == 3 play the
+    new crawl increment, the rest the standing corpus
+    (operators/dedup.py:incremental_near_dup_lsh). Only BATCH band
+    buckets drive the LSH candidate join — cost linear in the
+    increment, not the corpus — and verification recomputes the exact
+    capped Jaccard, so the output equals the corpus-wide pair set
+    restricted to pairs touching the batch; the oracle derives exactly
+    that restriction from the brute-force SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 7 == 3)
+    corpus = d.filter(F.col("doc_id") % 7 != 3)
+    return D.incremental_near_dup_lsh(
+        corpus, batch, threshold=0.35, max_df=100
+    )
+
+
+@register(
     "embedding_norms",
     oracle="""
     SELECT vec_id,

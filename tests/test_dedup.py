@@ -101,6 +101,30 @@ def test_lsh_verified_equals_exact_pairs(documents):
     assert exact == lsh
 
 
+def test_incremental_lsh_equals_corpus_restriction(documents):
+    """Incremental near-dup (batch-driven candidates, union-wide caps)
+    must equal the corpus-wide LSH pair set restricted to pairs that
+    touch the batch — same pairs, same jaccard values."""
+    import pyspark.sql.functions as F
+
+    batch = documents.filter(F.col("doc_id") % 7 == 3)
+    corpus = documents.filter(F.col("doc_id") % 7 != 3)
+    inc = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.incremental_near_dup_lsh(
+            corpus, batch, threshold=0.35
+        ).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.near_dup_pairs_lsh_verified(
+            documents, threshold=0.35
+        ).collect()
+        if r.doc_a % 7 == 3 or r.doc_b % 7 == 3
+    }
+    assert inc == full
+
+
 def test_curation_chain_lsh_equals_exact_chain(spark, sf_dir):
     """The end-to-end curation chain must yield the same per-source
     survivor summary whether its closure consumes exact pairs or

@@ -88,6 +88,7 @@ def test_plan_stability_all_oracle_queries(spark, sf_dir):
         "cumulative_revenue_scalable",
         "customer_rank_scalable",
         "pack_token_bins",
+        "price_percentiles_scalable",
     ],
 )
 def test_no_unpartitioned_window(spark, sf_dir, name):

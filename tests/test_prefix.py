@@ -121,6 +121,43 @@ def test_ntile_from_rank_matches_ntile(spark, n, k):
     assert got == want
 
 
+def test_percentile_disc_matches_sql(spark):
+    """distributed_percentile_disc equals Spark's own percentile_disc
+    (single-reducer path) on data with duplicates and odd sizes."""
+    from ballista_extensions_spark.operators.prefix import (
+        distributed_percentile_disc,
+    )
+
+    rows = [(i, float((i * 7) % 23)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "k int, v double").repartition(6)
+    got = {
+        r["prob"]: (r["v"], r["rank"], r["n"])
+        for r in distributed_percentile_disc(
+            df, "v", [0.25, 0.5, 0.75, 0.9, 0.999], tiebreak_cols=("k",)
+        ).collect()
+    }
+    df.createOrReplaceTempView("bx_pctl_t")
+    for p in (0.25, 0.5, 0.75, 0.9, 0.999):
+        want = spark.sql(
+            f"SELECT percentile_disc({p}) WITHIN GROUP (ORDER BY v) "
+            "FROM bx_pctl_t"
+        ).first()[0]
+        assert got[p][0] == want, (p, got[p], want)
+    assert got[0.25][2] == 100
+
+
+def test_percentile_disc_empty_and_tiny(spark):
+    from ballista_extensions_spark.operators.prefix import (
+        distributed_percentile_disc,
+    )
+
+    empty = spark.createDataFrame([], "k int, v double")
+    assert distributed_percentile_disc(empty, "v", [0.5]).count() == 0
+    one = spark.createDataFrame([(1, 42.0)], "k int, v double")
+    r = distributed_percentile_disc(one, "v", [0.25, 0.9]).collect()
+    assert {(x["prob"], x["v"]) for x in r} == {(0.25, 42.0), (0.9, 42.0)}
+
+
 def test_cumsum_respects_explicit_partitions(lineitem):
     got = distributed_cumsum(
         lineitem, ORDER, "v", out_col="cum", num_partitions=3
