@@ -159,6 +159,34 @@ def customer_rfm_segments_scalable(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register("sketch_rollup_custkeys")  # HLL sketches -> rows-only check
+def sketch_rollup_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order priority answered from MERGED HLL
+    sketches (operators/sketches.py:hll_rollup): sketches are built per
+    (priority, order year) — the persistable fine pre-aggregate — and
+    the priority-level rollup unions them WITHOUT re-reading the fact
+    table. The 100 TB distinct-count pattern: COUNT(DISTINCT) cannot be
+    pre-aggregated, mergeable sketches can. Estimates are deterministic
+    (max-register sketches are order-insensitive) but engine-specific,
+    so the driver applies the rows-only check; pytest bounds the
+    relative error against the exact count (~1.6% expected at
+    lg_k=12)."""
+    from ballista_extensions_spark.operators.sketches import hll_rollup
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.year("o_orderdate").alias("order_year"),
+        "o_custkey",
+    )
+    _fine, coarse = hll_rollup(
+        o,
+        ["o_orderpriority", "order_year"],
+        ["o_orderpriority"],
+        "o_custkey",
+    )
+    return coarse
+
+
 @register(
     "price_percentiles_scalable",
     oracle="""
