@@ -187,6 +187,48 @@ def sketch_rollup_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coarse
 
 
+@register("price_quantile_sketch_rollup")  # KLL sketches -> rows-only
+def price_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag price quartiles answered from MERGED KLL sketches
+    (operators/sketches.py:kll_quantile_rollup): sketches built per
+    (returnflag, linestatus) — the persistable fine pre-aggregate —
+    merge up to returnflag level without re-reading lineitem. The
+    approximate, re-aggregatable complement of
+    price_percentiles_scalable (exact, but one pass per question).
+    Deterministic merge, engine-specific estimates -> rows-only;
+    pytest bounds the rank error vs exact quantiles."""
+    from ballista_extensions_spark.operators.sketches import (
+        kll_quantile_rollup,
+    )
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    _fine, coarse = kll_quantile_rollup(
+        l,
+        ["l_returnflag", "l_linestatus"],
+        ["l_returnflag"],
+        "l_extendedprice",
+        [0.25, 0.5, 0.75],
+    )
+    return coarse
+
+
+@register("custkey_overlap_sketch")  # theta sketches -> rows-only
+def custkey_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-set overlap between order priorities via theta-sketch
+    set algebra (operators/sketches.py:theta_overlap): one pass builds
+    a sketch per priority; intersections and containment come from the
+    sketches, not from N^2 distinct-joins over orders — the
+    cross-source contamination / audience-overlap primitive at corpus
+    scale. Rows-only (estimates are engine-specific); pytest bounds
+    the error vs exact intersections."""
+    from ballista_extensions_spark.operators.sketches import theta_overlap
+
+    o = load_table(spark, sf_dir, "orders")
+    return theta_overlap(o, "o_orderpriority", "o_custkey")
+
+
 @register(
     "price_percentiles_scalable",
     oracle="""
