@@ -1,0 +1,118 @@
+"""Bloom-filter join pruning — shrink the big side BEFORE the shuffle.
+
+A shuffle join moves every probe-side row to its key's reducer even when
+only a sliver of keys survive the join. Engines fix this with runtime
+bloom filters (Spark's InjectRuntimeFilter does it opportunistically
+when statistics line up); this module makes the pattern an explicit,
+composable operator so a pipeline can GUARANTEE the prune — e.g. a
+100 TB fact table joined to the few thousand build keys selected by a
+dimension predicate.
+
+Representation: the filter is a ONE-ROW DataFrame holding the bitmap as
+``map<bigint, bigint>`` (word index -> 64-bit word). Build is a single
+aggregation over the build keys (explode k hash positions, ``bit_or``
+the words); probe is a broadcast cross-join of that one row plus a
+fully JVM-side membership predicate (``xxhash64`` + ``try_element_at``
++ ``shiftleft`` — whole-stage codegen, no Python in the hot path).
+False positives only — the prefiltered frame is a superset of matching
+rows, so a subsequent exact join returns exactly the plain-join result.
+
+Sizing: with n keys, m bits, and q hashes the false-positive rate is
+``(1 - e^(-qn/m))^q``; the 2^17-bit default holds ~9k keys at <1% FPP
+with q=3 and costs 16 KiB broadcast. At 100 TB scale the win is
+proportional to (1 - selectivity) of the probe side: rows dropped
+before the exchange never hit the wire.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bloom_build", "bloom_prefilter", "bloom_filtered_join"]
+
+
+def _hash_pos_sql(key_sql: str, seed: int, num_bits: int) -> str:
+    """SQL for this seed's bit position: xxhash64 of (key, seed) taken
+    mod num_bits (pmod keeps it non-negative)."""
+    return f"pmod(xxhash64({key_sql}, {seed}), CAST({num_bits} AS BIGINT))"
+
+
+def bloom_build(
+    small: DataFrame, key: str, num_bits: int = 1 << 17, num_hashes: int = 3
+) -> DataFrame:
+    """Aggregate ``small``'s keys into a one-row bloom bitmap frame with
+    column ``__bloom: map<bigint,bigint>``. One narrow pass + one tiny
+    word-level shuffle (<= num_bits/64 groups)."""
+    if num_bits % 64 != 0 or num_bits <= 0:
+        raise ValueError(f"num_bits must be a positive multiple of 64: {num_bits}")
+    positions = small.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(_hash_pos_sql(key, i, num_bits))
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = positions.groupBy(F.expr("pos DIV 64").alias("w")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+        ).alias("word")
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias(
+            "__bloom"
+        )
+    )
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    bloom: DataFrame,
+    key: str,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Keep only ``big`` rows whose ``key`` MIGHT be in the filter
+    (false positives possible, false negatives impossible; NULL keys are
+    dropped — they can never equi-join). Entirely JVM-side: broadcast
+    cross-join of the one bitmap row, then codegen'd bit tests."""
+    probed = big.crossJoin(F.broadcast(bloom))
+    tests = []
+    for i in range(num_hashes):
+        pos = _hash_pos_sql(key, i, num_bits)
+        tests.append(
+            F.expr(
+                f"(coalesce(try_element_at(__bloom, {pos} DIV 64), "
+                f"CAST(0 AS BIGINT)) & shiftleft(CAST(1 AS BIGINT), "
+                f"CAST({pos} % 64 AS INT))) != 0"
+            )
+        )
+    return probed.filter(reduce(lambda a, b: a & b, tests)).drop("__bloom")
+
+
+def bloom_filtered_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "inner",
+    num_bits: int = 1 << 17,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Equi-join ``big`` to ``small`` on ``key`` with a bloom prune of
+    the big side first. Result is EXACTLY the plain join (the exact join
+    clears bloom false positives); the prune only reduces what the join
+    exchange has to move. ``how`` must not need unmatched big-side rows
+    (inner / left_semi / right outer relative to big are fine)."""
+    if how in {"left", "left_outer", "full", "full_outer", "left_anti"}:
+        raise ValueError(
+            f"how={how!r} needs unmatched big-side rows; the bloom prune "
+            "would drop them"
+        )
+    bloom = bloom_build(small.select(key).distinct(), key, num_bits, num_hashes)
+    pruned = bloom_prefilter(big, bloom, key, num_bits, num_hashes)
+    return pruned.join(small, on=key, how=how)

@@ -29,6 +29,11 @@ def test_registry_complete():
         "ann_ivf_topk",
         "embedding_near_dup",
         "ann_recall_report",
+        # sketch rollups: estimates are deterministic but engine-specific
+        # (DataSketches internals), so no ANSI oracle by design
+        "sketch_rollup_custkeys",
+        "price_quantile_sketch_rollup",
+        "custkey_overlap_sketch",
     }
 
 
