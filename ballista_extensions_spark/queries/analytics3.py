@@ -20,6 +20,9 @@ from ballista_extensions_spark.functions.exact import davg, dsum, lcount
 from ballista_extensions_spark.io import ensure_parallelism, load_table
 from ballista_extensions_spark.operators import text as T
 from ballista_extensions_spark.operators.frequent import exact_top_k
+from ballista_extensions_spark.operators.intervals import interval_concurrency
+from ballista_extensions_spark.operators.mixing import resample_to_mixture
+from ballista_extensions_spark.operators.regression import group_ols
 from ballista_extensions_spark.operators.timeseries import time_bucket_gapfill
 from ballista_extensions_spark.queries.registry import register
 
@@ -160,4 +163,146 @@ def bloom_prejoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ),
         lcount("n_items"),
+    )
+
+
+# DuckDB twin of operators/weighted.uniform_from_hash (seed 42).
+_U_SQL = (
+    "(CAST(('0x' || substr(md5('42|' || {key}), 1, 15)) AS BIGINT) + 1)"
+    " / 1152921504606846976.0"
+)
+
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.125, "fr": 0.125, "es": 0.125, "zh": 0.125}
+
+
+@register(
+    "domain_mix_resample",
+    oracle=f"""
+    WITH w(lang, wt) AS (VALUES
+      ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.125 AS DOUBLE)),
+      ('fr', CAST(0.125 AS DOUBLE)), ('es', CAST(0.125 AS DOUBLE)),
+      ('zh', CAST(0.125 AS DOUBLE))),
+    c AS (
+      SELECT d.lang, wt, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM documents d JOIN w ON d.lang = w.lang
+      GROUP BY d.lang, wt),
+    cap AS (SELECT MIN(n / wt) AS cap FROM c),
+    q AS (
+      SELECT lang, CAST(floor(wt * cap) AS BIGINT) AS k
+      FROM c CROSS JOIN cap),
+    r AS (
+      SELECT d.lang, d.doc_id, d.source,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.lang
+               ORDER BY {_U_SQL.format(key="CAST(d.doc_id AS VARCHAR)")},
+                        d.doc_id) AS mix_rank
+      FROM documents d JOIN w ON d.lang = w.lang)
+    SELECT r.lang, r.doc_id, r.source, r.mix_rank
+    FROM r JOIN q ON r.lang = q.lang
+    WHERE r.mix_rank <= q.k
+    """,
+)
+def domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thin the corpus to a 50/12.5×4 language mixture with
+    operators/mixing.resample_to_mixture: largest total the scarcest
+    language supports, exact per-language quotas, md5-deterministic
+    row selection. The oracle replays quota arithmetic AND the draw
+    order with a partitioned window; the engine derives the same rank
+    from a GLOBAL distributed row_number (operators/prefix.py) minus
+    per-group offsets, so no corpus-sized group ever funnels through
+    one task (mixture groups are the canonical huge-partition case)."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents")).select(
+        "lang", "doc_id", "source"
+    )
+    out = resample_to_mixture(d, "lang", _MIX_WEIGHTS, key_col="doc_id")
+    return out.select(
+        "lang", "doc_id", "source", F.col("__mix_rank").alias("mix_rank")
+    )
+
+
+@register(
+    "concurrent_open_orders",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey, o_orderdate AS s,
+             MAX(l_shipdate) + INTERVAL 1 DAY AS e
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey, o_orderdate),
+    d AS (
+      SELECT s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT e AS t, -1 AS d FROM iv),
+    g AS (SELECT t, CAST(SUM(d) AS BIGINT) AS delta FROM d GROUP BY t)
+    SELECT t, delta,
+           CAST(SUM(delta) OVER (
+             ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrent
+    FROM g
+    """,
+)
+def concurrent_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders in flight over time: each order occupies
+    [o_orderdate, last shipment + 1 day) and the result is the full
+    concurrency step function via the distributed sweep line
+    (operators/intervals.py — range-partitioned prefix sums, never the
+    oracle's single-task global window). Integer deltas make parity
+    exact at any scale."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    iv = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("__last"))
+        .select(
+            F.col("o_orderdate").alias("s"),
+            (F.col("__last") + F.expr("INTERVAL 1 DAY")).alias("e"),
+        )
+    )
+    out = interval_concurrency(iv, "s", "e")
+    return out.select("t", F.col("delta").cast("long").alias("delta"),
+                      F.col("concurrent").cast("long").alias("concurrent"))
+
+
+@register(
+    "revenue_trend_by_segment",
+    oracle="""
+    WITH p AS (
+      SELECT c_mktsegment,
+             CAST(year(o_orderdate) - 1995 AS DECIMAL(10,0)) AS x,
+             CAST(o_totalprice AS DECIMAL(18,6)) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    s AS (
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM p GROUP BY c_mktsegment)
+    SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx != 0
+                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+           CASE WHEN n * sxx - sx * sx != 0
+                THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                     / n END AS intercept
+    FROM s
+    """,
+)
+def revenue_trend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly order-value trend per market segment via the closed-form
+    grouped OLS (operators/regression.py): decimal sufficient
+    statistics (shuffle-order-proof), double closed form in the same
+    operation order as the oracle — bit-exact slopes without Spark's
+    double-accumulating regr_slope. One map-combined aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    return group_ols(
+        j,
+        ["c_mktsegment"],
+        x=F.year("o_orderdate") - F.lit(1995),
+        y=F.col("o_totalprice"),
     )

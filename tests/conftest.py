@@ -41,6 +41,13 @@ def documents(spark, sf_dir):
 
 
 @pytest.fixture(scope="session")
+def orders(spark, sf_dir):
+    from ballista_extensions_spark.io import load_table
+
+    return load_table(spark, sf_dir, "orders")
+
+
+@pytest.fixture(scope="session")
 def embeddings(spark, sf_dir):
     from ballista_extensions_spark.io import load_table
 
