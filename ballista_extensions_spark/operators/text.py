@@ -316,6 +316,49 @@ def repetition_stats(
     )
 
 
+def ngram_novelty(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Corpus-level novelty score per document: the fraction of the
+    document's DISTINCT word n-gram shingles that appear in NO other
+    document (global document frequency == 1). Low novelty means the
+    document is stitched from corpus boilerplate even when no single
+    near-duplicate partner exists — the cross-document complement of
+    :func:`repetition_stats` (which only sees within-document repeats),
+    and a standard dedup-adjacent quality signal for pretraining data.
+
+    Returns (id, n_shingles, n_novel, novelty) for documents with at
+    least ``n`` tokens (shorter ones have no shingles and no score).
+
+    Scale: one shuffle keyed by shingle to compute document frequency
+    (map-side partial agg), then the postings→df join arrives ALREADY
+    hash-partitioned on the shingle from that aggregation, so Catalyst
+    reuses the exchange instead of re-shuffling. Posting lists are
+    never materialized per key (unlike the near-dup join there is no
+    pairwise explosion — cost is linear in total distinct shingles).
+    """
+    tok_sql = TOKENS_SQL.format(col=text_col)
+    posts = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingle_expr(tok_sql, n))).alias("__s"),
+    )
+    dfreq = posts.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        posts.join(dfreq, on="__s")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"),
+        )
+    )
+
+
 def rare_token_fraction(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

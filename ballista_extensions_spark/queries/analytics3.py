@@ -264,6 +264,164 @@ def concurrent_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("concurrent").cast("long").alias("concurrent"))
 
 
+def _dd_shingles3(toks: str) -> str:
+    """DuckDB 3-gram shingle fragment (mirrors operators/text.shingle_expr)."""
+    joined = " || ' ' || ".join(f"{toks}[i + {k}]" for k in range(3))
+    return (
+        f"CASE WHEN len({toks}) >= 3 THEN "
+        f"list_distinct(list_transform(generate_series(1, len({toks}) - 2), "
+        f"i -> {joined})) ELSE [] END"
+    )
+
+
+@register(
+    "ngram_novelty_scores",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_dd_shingles3(_DD_TOKS)} AS shingles FROM documents),
+    post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    dfreq AS (SELECT s, COUNT(*) AS df FROM post GROUP BY s)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM post JOIN dfreq USING (s)
+    GROUP BY doc_id
+    """,
+)
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus novelty (fraction of distinct 3-gram shingles
+    with global document frequency 1) via operators/text.ngram_novelty —
+    the cross-document boilerplate signal. The ratio divides two exact
+    integers in double, so parity is bit-exact."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return T.ngram_novelty(d, "text", "doc_id", n=3)
+
+
+@register(
+    "ab_test_value_by_type",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS sx,
+             SUM(CAST(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6)) AS DECIMAL(27,6)))
+               AS sxx
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type),
+    tot AS (
+      SELECT SUM(n) AS tn, SUM(sx) AS tsx, SUM(sxx) AS tsxx FROM s),
+    w AS (
+      SELECT event_type,
+             n,
+             CAST(sx AS DOUBLE) AS sxd,
+             CAST(sxx AS DOUBLE) AS sxxd,
+             tn - n AS n2,
+             CAST(tsx - sx AS DOUBLE) AS sxd2,
+             CAST(tsxx - sxx AS DOUBLE) AS sxxd2
+      FROM s CROSS JOIN tot),
+    m AS (
+      SELECT event_type, n,
+             sxd / n AS mean,
+             (sxxd - sxd * sxd / n) / (n - 1) AS var1,
+             sxd2 / n2 AS mean2,
+             (sxxd2 - sxd2 * sxd2 / n2) / (n2 - 1) AS var2,
+             n2
+      FROM w)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           mean,
+           CASE WHEN n > 1 AND n2 > 1 AND var1 / n + var2 / n2 > 0
+                THEN (mean - mean2) / sqrt(var1 / n + var2 / n2)
+           END AS t_stat,
+           CASE WHEN n > 1 AND n2 > 1 AND var1 / n + var2 / n2 > 0
+                THEN (var1 / n + var2 / n2) * (var1 / n + var2 / n2)
+                     / ((var1 / n) * (var1 / n) / (n - 1)
+                        + (var2 / n2) * (var2 / n2) / (n2 - 1))
+           END AS welch_df
+    FROM m
+    """,
+)
+def ab_test_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t statistic of each event type's mean value against the
+    rest of the stream — the A/B-significance primitive, computed as a
+    closed form over decimal sufficient statistics (exact, shuffle-
+    order-proof sums; rest-of-stream stats by exact decimal subtraction
+    from the broadcast one-row total) with the double expression tree
+    evaluated in the same operation order as the oracle, so t and the
+    Welch–Satterthwaite df match bit-for-bit. One map-combined
+    aggregation + one broadcast of a single total row.
+
+    p-values need an incomplete-beta special function (no closed form);
+    consumers threshold |t| directly or post-process driver-side."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vdec = F.col("value").cast("decimal(18,6)")
+    # The squares are rescaled 12 -> 6 BEFORE summing: exact while the
+    # data has <= 3 fractional digits (true here), and it keeps the
+    # final sum's unscaled integer below 2^53 — DuckDB casts DECIMAL to
+    # DOUBLE as unscaled/10^scale (two roundings), so a scale-12 sum
+    # whose unscaled part tops 2^53 lands 1 ulp off Spark's correctly
+    # rounded BigDecimal.doubleValue; at scale 6 both conversions are
+    # exact and the engines agree bit-for-bit.
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(vdec).alias("sx"),
+        F.sum((vdec * vdec).cast("decimal(27,6)")).alias("sxx"),
+    )
+    # One materialization of the tiny per-type stats frame: the totals
+    # aggregate and the final select otherwise each re-run the full
+    # events scan (frequent.py uses the same pattern).
+    s = s.localCheckpoint(eager=False)
+    tot = s.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sxx").alias("tsxx"),
+    )
+    w = s.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sxx").cast("double").alias("sxxd"),
+        (F.col("tn") - F.col("n")).alias("n2"),
+        (F.col("tsx") - F.col("sx")).cast("double").alias("sxd2"),
+        (F.col("tsxx") - F.col("sxx")).cast("double").alias("sxxd2"),
+    )
+    mean = F.col("sxd") / F.col("n")
+    m = w.select(
+        "event_type",
+        "n",
+        mean.alias("mean"),
+        ((F.col("sxxd") - F.col("sxd") * F.col("sxd") / F.col("n"))
+         / (F.col("n") - 1)).alias("var1"),
+        (F.col("sxd2") / F.col("n2")).alias("mean2"),
+        ((F.col("sxxd2") - F.col("sxd2") * F.col("sxd2") / F.col("n2"))
+         / (F.col("n2") - 1)).alias("var2"),
+        "n2",
+    )
+    se2 = F.col("var1") / F.col("n") + F.col("var2") / F.col("n2")
+    ok = (F.col("n") > 1) & (F.col("n2") > 1) & (se2 > 0)
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "mean",
+        F.when(ok, (F.col("mean") - F.col("mean2")) / F.sqrt(se2)).alias(
+            "t_stat"
+        ),
+        F.when(
+            ok,
+            (se2 * se2)
+            / (
+                (F.col("var1") / F.col("n")) * (F.col("var1") / F.col("n"))
+                / (F.col("n") - 1)
+                + (F.col("var2") / F.col("n2")) * (F.col("var2") / F.col("n2"))
+                / (F.col("n2") - 1)
+            ),
+        ).alias("welch_df"),
+    )
+
+
 @register(
     "revenue_trend_by_segment",
     oracle="""

@@ -185,6 +185,85 @@ def test_group_ols_excludes_nulls(spark):
     assert abs(out[0]["slope"] - 1.0) < 1e-12
 
 
+def test_ngram_novelty_known_small(spark):
+    from ballista_extensions_spark.operators.text import ngram_novelty
+
+    rows = [
+        (1, "a b c d"),      # shingles {a b c, b c d}
+        (2, "a b c x"),      # shingles {a b c, b c x}
+        (3, "too short"),    # < 3 tokens -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
+        for r in ngram_novelty(df).collect()
+    }
+    # "a b c" appears in both docs (df=2); the other shingle of each is novel
+    assert got == {1: (2, 1, 0.5), 2: (2, 1, 0.5)}
+
+
+def test_ngram_novelty_matches_python_reference(spark, documents):
+    from ballista_extensions_spark.operators.text import ngram_novelty
+
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"])
+        for r in ngram_novelty(documents).collect()
+    }
+    # pure-Python reference with the documented ASCII-whitespace contract
+    import re
+    from collections import Counter
+
+    docs = {
+        r["doc_id"]: [
+            t for t in re.split(r"[ \t\n\r\f\v]+", r["text"])
+        ]
+        for r in documents.select("doc_id", "text").collect()
+    }
+    sets = {
+        d: {
+            " ".join(toks[i : i + 3])
+            for i in range(len(toks) - 2)
+        }
+        for d, toks in docs.items()
+        if len(toks) >= 3
+    }
+    dfreq = Counter(s for ss in sets.values() for s in ss)
+    want = {
+        d: (len(ss), sum(1 for s in ss if dfreq[s] == 1))
+        for d, ss in sets.items()
+    }
+    assert got == want
+
+
+def test_welch_t_matches_python(spark, sf_dir):
+    from ballista_extensions_spark.queries import get_queries
+
+    got = {
+        r["event_type"]: r
+        for r in get_queries()["ab_test_value_by_type"](spark, sf_dir).collect()
+    }
+    from ballista_extensions_spark.io import load_table
+
+    vals = load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).collect()
+    by_type: dict = {}
+    for r in vals:
+        if r["value"] is not None:
+            by_type.setdefault(r["event_type"], []).append(r["value"])
+    import statistics
+
+    for et, xs in by_type.items():
+        rest = [v for k, g in by_type.items() if k != et for v in g]
+        m1, m2 = statistics.fmean(xs), statistics.fmean(rest)
+        v1, v2 = statistics.variance(xs), statistics.variance(rest)
+        se2 = v1 / len(xs) + v2 / len(rest)
+        t = (m1 - m2) / se2 ** 0.5
+        assert got[et]["n"] == len(xs)
+        assert abs(got[et]["mean"] - m1) < 1e-9 * max(1, abs(m1))
+        assert abs(got[et]["t_stat"] - t) < 1e-6 * max(1, abs(t))
+
+
 def test_group_ols_matches_numpy(spark, orders):
     import numpy as np
 

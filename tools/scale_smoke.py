@@ -37,8 +37,12 @@ def main() -> None:
     spark = get_session("scale-smoke")
     docs1 = load_table(spark, sf_dir, "documents")
     emb1 = load_table(spark, sf_dir, "embeddings")
+    ev1 = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     n_docs = docs1.count()
     n_emb = emb1.count()
+    n_ev = ev1.count()
 
     def amplify(df, id_col, n_base):
         # union `factor` shifted copies, then repartition so the blown-up
@@ -53,8 +57,10 @@ def main() -> None:
 
     docs10 = amplify(docs1, "doc_id", n_docs)
     emb10 = amplify(emb1, "vec_id", n_emb)
+    ev10 = amplify(ev1, "event_id", n_ev)
     print(f"# corpora: {n_docs} -> {docs10.count()} docs, "
-          f"{n_emb} -> {emb10.count()} vectors", file=sys.stderr)
+          f"{n_emb} -> {emb10.count()} vectors, "
+          f"{n_ev} -> {ev10.count()} events", file=sys.stderr)
 
     def _curation(d, pair_fn):
         # gate -> exact dedup -> closure -> summary (the end-to-end chain)
@@ -107,7 +113,44 @@ def main() -> None:
         "near_dup_lsh_verified": lambda d, e: _pairs_lsh(d).count(),
         "curation_chain": lambda d, e: _curation(d, _pairs_exact),
         "curation_chain_lsh": lambda d, e: _curation(d, _pairs_lsh),
+        # round-6 families: bounded-summary heavy hitters, global-window-
+        # free mixture quotas, sweep-line concurrency, shingle-df novelty
+        "heavy_hitter_tokens": lambda d, e: _heavy_hitters(d),
+        "domain_mix_resample": lambda d, e: _mix(d),
+        "ngram_novelty": lambda d, e: T.ngram_novelty(d).count(),
     }
+
+    def _heavy_hitters(d):
+        from ballista_extensions_spark.operators.frequent import exact_top_k
+
+        toks = d.select(
+            F.explode(F.expr(T.TOKENS_SQL.format(col="text"))).alias("tok")
+        ).filter(F.length("tok") > 0)
+        return exact_top_k(toks, "tok", k=30, counters=4096).count()
+
+    def _mix(d):
+        from ballista_extensions_spark.operators.mixing import (
+            resample_to_mixture,
+        )
+
+        weights = {"en": 0.5, "de": 0.125, "fr": 0.125, "es": 0.125,
+                   "zh": 0.125}
+        return resample_to_mixture(
+            d.select("lang", "doc_id"), "lang", weights, "doc_id"
+        ).count()
+
+    def _sweep(ev):
+        from ballista_extensions_spark.operators.intervals import (
+            interval_concurrency,
+        )
+
+        iv = ev.select(
+            F.col("ts").alias("s"),
+            F.expr("timestampadd(MINUTE, CAST(value AS INT), ts)").alias("e"),
+        )
+        return interval_concurrency(iv, "s", "e").count()
+
+    ev_ops = {"interval_sweepline": _sweep}
 
     print(f"| op | t_1x (s) | t_{factor}x (s) | exponent |")
     print("|---|---|---|---|")
@@ -115,15 +158,18 @@ def main() -> None:
 
     import gc
 
-    for name, fn in ops.items():
+    runs = [(name, fn, (docs1, emb1), (docs10, emb10))
+            for name, fn in ops.items()]
+    runs += [(name, fn, (ev1,), (ev10,)) for name, fn in ev_ops.items()]
+    for name, fn, args1, args10 in runs:
         try:
             t0 = time.time()
-            r1 = fn(docs1, emb1)
+            r1 = fn(*args1)
             t1 = time.time() - t0
             if r1 is None:
                 continue
             t0 = time.time()
-            fn(docs10, emb10)
+            fn(*args10)
             t10 = time.time() - t0
             exp = math.log(t10 / t1) / math.log(factor)
             print(f"| {name} | {t1:.2f} | {t10:.2f} | {exp:.2f} |")
