@@ -381,6 +381,43 @@ def embedding_cosine_near_dup(
     )
 
 
+def cosine_pairs_exact(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ALL exact pairs with cosine >= threshold within ``df`` —
+    the oracle-verifiable correctness twin of
+    :func:`embedding_cosine_near_dup` (which LSH-buckets the self-join
+    and is the corpus-scale path). This one is O(n^2) BY CONSTRUCTION:
+    callers own the subset duty (a probe sample, one LSH bucket, a
+    re-rank candidate set), the same contract as brute_force_topk's
+    broadcast query side. Returns (id_a, id_b, cosine) with
+    id_a < id_b.
+
+    Cosine parity: double-fold dot product and norms in pinned
+    left-to-right order (dot_sql/norm_sql), matching a SQL
+    list_reduce fold bit-for-bit."""
+    a = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.expr(as_double(vec_col)).alias("vec"),
+        F.expr(norm_sql(as_double(vec_col))).alias("nrm"),
+    ).localCheckpoint(eager=False)
+    b = a
+    cos = F.expr(dot_sql("a.vec", "b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.alias("a")
+        .join(F.broadcast(b.alias("b")), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def quantize_int8(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -423,6 +423,68 @@ def ab_test_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_dup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id % 5 = 0),
+    n AS (SELECT vec_id, v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(v, x -> x * x)), (acc, x) -> acc + x))
+                   AS nrm
+          FROM e),
+    edges AS (
+      SELECT a.vec_id AS u, b.vec_id AS w
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(list_zip(a.v, b.v), s -> s[1] * s[2])),
+              (acc, x) -> acc + x) / (a.nrm * b.nrm) >= 0.4),
+    sym AS (SELECT u, w FROM edges UNION SELECT w, u FROM edges),
+    reach(node, label) AS (
+      SELECT vec_id, vec_id FROM e
+      UNION
+      SELECT s.w, r.label FROM reach r JOIN sym s ON s.u = r.node),
+    comp AS (SELECT node AS vec_id, MIN(label) AS component
+             FROM reach GROUP BY node),
+    csize AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
+    SELECT c.vec_id, CAST(c.component AS BIGINT) AS component,
+           CAST(s.sz AS BIGINT) AS cluster_size
+    FROM comp c JOIN csize s USING (component)
+    """,
+)
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space duplicate clustering, oracle-exact end to end:
+    exact cosine pairs >= 0.4 within a probe subset
+    (operators/similarity.cosine_pairs_exact — the O(n^2) correctness
+    twin; embedding_cosine_near_dup's LSH buckets are the corpus-scale
+    path), large-star/small-star connected components over the edges,
+    and each vector labeled with its component and cluster size. The
+    oracle replays the identical double-fold cosine and the closure as
+    a recursive CTE — the embedding-side mirror of the text curation
+    chain's dedup stage."""
+    from ballista_extensions_spark.operators.components import (
+        connected_components,
+    )
+    from ballista_extensions_spark.operators.similarity import (
+        cosine_pairs_exact,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = emb.filter(F.col("vec_id") % 5 == 0)
+    pairs = cosine_pairs_exact(sub, threshold=0.4)
+    comp = connected_components(
+        sub.select("vec_id"), pairs, id_col="vec_id", src="id_a", dst="id_b"
+    )
+    csize = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return comp.join(csize, on="component").select(
+        "vec_id",
+        F.col("component").cast("long").alias("component"),
+        F.col("sz").cast("long").alias("cluster_size"),
+    )
+
+
+@register(
     "revenue_trend_by_segment",
     oracle="""
     WITH p AS (

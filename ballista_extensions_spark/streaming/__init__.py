@@ -7,6 +7,7 @@ from ballista_extensions_spark.streaming.ops import (
     enrich_stream,
     view_purchase_join_stream,
 )
+from ballista_extensions_spark.streaming.frequent import mg_summary_stream
 
 __all__ = [
     "hourly_rollup_stream",
@@ -14,4 +15,5 @@ __all__ = [
     "dedup_stream",
     "enrich_stream",
     "view_purchase_join_stream",
+    "mg_summary_stream",
 ]

@@ -281,3 +281,43 @@ def test_group_ols_matches_numpy(spark, orders):
     slope, intercept = np.polyfit(pdf["x"], pdf["y"], 1)
     assert abs(got["slope"] - slope) < 1e-6 * max(1.0, abs(slope))
     assert abs(got["intercept"] - intercept) < 1e-6 * abs(intercept)
+
+
+# ------------------------------------------------------------- similarity
+
+def test_cosine_pairs_exact_matches_python(spark, embeddings):
+    from ballista_extensions_spark.operators.similarity import (
+        cosine_pairs_exact,
+    )
+
+    sub = embeddings.filter(F.col("vec_id") % 10 == 0)
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_pairs_exact(sub, threshold=0.3).collect()
+    }
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in sub.collect()
+    }
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = nb = 0.0
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return dot / (na ** 0.5 * nb ** 0.5)
+
+    ids = sorted(vecs)
+    want = {
+        (i, j): cos(vecs[i], vecs[j])
+        for i in ids
+        for j in ids
+        if i < j and cos(vecs[i], vecs[j]) >= 0.3
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12

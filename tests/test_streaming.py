@@ -342,3 +342,64 @@ def test_python_stream_datasource(spark, tmp_path_factory):
     assert got.mn == 0
     assert got.n == got.nd == got.mx + 1  # contiguous, no dupes/gaps
     assert got.n >= 150
+
+
+def test_mg_summary_stream_exact_when_uncompacted(spark, events_stream, events_dir):
+    """With counters far above the stream's cardinality nothing compacts:
+    the merged shard summaries ARE the exact per-item counts."""
+    from ballista_extensions_spark.streaming import mg_summary_stream
+
+    out = mg_summary_stream(events_stream, "event_type", shards=8,
+                            counters=1024)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mg_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["item"]: (r["cnt"], r["err"])
+        for r in spark.sql("SELECT * FROM mg_sink").collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(events_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == want
+    assert all(err == 0 for _, err in got.values())
+
+
+def test_mg_summary_stream_bounds_under_compaction(spark, tmp_path_factory):
+    """Tiny counters force compaction: every emitted count stays a lower
+    bound, the dominant item survives in its shard, and its lb+err
+    bracket covers the true count."""
+    from ballista_extensions_spark.streaming import mg_summary_stream
+
+    path = str(tmp_path_factory.mktemp("mgstream") / "items")
+    # skewed synthetic: 'hot' 500x, 100 singletons
+    rows = [("hot",)] * 500 + [(f"cold{i}",) for i in range(100)]
+    spark.createDataFrame(rows, "w string").coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema("w string").parquet(path)
+    out = mg_summary_stream(stream, "w", shards=4, counters=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mg_sink2")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM mg_sink2").collect()
+    by_item = {r["item"]: r for r in emitted}
+    assert "hot" in by_item
+    hot = by_item["hot"]
+    assert hot["cnt"] <= 500 <= hot["cnt"] + hot["err"]
+    # every emitted count is a valid lower bound (cold items are 1x)
+    for r in emitted:
+        true = 500 if r["item"] == "hot" else 1
+        assert r["cnt"] <= true

@@ -158,19 +158,32 @@ def main() -> None:
 
     import gc
 
+    # min-of-2 per scale: the first execution of a plan shape pays
+    # whole-stage-codegen compilation and JIT warmup, which measured up
+    # to 3x on the heavy pair joins (near_dup_exact_full 58s first /
+    # 19s second in one process) — the min is the steady-state cost the
+    # exponent claim is about.
+    reps = int(os.environ.get("SPARK_GRAFT_SMOKE_REPS", "2"))
+
+    def best(fn, args):
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            r = fn(*args)
+            ts.append(time.time() - t0)
+            if r is None:
+                return None
+        return min(ts)
+
     runs = [(name, fn, (docs1, emb1), (docs10, emb10))
             for name, fn in ops.items()]
     runs += [(name, fn, (ev1,), (ev10,)) for name, fn in ev_ops.items()]
     for name, fn, args1, args10 in runs:
         try:
-            t0 = time.time()
-            r1 = fn(*args1)
-            t1 = time.time() - t0
-            if r1 is None:
+            t1 = best(fn, args1)
+            if t1 is None:
                 continue
-            t0 = time.time()
-            fn(*args10)
-            t10 = time.time() - t0
+            t10 = best(fn, args10)
             exp = math.log(t10 / t1) / math.log(factor)
             print(f"| {name} | {t1:.2f} | {t10:.2f} | {exp:.2f} |")
         except Exception as e:  # noqa: BLE001
