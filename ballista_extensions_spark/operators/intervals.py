@@ -31,6 +31,12 @@ does exactly that for day-granular order intervals).
 NULL starts/ends are rejected loudly rather than silently dropped — an
 open-ended interval (NULL end = "still open") is a different query,
 and a sweep line that quietly ignores it undercounts forever after.
+
+Reference scope note: the reference's wire surface (SURVEY.md §2)
+declares no interval/window operators; this module extends the engine
+the way its extension planner pattern intends — a new operator built
+from the platform's primitives (here operators/prefix.py's distributed
+prefix sums instead of a custom physical node).
 """
 
 from __future__ import annotations

@@ -17,6 +17,10 @@ once, and the closed form evaluated in doubles in a fixed operation
 order. A SQL oracle computing the identical expression tree gets the
 identical IEEE result, bit for bit.
 
+Reference scope note: no regression surface in the reference's wire
+format (SURVEY.md §2) — this belongs to the §7 analytics mandate, and
+the exactness discipline is this repo's oracle-parity contract.
+
 Scale: one map-side-combined aggregation (the only shuffle), group
 cardinality rows out. Decimal headroom: with x bounded (|x| <= B) and
 Σ|y| <= S at DECIMAL(38, s), the n·Σxy product needs n·B·S < 10^(38−s)
