@@ -13,7 +13,13 @@ and drives three representative paths across it:
 - a mapInPandas query whose Python workers must import the engine
   package shipped via addPyFile (multimodal_decode_real: the pickled
   closure references operators/imagecodec.py, which only reaches the
-  executors through io.ensure_engine_confs' package zip).
+  executors through io.ensure_engine_confs' package zip),
+- the round-6 paths: the Misra-Gries mapInPandas kernel
+  (heavy_hitter_tokens — bounded per-partition summaries built in
+  executor Python workers, candidate verification shuffle) and the
+  distributed-rank mixture resampler (domain_mix_resample —
+  repartitionByRange + localCheckpoint + per-partition offsets must
+  agree across real executor JVMs).
 
 It runs in a SUBPROCESS so the session fixture's local[32] JVM and the
 cluster JVMs never fight over one driver process.
@@ -41,6 +47,13 @@ out["dedup_rows"] = len(qs["dedup_exact"](spark, sf).collect())
 decoded = qs["multimodal_decode_real"](spark, sf).collect()
 out["decode_rows"] = len(decoded)
 out["decode_errors"] = sum(1 for r in decoded if r.decode_error is not None)
+hh = qs["heavy_hitter_tokens"](spark, sf).collect()
+out["hh_rows"] = len(hh)
+out["hh_sorted"] = all(
+    hh[i].cnt >= hh[i + 1].cnt for i in range(len(hh) - 1)
+)
+mix = qs["domain_mix_resample"](spark, sf).collect()
+out["mix_rows"] = len(mix)
 spark.stop()
 print("RESULT:" + json.dumps(out))
 """
@@ -71,3 +84,5 @@ def test_queries_survive_scheduler_boundary():
     assert got["dedup_rows"] > 0
     assert got["decode_rows"] > 0
     assert got["decode_errors"] == 0
+    assert got["hh_rows"] == 30 and got["hh_sorted"]
+    assert got["mix_rows"] > 0
