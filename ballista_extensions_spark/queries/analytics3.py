@@ -423,6 +423,103 @@ def ab_test_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pretrain_mixture_pipeline",
+    oracle=f"""
+    WITH w(lang, wt) AS (VALUES
+      ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.125 AS DOUBLE)),
+      ('fr', CAST(0.125 AS DOUBLE)), ('es', CAST(0.125 AS DOUBLE)),
+      ('zh', CAST(0.125 AS DOUBLE))),
+    st AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len({_DD_TOKS}) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter({_DD_TOKS},
+                  t -> list_contains(['the','a','of','and','to','in','is'],
+                                     t))) AS BIGINT) AS n_stop,
+             CAST(len(list_distinct({_DD_TOKS})) AS BIGINT) AS n_dist
+      FROM documents),
+    kept AS (
+      SELECT d.doc_id, d.lang, d.text, s.n_tokens
+      FROM documents d JOIN st s USING (doc_id)
+      WHERE s.n_tokens >= 20 AND s.n_chars <= 450
+        AND CAST(s.n_stop AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) >= 0.02
+        AND CAST(s.n_dist AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) >= 0.5),
+    ded AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+    surv AS (
+      SELECT k.doc_id, k.lang, k.n_tokens
+      FROM kept k JOIN ded USING (doc_id)),
+    c AS (
+      SELECT s.lang, wt, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM surv s JOIN w ON s.lang = w.lang GROUP BY s.lang, wt),
+    cap AS (SELECT MIN(n / wt) AS cap FROM c),
+    q AS (
+      SELECT lang, CAST(floor(wt * cap) AS BIGINT) AS k
+      FROM c CROSS JOIN cap),
+    r AS (
+      SELECT s.lang, s.doc_id, s.n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.lang
+               ORDER BY {_U_SQL.format(key="CAST(s.doc_id AS VARCHAR)")},
+                        s.doc_id) AS rn
+      FROM surv s JOIN w ON s.lang = w.lang),
+    sel AS (SELECT r.lang, r.n_tokens FROM r JOIN q ON r.lang = q.lang
+            WHERE r.rn <= q.k),
+    agg AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM sel GROUP BY lang)
+    SELECT lang, n_docs, n_tokens,
+           CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE)
+             AS doc_share
+    FROM agg
+    """,
+)
+def pretrain_mixture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE pretraining-data curation pipeline as one plan:
+    quality gate (the quality_filter_chain rule set over text_stats) ->
+    exact dedup (min-id per md5) -> mixture resample to the 50/12.5x4
+    language targets (operators/mixing.py, distributed-rank path) ->
+    per-language corpus summary (docs, tokens, document share). Every
+    stage is ANSI-expressible, so the WHOLE chain is hash-verified
+    against DuckDB end to end — the composition twin of
+    curation_pipeline_summary (which chains near-dup instead of
+    mixing). Scale: text never shuffles after the gate (md5 + ids do),
+    the mixture stage is the no-corpus-sized-window path, the summary
+    is dimension-sized."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    stats = T.text_stats(docs)
+    kept_ids = stats.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_chars") <= 450)
+        & (F.col("stopword_ratio") >= 0.02)
+        & (F.col("distinct_ratio") >= 0.5)
+    ).select("doc_id", "n_tokens")
+    surv_base = docs.select("doc_id", "lang", "text").join(kept_ids, "doc_id")
+    ded_keep = (
+        surv_base.groupBy(F.md5("text").alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = surv_base.join(ded_keep, "doc_id").select(
+        "lang", "doc_id", "n_tokens"
+    )
+    mixed = resample_to_mixture(surv, "lang", _MIX_WEIGHTS, key_col="doc_id")
+    agg = mixed.groupBy("lang").agg(
+        lcount("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    tot = agg.agg(F.sum("n_docs").alias("__t"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_docs").cast("double") / F.col("__t").cast("double")).alias(
+            "doc_share"
+        ),
+    )
+
+
+@register(
     "embedding_dup_clusters",
     oracle="""
     WITH RECURSIVE

@@ -321,3 +321,15 @@ def test_cosine_pairs_exact_matches_python(spark, embeddings):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_pretrain_pipeline_plan_and_shares(spark, sf_dir):
+    from ballista_extensions_spark.queries import get_queries
+
+    df = get_queries()["pretrain_mixture_pipeline"](spark, sf_dir)
+    rows = df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "No Partition Defined" not in plan
+    # shares sum to 1 over the selected mixture and langs are weighted ones
+    assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-12
+    assert {r["lang"] for r in rows} <= {"en", "de", "fr", "es", "zh"}
