@@ -422,6 +422,71 @@ def ab_test_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_spans(toks: str, n: int) -> str:
+    """DuckDB n-token span fragment WITHOUT list_distinct — occurrence
+    semantics (every position yields a span), unlike _dd_shingles3's set
+    semantics."""
+    joined = " || ' ' || ".join(f"{toks}[i + {k}]" for k in range(n))
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> {joined}) ELSE [] END"
+    )
+
+
+@register(
+    "span_dedup_report",
+    oracle=f"""
+    WITH sp AS (
+      SELECT doc_id, unnest({_dd_spans(_DD_TOKS, 10)}) AS s
+      FROM documents),
+    dup AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM sp GROUP BY s
+      HAVING COUNT(DISTINCT doc_id) >= 2)
+    SELECT md5(s) AS span_hash, n_occurrences, n_docs
+    FROM dup
+    ORDER BY n_occurrences DESC, span_hash
+    LIMIT 50
+    """,
+)
+def span_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication report: the top 10-token spans that
+    appear in >= 2 documents, with occurrence and document counts — the
+    fixed-length approximation of suffix-array substring dedup
+    [Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"], the signal used to cut verbatim boilerplate that
+    document-level near-dup misses. Span text leaves the executors only
+    as md5 hashes.
+
+    Scale: occurrence spans (not per-doc sets) explode ~len(doc) rows
+    per doc, but the span groupBy partial-aggregates map-side and only
+    (hash, counts) shuffle; the report is top-k via
+    TakeOrderedAndProject. One shuffle keyed by span."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks_sql = T.TOKENS_SQL.format(col="text")
+    spans = d.select(
+        "doc_id",
+        F.explode(T.shingle_expr(toks_sql, 10)).alias("s"),
+    )
+    dup = (
+        spans.groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return (
+        dup.select(
+            F.md5("s").alias("span_hash"), "n_occurrences", "n_docs"
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("span_hash"))
+        .limit(50)
+    )
+
+
 @register(
     "pretrain_mixture_pipeline",
     oracle=f"""
