@@ -74,7 +74,14 @@ def resample_to_mixture(
         list(pos.items()), schema=f"{group_col} string, __w double"
     )
 
-    base = df.join(F.broadcast(wdf), on=group_col, how="inner")
+    # One lazy materialization: the quota pass (counts -> cap -> k_g)
+    # and the ranking pass otherwise each re-run the ENTIRE upstream
+    # plan — for a caller like pretrain_mixture_pipeline that is the
+    # full gate+dedup chain, recomputed per pass at 100 TB. Blocks are
+    # freed by the ContextCleaner when the frame goes unreferenced.
+    base = df.join(F.broadcast(wdf), on=group_col, how="inner").localCheckpoint(
+        eager=False
+    )
     # k_g = floor(w_g * min_g(n_g / w_g)); all-double arithmetic in the
     # same operation order as the SQL oracle, so floors agree bit-exactly.
     counts = base.groupBy(group_col, "__w").agg(
