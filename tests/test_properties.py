@@ -251,3 +251,137 @@ def test_quantize_int8_against_python_reference(spark, vecs):
         assert r["checksum"] == sum(q)
         assert r["l1_norm"] == sum(abs(x) for x in q)
         assert r["n_saturated"] == sum(1 for x in q if abs(x) == 127)
+
+
+@SETTINGS
+@given(
+    ivs=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 30)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_interval_concurrency_invariants(spark, ivs):
+    """Sweep line over random [s, s+d) intervals: the curve ends at 0,
+    every level matches the brute-force overlap count at that boundary,
+    and levels are non-negative."""
+    from ballista_extensions_spark.operators.intervals import (
+        interval_concurrency,
+    )
+
+    rows = [(s, s + d) for s, d in ivs]
+    df = spark.createDataFrame(rows, "s long, e long")
+    got = sorted(
+        (r["t"], r["concurrent"])
+        for r in interval_concurrency(df, "s", "e").collect()
+    )
+    assert got[-1][1] == 0
+    for t, level in got:
+        brute = sum(1 for s, e in rows if s <= t < e)
+        assert level == brute
+        assert level >= 0
+
+
+@SETTINGS
+@given(
+    vals=st.lists(st.integers(0, 30), min_size=1, max_size=120),
+    counters=st.integers(1, 6),
+    k=st.integers(1, 5),
+)
+def test_exact_top_k_always_matches_naive(spark, vals, counters, k):
+    """exact_top_k == the naive full group-by for ANY data, even when
+    tiny counters force the fallback path (the operator's core claim)."""
+    from collections import Counter
+
+    from ballista_extensions_spark.operators.frequent import exact_top_k
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long").repartition(4)
+    got = [
+        (r["item"], r["cnt"])
+        for r in exact_top_k(df, "v", k=k, counters=counters).collect()
+    ]
+    want = sorted(
+        ((str(v), c) for v, c in Counter(vals).items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:k]
+    assert got == want
+
+
+@SETTINGS
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(1, 40),
+        min_size=1,
+        max_size=4,
+    ),
+    raw_w=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.floats(0.05, 1.0, allow_nan=False),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_mixture_quota_arithmetic(spark, counts, raw_w):
+    """Quotas are floor(w * min(n/w)) over groups present in BOTH the
+    data and the weights; output counts hit them exactly."""
+    import math
+
+    from ballista_extensions_spark.operators.mixing import resample_to_mixture
+
+    rows = [
+        (g, i + 1000 * ord(g)) for g, n in counts.items() for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long")
+    out = resample_to_mixture(df, "g", raw_w, key_col="id")
+    got = {
+        r["g"]: r["n"]
+        for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    both = {g: raw_w[g] for g in raw_w if g in counts}
+    if not both:
+        assert got == {}
+        return
+    cap = min(counts[g] / w for g, w in both.items())
+    want = {g: math.floor(w * cap) for g, w in both.items()}
+    assert got == {g: n for g, n in want.items() if n > 0} or got == want
+
+
+@SETTINGS
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(-50, 50)),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_group_ols_matches_fraction_closed_form(spark, pts):
+    """group_ols equals the EXACT rational closed form evaluated through
+    the same double expression tree (decimal sums are exact integers
+    here, so operands agree bit-for-bit)."""
+    from fractions import Fraction
+
+    from ballista_extensions_spark.operators.regression import group_ols
+
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in pts], "g string, x long, y long"
+    )
+    got = group_ols(
+        df, ["g"], F.col("x"), F.col("y"), y_dec="decimal(18,0)"
+    ).collect()[0]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    den = Fraction(n) * sxx - Fraction(sx) * sx
+    if den == 0:
+        assert got["slope"] is None and got["intercept"] is None
+        return
+    # replay the double expression tree on exact-integer operands
+    fn, fsx, fsy, fsxy, fsxx = map(float, (n, sx, sy, sxy, sxx))
+    num_d = fn * fsxy - fsx * fsy
+    den_d = fn * fsxx - fsx * fsx
+    slope_d = num_d / den_d
+    assert got["slope"] == slope_d
+    assert got["intercept"] == (fsy - slope_d * fsx) / fn
