@@ -8,6 +8,7 @@ from ballista_extensions_spark.streaming.ops import (
     view_purchase_join_stream,
 )
 from ballista_extensions_spark.streaming.frequent import mg_summary_stream
+from ballista_extensions_spark.streaming.gapfill import locf_gapfill_stream
 
 __all__ = [
     "hourly_rollup_stream",
@@ -16,4 +17,5 @@ __all__ = [
     "enrich_stream",
     "view_purchase_join_stream",
     "mg_summary_stream",
+    "locf_gapfill_stream",
 ]

@@ -403,3 +403,99 @@ def test_mg_summary_stream_bounds_under_compaction(spark, tmp_path_factory):
     for r in emitted:
         true = 500 if r["item"] == "hot" else 1
         assert r["cnt"] <= true
+
+
+def test_locf_gapfill_stream_carries_across_batches(spark, tmp_path_factory):
+    """Two micro-batches (maxFilesPerTrigger=1); series 'a' has buckets
+    in both, so the gap spanning the batch boundary must be filled from
+    STATE, not from within-batch data."""
+    from ballista_extensions_spark.streaming import locf_gapfill_stream
+
+    base = tmp_path_factory.mktemp("locf")
+    d = str(base / "in")
+    # file 1: a@[0, 60], b@[0]; file 2: a@[300], b@[120]
+    spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 60, 2.0), ("b", 0, 9.0)],
+        "s string, b long, v double",
+    ).coalesce(1).write.parquet(d)
+    spark.createDataFrame(
+        [("a", 300, 5.0), ("b", 120, 7.0)], "s string, b long, v double"
+    ).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema("s string, b long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = locf_gapfill_stream(stream, "s", "b", "v", step_seconds=60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("locf_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["series"], r["bucket"]): (r["value"], r["is_gap"])
+        for r in spark.sql("SELECT * FROM locf_sink").collect()
+    }
+    # series a: dense 0..300, gaps 120/180/240 carry 2.0 regardless of
+    # which micro-batch the neighbors arrived in
+    assert got[("a", 0)] == (1.0, False)
+    assert got[("a", 60)] == (2.0, False)
+    assert got[("a", 120)] == (2.0, True)
+    assert got[("a", 180)] == (2.0, True)
+    assert got[("a", 240)] == (2.0, True)
+    assert got[("a", 300)] == (5.0, False)
+    # series b: gap at 60 carries 9.0
+    assert got[("b", 60)] == (9.0, True)
+    assert got[("b", 120)] == (7.0, False)
+    assert len(got) == 9
+
+
+def test_locf_gapfill_stream_matches_batch_twin(spark, events_dir, tmp_path_factory):
+    """Single-batch convergence: streamed dense axis == the batch
+    operator's buckets for the same per-bucket aggregate."""
+    from ballista_extensions_spark.operators.timeseries import (
+        time_bucket_gapfill,
+    )
+    from ballista_extensions_spark.streaming import locf_gapfill_stream
+
+    ev = spark.read.parquet(events_dir)
+    per = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bkt")
+    ).agg(F.avg("value").alias("v"))
+    src = str(tmp_path_factory.mktemp("locfb") / "in")
+    per.select(
+        "event_type", F.unix_timestamp("bkt").alias("b"), "v"
+    ).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("event_type string, b long, v double")
+        .parquet(src)
+    )
+    out = locf_gapfill_stream(stream, "event_type", "b", "v", 3600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("locf_twin_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["series"], r["bucket"]): round(r["value"], 9)
+        for r in spark.sql("SELECT * FROM locf_twin_sink").collect()
+    }
+    want_df = time_bucket_gapfill(
+        ev,
+        ts_col="ts",
+        series_cols=["event_type"],
+        aggs=[F.avg("value").alias("v")],
+        bucket="hour",
+        locf_cols=["v"],
+    )
+    want = {
+        (r["event_type"], int(r["bucket"].timestamp())): round(r["v"], 9)
+        for r in want_df.collect()
+    }
+    assert got == want
