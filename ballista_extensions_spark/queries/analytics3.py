@@ -422,6 +422,79 @@ def ab_test_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "shipping_delay_deciles_by_priority",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority AS pri,
+             CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)
+               AS delay,
+             l_orderkey, l_linenumber
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    r AS (
+      SELECT pri, delay,
+             ROW_NUMBER() OVER (
+               PARTITION BY pri
+               ORDER BY delay, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY pri) AS n
+      FROM d),
+    t(p) AS (VALUES (CAST(0.1 AS DOUBLE)), (CAST(0.25 AS DOUBLE)),
+                    (CAST(0.5 AS DOUBLE)), (CAST(0.75 AS DOUBLE)),
+                    (CAST(0.9 AS DOUBLE)))
+    SELECT pri, p, MIN(delay) AS delay_days
+    FROM r JOIN t ON rn = CAST(ceil(p * n) AS BIGINT)
+    GROUP BY pri, p
+    """,
+)
+def shipping_delay_deciles_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT per-group quantiles (SQL-standard PERCENTILE_DISC
+    semantics: the value at rank ceil(p*n)) of shipping delay per order
+    priority — grouped quantiles without approximation, the exact twin
+    of the KLL sketch rollup (price_quantile_sketch_rollup). The window
+    partitions by priority — a DIMENSION-bounded key (5 groups), where
+    per-group windows parallelize across groups and are the right plan;
+    for unbounded group keys use operators/prefix.py's
+    distributed_percentile_disc per the same rank arithmetic. The
+    tie-break (delay, orderkey, linenumber) totals the order, so rank
+    selection is deterministic in both engines."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    from pyspark.sql.window import Window
+
+    d = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("delay"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("pri").orderBy("delay", "l_orderkey", "l_linenumber")
+    r = d.select(
+        "pri",
+        "delay",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("pri"))
+        .cast("long")
+        .alias("n"),
+    )
+    t = spark.createDataFrame([(p,) for p in (0.1, 0.25, 0.5, 0.75, 0.9)],
+                              "p double")
+    return (
+        r.join(
+            F.broadcast(t),
+            F.col("rn") == F.ceil(F.col("p") * F.col("n")).cast("long"),
+        )
+        .groupBy("pri", "p")
+        .agg(F.min("delay").alias("delay_days"))
+    )
+
+
 def _dd_spans(toks: str, n: int) -> str:
     """DuckDB n-token span fragment WITHOUT list_distinct — occurrence
     semantics (every position yields a span), unlike _dd_shingles3's set

@@ -333,3 +333,21 @@ def test_pretrain_pipeline_plan_and_shares(spark, sf_dir):
     # shares sum to 1 over the selected mixture and langs are weighted ones
     assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-12
     assert {r["lang"] for r in rows} <= {"en", "de", "fr", "es", "zh"}
+
+
+def test_shipping_deciles_monotone_and_partitioned(spark, sf_dir):
+    from ballista_extensions_spark.queries import get_queries
+
+    df = get_queries()["shipping_delay_deciles_by_priority"](spark, sf_dir)
+    rows = df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # windows are partitioned by the dimension key, never global
+    assert "No Partition Defined" not in plan
+    by_pri: dict = {}
+    for r in rows:
+        by_pri.setdefault(r["pri"], []).append((r["p"], r["delay_days"]))
+    for pri, pairs in by_pri.items():
+        pairs.sort()
+        delays = [d for _, d in pairs]
+        assert delays == sorted(delays), f"non-monotone deciles for {pri}"
+        assert len(pairs) == 5
