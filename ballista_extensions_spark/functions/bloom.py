@@ -48,7 +48,9 @@ def bloom_build(
     word-level shuffle (<= num_bits/64 groups)."""
     if num_bits % 64 != 0 or num_bits <= 0:
         raise ValueError(f"num_bits must be a positive multiple of 64: {num_bits}")
-    positions = small.select(
+    # NULL build keys never equi-join; drop them so they don't set the
+    # fixed positions xxhash64 produces for null arguments.
+    positions = small.filter(F.col(key).isNotNull()).select(
         F.explode(
             F.array(
                 *[
@@ -81,7 +83,11 @@ def bloom_prefilter(
     (false positives possible, false negatives impossible; NULL keys are
     dropped — they can never equi-join). Entirely JVM-side: broadcast
     cross-join of the one bitmap row, then codegen'd bit tests."""
-    probed = big.crossJoin(F.broadcast(bloom))
+    # Explicit NULL drop: xxhash64 SKIPS null arguments (hashing only the
+    # seed literal), so without this a NULL key would hash to a fixed
+    # position and could pass the bit tests — violating the documented
+    # "NULL keys are dropped" contract.
+    probed = big.filter(F.col(key).isNotNull()).crossJoin(F.broadcast(bloom))
     tests = []
     for i in range(num_hashes):
         pos = _hash_pos_sql(key, i, num_bits)

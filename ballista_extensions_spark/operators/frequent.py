@@ -64,6 +64,12 @@ def mg_partition_summaries(
     compacted). Arrow-batched; the accumulator is a pandas Series so the
     merge is vectorized; compaction triggers at ``4 x counters`` distinct
     items and decrements by the (counters+1)-th largest count.
+
+    Canonical string form: the column is cast to string ON THE SPARK SIDE
+    before entering Arrow, so summary items use the exact same rendering
+    (``true``/``false`` booleans, Spark timestamp/decimal formatting) as
+    the phase-2 verification scan's ``cast("string")`` — a pandas-side
+    ``astype(str)`` would render e.g. Python ``True`` and never match.
     """
     if counters < 1:
         raise ValueError(f"counters must be >= 1, got {counters}")
@@ -73,7 +79,7 @@ def mg_partition_summaries(
         acc: pd.Series | None = None
         err = 0
         for pdf in batches:
-            vc = pdf[col].dropna().astype(str).value_counts()
+            vc = pdf[col].dropna().value_counts()
             if vc.empty:
                 continue
             acc = vc if acc is None else acc.add(vc, fill_value=0)
@@ -88,7 +94,7 @@ def mg_partition_summaries(
             {"item": items + [None], "cnt": cnts + [err]}
         )
 
-    return df.select(F.col(col).alias(col)).mapInPandas(
+    return df.select(F.col(col).cast("string").alias(col)).mapInPandas(
         summarize, schema=_SUMMARY_SCHEMA
     )
 
@@ -126,10 +132,14 @@ def exact_top_k(
     kth_row = (
         lowers.orderBy(F.desc("lb"), F.asc("item"))
         .limit(k)
-        .agg(F.min("lb").alias("kth"))
+        .agg(F.min("lb").alias("kth"), F.count(F.lit(1)).alias("n"))
         .collect()[0]
     )
-    kth_lb = kth_row["kth"] if kth_row["kth"] is not None else 0
+    # Fewer than k surviving lower bounds means the true k-th largest
+    # lower bound is 0 (implicit fully-decremented items pad the top-k)
+    # — taking min over the <k survivors would overstate it and let the
+    # candidate path silently drop true ranks (survivors+1)..k.
+    kth_lb = kth_row["kth"] if kth_row["n"] >= k and kth_row["kth"] is not None else 0
 
     base = df.select(F.col(col).cast("string").alias("item")).filter(
         F.col("item").isNotNull()

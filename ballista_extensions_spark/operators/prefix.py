@@ -35,6 +35,7 @@ __all__ = [
     "distributed_cumsum",
     "distributed_percentile_disc",
     "distributed_row_number",
+    "grouped_percentile_disc",
     "ntile_from_rank",
 ]
 
@@ -185,6 +186,80 @@ def distributed_percentile_disc(
             F.col("__bx_rn").alias("rank"),
             F.lit(n).cast("long").alias("n"),
         )
+    )
+
+
+def grouped_percentile_disc(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: list[float],
+    tiebreak_cols: tuple[str, ...] = (),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact per-group ``PERCENTILE_DISC(p) WITHIN GROUP (ORDER BY
+    value)`` with NO per-group window — the grouped twin of
+    :func:`distributed_percentile_disc`.
+
+    ``Window.partitionBy(group)`` caps parallelism at the group count
+    and funnels 1/groups of the fact table through each task — fatal
+    when groups are few (5 order priorities) and rows are 100 TB. Here
+    the rank comes from ONE global :func:`distributed_row_number` over
+    ``(group, value, tiebreaks)`` — parallelism = range partitions, not
+    groups — and each group's rank is recovered as
+    ``global_rank - group_start + 1``. The per-group (start, count)
+    frame is bounded by group cardinality (a dimension) and broadcasts;
+    the SQL-standard target rank ceil(p*n_g) is computed in exact
+    integer arithmetic (prob as numerator/denominator longs — float
+    ceil flips the selected row exactly when p*n is integral).
+
+    Returns one row per (group, prob): (group, prob, <value_col>,
+    rank, n). ``tiebreak_cols`` must totalize the per-group order for
+    cross-engine determinism.
+    """
+    from fractions import Fraction
+
+    ranked = distributed_row_number(
+        df,
+        [group_col, value_col, *tiebreak_cols],
+        out_col="__bx_grn",
+        num_partitions=num_partitions,
+    )
+    stats = ranked.groupBy(group_col).agg(
+        F.min("__bx_grn").alias("__g0"),
+        F.count(F.lit(1)).cast("long").alias("__gn"),
+    )
+    pr = df.sparkSession.createDataFrame(
+        [
+            (float(p), Fraction(str(p)).numerator, Fraction(str(p)).denominator)
+            for p in probs
+        ],
+        schema="prob double, __num long, __den long",
+    )
+    tgt = (
+        stats.crossJoin(F.broadcast(pr))
+        .select(
+            F.col(group_col).alias("__bx_g"),
+            "prob",
+            "__g0",
+            F.col("__gn").alias("n"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr("(__num * __gn + __den - 1) div __den").cast("long"),
+            ).alias("__bx_target"),
+        )
+    )
+    joined = ranked.join(
+        F.broadcast(tgt),
+        (F.col(group_col) == F.col("__bx_g"))
+        & (F.col("__bx_grn") == F.col("__g0") + F.col("__bx_target") - F.lit(1)),
+    )
+    return joined.select(
+        group_col,
+        "prob",
+        F.col(value_col),
+        F.col("__bx_target").alias("rank"),
+        F.col("n"),
     )
 
 

@@ -743,16 +743,31 @@ def percentile_disc_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile bucketing over a TOTAL order (acctbal, custkey tiebreak) —
-    the deterministic-parity requirement for rank-family functions. An
-    unpartitioned window is a single-task sort, correct here (ranking a
-    dimension); at fact scale you'd partition the window or use
-    approx quantile cutpoints instead."""
-    c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
-        "c_custkey",
-        "c_acctbal",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
+    the deterministic-parity requirement for rank-family functions.
+    Computed at scale: TPC-H customer grows with SF (billions of rows at
+    100 TB), so the rank comes from distributed_row_number
+    (operators/prefix.py — range partition + per-partition window +
+    O(partitions) offsets), and the quartile is reconstructed from
+    (rank, total) with the exact NTILE fill rule (ntile_from_rank) —
+    row-identical to ``NTILE(4) OVER (ORDER BY ...)`` with NO
+    single-task global sort."""
+    from ballista_extensions_spark.operators.prefix import (
+        distributed_row_number,
+        ntile_from_rank,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = distributed_row_number(
+        c, ["c_acctbal", "c_custkey"], out_col="__rn"
+    )
+    totals = ranked.agg(F.max("__rn").alias("__n_total"))
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            ntile_from_rank("__rn", "__n_total", 4).cast("long").alias("quartile"),
+        )
     )
 
 

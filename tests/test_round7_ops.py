@@ -1,0 +1,182 @@
+"""Round-7 regression tests: the four round-6 ADVICE fixes (exact_top_k
+<k-survivors guard + canonical stringification, bloom NULL-key
+semantics, grouped percentile rewrite) and the weighted-sample
+pow-parity boundary-margin contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------ exact_top_k fixes
+
+def test_exact_top_k_fewer_than_k_survivors(spark):
+    """ADVICE r6 (high): with fewer than k distinct items surviving the
+    MG summaries, kth_lb must be treated as 0 (forcing the exact
+    fallback) — min over the <k survivors would silently drop the true
+    ranks (survivors+1)..k."""
+    from ballista_extensions_spark.operators.frequent import exact_top_k
+
+    # 10 distinct items, heavily skewed so summaries keep them all with
+    # big lower bounds, then ask for k=30: correct answer is all 10
+    # items with exact counts.
+    rows = [(f"item_{i:02d}",) for i in range(10) for _ in range(100 * (i + 1))]
+    df = spark.createDataFrame(rows, "v string").repartition(4)
+    got = exact_top_k(df, "v", k=30, counters=8).collect()
+    assert len(got) == 10
+    by_item = {r["item"]: r["cnt"] for r in got}
+    for i in range(10):
+        assert by_item[f"item_{i:02d}"] == 100 * (i + 1)
+    # ordered by cnt desc
+    cnts = [r["cnt"] for r in got]
+    assert cnts == sorted(cnts, reverse=True)
+
+
+def test_exact_top_k_non_string_column_boolean(spark):
+    """ADVICE r6 (medium): phase-1 items must use Spark's cast-to-string
+    rendering ('true'/'false'), not pandas astype(str) ('True'/'False'),
+    or the phase-2 semi-join never matches and the result is empty."""
+    from ballista_extensions_spark.operators.frequent import exact_top_k
+
+    rows = [(True,)] * 70 + [(False,)] * 30
+    df = spark.createDataFrame(rows, "v boolean").repartition(3)
+    got = {r["item"]: r["cnt"] for r in exact_top_k(df, "v", k=2).collect()}
+    assert got == {"true": 70, "false": 30}
+
+
+def test_exact_top_k_non_string_column_long(spark):
+    from ballista_extensions_spark.operators.frequent import exact_top_k
+
+    rows = [(7,)] * 50 + [(42,)] * 20 + [(None,)] * 5
+    df = spark.createDataFrame(rows, "v long").repartition(2)
+    got = {r["item"]: r["cnt"] for r in exact_top_k(df, "v", k=5).collect()}
+    assert got == {"7": 50, "42": 20}  # NULLs excluded, Spark rendering
+
+
+# ------------------------------------------------------ bloom NULL keys
+
+def test_bloom_prefilter_drops_null_probe_keys(spark):
+    """ADVICE r6 (low): xxhash64 skips NULL arguments (hashing only the
+    seed), so without an explicit filter NULL probe keys hash to fixed
+    positions and can pass the bit tests. The documented contract is
+    'NULL keys are dropped'."""
+    from ballista_extensions_spark.functions.bloom import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    build = spark.createDataFrame([(None,), (1,), (2,)], "k long")
+    bloom = bloom_build(build, "k")
+    probe = spark.createDataFrame(
+        [(None, "null_row"), (1, "hit"), (99999, "likely_miss")],
+        "k long, tag string",
+    )
+    got = {r["tag"] for r in bloom_prefilter(probe, bloom, "k").collect()}
+    assert "null_row" not in got  # the contract under test
+    assert "hit" in got  # no false negatives
+
+
+def test_bloom_filtered_join_unaffected_by_nulls(spark):
+    from ballista_extensions_spark.functions.bloom import bloom_filtered_join
+
+    big = spark.createDataFrame(
+        [(1, "a"), (None, "n"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    small = spark.createDataFrame([(1,), (3,), (None,)], "k long")
+    got = sorted(
+        (r["k"], r["v"]) for r in bloom_filtered_join(big, small, "k").collect()
+    )
+    assert got == [(1, "a"), (3, "c")]  # exactly the plain equi-join
+
+
+# ------------------------------------------- grouped_percentile_disc
+
+def test_grouped_percentile_disc_known_values(spark):
+    """ceil(p*n) PERCENTILE_DISC per group, from ONE global distributed
+    rank minus broadcast group offsets — no per-group window."""
+    from ballista_extensions_spark.operators.prefix import (
+        grouped_percentile_disc,
+    )
+
+    rows = [("a", v) for v in range(1, 11)] + [("b", v) for v in (5, 7, 9)]
+    df = spark.createDataFrame(rows, "g string, v long").repartition(4)
+    got = {
+        (r["g"], r["prob"]): (r["v"], r["rank"], r["n"])
+        for r in grouped_percentile_disc(
+            df, "g", "v", [0.1, 0.5, 0.9]
+        ).collect()
+    }
+    # group a: n=10 -> ranks ceil(1)=1, ceil(5)=5, ceil(9)=9
+    assert got[("a", 0.1)] == (1, 1, 10)
+    assert got[("a", 0.5)] == (5, 5, 10)
+    assert got[("a", 0.9)] == (9, 9, 10)
+    # group b: n=3 -> ranks ceil(.3)=1, ceil(1.5)=2, ceil(2.7)=3
+    assert got[("b", 0.1)] == (5, 1, 3)
+    assert got[("b", 0.5)] == (7, 2, 3)
+    assert got[("b", 0.9)] == (9, 3, 3)
+
+
+def test_grouped_percentile_disc_integral_pn_boundary(spark):
+    """p*n integral is exactly where float ceil flips the selected row:
+    p=0.25, n=8 -> rank must be 2 (ceil(2)=2), not 3."""
+    from ballista_extensions_spark.operators.prefix import (
+        grouped_percentile_disc,
+    )
+
+    df = spark.createDataFrame([("g", v) for v in range(1, 9)], "g string, v long")
+    got = grouped_percentile_disc(df, "g", "v", [0.25]).collect()
+    assert len(got) == 1
+    assert (got[0]["v"], got[0]["rank"]) == (2, 2)
+
+
+def test_grouped_percentile_disc_single_row_group(spark):
+    from ballista_extensions_spark.operators.prefix import (
+        grouped_percentile_disc,
+    )
+
+    df = spark.createDataFrame([("solo", 42)], "g string, v long")
+    got = grouped_percentile_disc(df, "g", "v", [0.1, 0.9]).collect()
+    assert {(r["prob"], r["v"], r["rank"]) for r in got} == {
+        (0.1, 42, 1),
+        (0.9, 42, 1),
+    }
+
+
+# -------------------------------------------- weighted pow-parity margin
+
+def test_weighted_sample_boundary_margin(spark):
+    """The pow-parity contract (round-5/6 ADVICE, now retired): A-Res
+    priorities use pow, which is NOT correctly rounded, so Spark
+    (Math.pow) and DuckDB (libm) may differ in the last ulp. The
+    registered query's oracle parity therefore rests on the k-boundary
+    priority gap being FAR wider than any 1-ulp perturbation — measure
+    it: the relative gap between the 200th and 201st priorities must
+    exceed 1e-12 (vs ~2.2e-16 for 1 ulp), so a last-bit divergence
+    cannot flip membership."""
+    import os
+
+    from ballista_extensions_spark.io import load_table
+    from ballista_extensions_spark.operators.weighted import uniform_from_hash
+
+    # Measure at the GRADED scale: sf0.001's part table has exactly 200
+    # rows, so k=200 keeps everything and there is no boundary at all
+    # (parity is unconditional there). The driver grades at sf0.01.
+    graded = "/root/testdata/sf0.01"
+    if not os.path.isdir(graded):  # pragma: no cover
+        pytest.skip("graded sf dir absent")
+    p = load_table(spark, graded, "part").filter(F.col("p_retailprice") > 0)
+    pri = F.pow(
+        uniform_from_hash(F.col("p_partkey"), 42),
+        F.lit(1.0) / F.col("p_retailprice").cast("double"),
+    )
+    top = (
+        p.select(pri.alias("pri"))
+        .orderBy(F.desc("pri"))
+        .limit(201)
+        .collect()
+    )
+    assert len(top) == 201, "fixture must exceed the sample size"
+    kth, next_ = top[199]["pri"], top[200]["pri"]
+    rel_gap = (kth - next_) / kth
+    assert rel_gap > 1e-12, f"boundary margin too thin: {rel_gap}"
