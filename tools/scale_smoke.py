@@ -7,7 +7,8 @@ across copies are REAL near-dups the dedup ops must catch), runs each
 headline operator at 1x and 10x, and reports the scaling exponent
 log10(t10/t1) — 1.0 = perfectly linear, 2.0 = quadratic blow-up.
 
-Usage: python tools/scale_smoke.py [sf_dir] [factor]
+Usage: python tools/scale_smoke.py [sf_dir] [factor] [op ...]
+(op names filter the table to just those rows, for incremental runs)
 """
 
 from __future__ import annotations
@@ -118,6 +119,9 @@ def main() -> None:
         "heavy_hitter_tokens": lambda d, e: _heavy_hitters(d),
         "domain_mix_resample": lambda d, e: _mix(d),
         "ngram_novelty": lambda d, e: T.ngram_novelty(d).count(),
+        # round-7 additions (VERDICT r6 directive #4): the remaining
+        # round-6 operators whose linearity was asserted but unmeasured
+        "percentile_disc_distributed": lambda d, e: _pctl(d),
     }
 
     def _heavy_hitters(d):
@@ -139,6 +143,18 @@ def main() -> None:
             d.select("lang", "doc_id"), "lang", weights, "doc_id"
         ).count()
 
+    def _pctl(d):
+        from ballista_extensions_spark.operators.prefix import (
+            distributed_percentile_disc,
+        )
+
+        return distributed_percentile_disc(
+            d.select("n_chars", "doc_id"),
+            "n_chars",
+            [0.1, 0.5, 0.9, 0.99],
+            tiebreak_cols=("doc_id",),
+        ).count()
+
     def _sweep(ev):
         from ballista_extensions_spark.operators.intervals import (
             interval_concurrency,
@@ -150,7 +166,54 @@ def main() -> None:
         )
         return interval_concurrency(iv, "s", "e").count()
 
-    ev_ops = {"interval_sweepline": _sweep}
+    def _gapfill(ev):
+        from ballista_extensions_spark.operators.timeseries import (
+            time_bucket_gapfill,
+        )
+
+        return time_bucket_gapfill(
+            ev,
+            "ts",
+            ["user_id"],
+            [
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.max("value").alias("max_value"),
+            ],
+            bucket="hour",
+            zero_cols=["n_events"],
+            locf_cols=["max_value"],
+        ).count()
+
+    def _bloom_join(ev):
+        from ballista_extensions_spark.functions.bloom import (
+            bloom_filtered_join,
+        )
+
+        # ~1/50 of users survive: the guaranteed-prune shape — most probe
+        # rows die before the join exchange.
+        keep = (
+            ev.select("user_id")
+            .distinct()
+            .filter(F.col("user_id") % 50 == 0)
+        )
+        return bloom_filtered_join(ev, keep, "user_id").count()
+
+    def _ols(ev):
+        from ballista_extensions_spark.operators.regression import group_ols
+
+        return group_ols(
+            ev.filter(F.col("value").isNotNull()),
+            ["event_type"],
+            F.hour("ts").cast("long"),
+            F.col("value"),
+        ).count()
+
+    ev_ops = {
+        "interval_sweepline": _sweep,
+        "gapfill_locf": _gapfill,
+        "bloom_filtered_join": _bloom_join,
+        "group_ols": _ols,
+    }
 
     print(f"| op | t_1x (s) | t_{factor}x (s) | exponent |")
     print("|---|---|---|---|")
@@ -175,9 +238,12 @@ def main() -> None:
                 return None
         return min(ts)
 
+    only = set(sys.argv[3:])
     runs = [(name, fn, (docs1, emb1), (docs10, emb10))
             for name, fn in ops.items()]
     runs += [(name, fn, (ev1,), (ev10,)) for name, fn in ev_ops.items()]
+    if only:
+        runs = [r for r in runs if r[0] in only]
     for name, fn, args1, args10 in runs:
         try:
             t1 = best(fn, args1)
