@@ -25,5 +25,6 @@ from ballista_extensions_spark.queries import tpch3  # noqa: E402,F401
 from ballista_extensions_spark.queries import analytics2  # noqa: E402,F401
 from ballista_extensions_spark.queries import sampling  # noqa: E402,F401
 from ballista_extensions_spark.queries import analytics3  # noqa: E402,F401
+from ballista_extensions_spark.queries import streaming_replay  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register", "get_queries", "get_oracles"]

@@ -1,0 +1,239 @@
+"""Driver-checkable streaming replays (VERDICT r6 directive #7).
+
+The streaming twins (streaming/frequent.py, streaming/gapfill.py) were
+pytest-only by nature of the ``queries()`` contract — a registry entry
+must be a (spark, sf_dir) -> DataFrame callable with a DuckDB oracle.
+These two queries close that gap: each one replays a MULTI-batch
+bounded stream (maxFilesPerTrigger=1 over files with strictly
+increasing modification times, so micro-batch order is deterministic)
+through the stateful streaming operator via foreachBatch into the
+idempotent parquet sink, then returns the final table for the driver's
+oracle comparison. Cross-batch state carry is therefore part of what
+the oracle verifies: a gap spanning a micro-batch boundary must be
+filled from state, and shard summaries must accumulate across batches,
+for the result to hash-match the one-shot SQL answer.
+
+Determinism discipline: the heavy-hitter replay sizes its Misra–Gries
+counters so compaction can never trigger at any tested SF (distinct
+user_ids per shard is orders of magnitude below the compaction
+threshold), making the summaries EXACT counts — and it still verifies
+``err == 0`` loudly rather than assuming it. The gapfill replay feeds
+per-bucket aggregates in time order (the operator's input contract)
+and uses the same decimal-average discipline as the batch twin so the
+carried values are bit-identical to the oracle's.
+
+Scale posture: the replay pattern is the production shape — bounded
+state per group (two scalars per series; ``counters`` pairs per
+shard), offset-replay sources, exactly-once sink idempotent per batch
+id. The temp-dir staging here exists only to give the driver a
+deterministic bounded stream; a real deployment points the same code
+at a live source.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ballista_extensions_spark.functions.exact import lcount
+from ballista_extensions_spark.io import load_table
+from ballista_extensions_spark.queries.registry import register
+from ballista_extensions_spark.streaming.sinks import idempotent_parquet_sink
+
+_STAGE_ROOT = "/tmp/bx_stream_replay"
+
+
+def _stage_dir(name: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf) staging dir, wiped on entry so
+    reruns never accumulate or mix state."""
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = os.path.join(_STAGE_ROOT, name, key)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
+
+
+def _write_ordered_slices(slices: list[DataFrame], in_dir: str) -> None:
+    """Write each slice as one parquet file with strictly increasing
+    mtimes: FileStreamSource orders files oldest-first, so with
+    maxFilesPerTrigger=1 micro-batch k replays slice k exactly."""
+    seen: set[str] = set()
+    base = os.path.getmtime(in_dir)
+    for k, s in enumerate(slices):
+        s.coalesce(1).write.mode("append").parquet(in_dir)
+        for f in os.listdir(in_dir):
+            p = os.path.join(in_dir, f)
+            if f.endswith(".parquet") and p not in seen:
+                os.utime(p, (base + 100 * k, base + 100 * k))
+                seen.add(p)
+
+
+def _replay(
+    spark: SparkSession,
+    in_dir: str,
+    schema: str,
+    out_dir: str,
+    transform,
+    output_mode: str = "append",
+) -> DataFrame:
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        transform(stream)
+        .writeStream.outputMode(output_mode)
+        .foreachBatch(idempotent_parquet_sink(out_dir))
+        .option("checkpointLocation", os.path.join(in_dir, "..", "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.read.parquet(out_dir)
+
+
+@register(
+    "streaming_gapfill_replay",
+    oracle="""
+    WITH per AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(COUNT(value) AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    bounds AS (
+      SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+      FROM per GROUP BY 1),
+    spine AS (
+      SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS bucket
+      FROM bounds),
+    j AS (
+      SELECT s.event_type, s.bucket, p.v
+      FROM spine s LEFT JOIN per p
+        ON p.event_type = s.event_type AND p.bucket = s.bucket)
+    SELECT event_type AS series, bucket,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS UNBOUNDED PRECEDING) AS value,
+           v IS NULL AS is_gap
+    FROM j
+    """,
+)
+def streaming_gapfill_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-batch streaming LOCF gapfill, oracle-checked: hourly avg
+    value per event type streams through locf_gapfill_stream in three
+    time-ordered micro-batches; the dense (series, bucket, value,
+    is_gap) output must equal the one-shot SQL spine+carry — gaps that
+    span micro-batch boundaries are filled from applyInPandasWithState
+    state, which is exactly what the hash comparison proves."""
+    from ballista_extensions_spark.streaming.gapfill import (
+        locf_gapfill_stream,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    per = e.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+        .cast("long")
+        .alias("bucket"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("value").cast("double")
+        ).alias("v")
+    )
+
+    stage = _stage_dir("gapfill", sf_dir)
+    in_dir = os.path.join(stage, "in")
+    os.makedirs(in_dir)
+    # three contiguous time slices -> in-order buckets per series across
+    # batches (the operator's input contract); boundaries from the
+    # GLOBAL bucket range so every series' slices line up
+    lo, hi = per.agg(F.min("bucket"), F.max("bucket")).first()
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    _write_ordered_slices(
+        [
+            per.filter(F.col("bucket") <= cut1),
+            per.filter((F.col("bucket") > cut1) & (F.col("bucket") <= cut2)),
+            per.filter(F.col("bucket") > cut2),
+        ],
+        in_dir,
+    )
+    sink = _replay(
+        spark,
+        in_dir,
+        "event_type string, bucket long, v double",
+        os.path.join(stage, "out"),
+        lambda s: locf_gapfill_stream(s, "event_type", "bucket", "v", 3600),
+    )
+    return sink.select("series", "bucket", "value", "is_gap")
+
+
+@register(
+    "streaming_heavy_hitters_replay",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY 1
+    ORDER BY cnt DESC, item
+    LIMIT 50
+    """,
+)
+def streaming_heavy_hitters_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-batch streaming Misra–Gries heavy hitters, oracle-checked:
+    the event stream replays through mg_summary_stream in three
+    micro-batches; per-shard summaries accumulate in state across
+    batches, and the final top-50 users by event count must equal the
+    one-shot GROUP BY. Counters are sized so compaction cannot trigger
+    (distinct users per shard << 4*counters at any tested SF), making
+    the summaries exact counts — verified loudly (err must be 0), not
+    assumed."""
+    from ballista_extensions_spark.streaming.frequent import (
+        mg_summary_stream,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    stage = _stage_dir("heavy", sf_dir)
+    in_dir = os.path.join(stage, "in")
+    os.makedirs(in_dir)
+    _write_ordered_slices(
+        [e.filter(F.pmod(F.col("event_id"), F.lit(3)) == k) for k in range(3)],
+        in_dir,
+    )
+    sink = _replay(
+        spark,
+        in_dir,
+        "event_id long, user_id long",
+        os.path.join(stage, "out"),
+        lambda s: mg_summary_stream(s, "user_id", shards=16, counters=1024),
+        output_mode="update",
+    )
+    # update-mode emissions: the LAST batch that touched a shard carries
+    # its current full summary; earlier emissions for that shard are
+    # superseded. Window partitioned by shard (16 rows' worth of groups).
+    from pyspark.sql.window import Window
+
+    latest = sink.withColumn(
+        "__maxb",
+        F.max("__batch_id").over(Window.partitionBy("shard")),
+    ).filter(F.col("__batch_id") == F.col("__maxb"))
+    bad = latest.filter(F.col("err") > 0).count()
+    if bad:
+        raise RuntimeError(
+            f"{bad} summary rows carry nonzero decrement error; counters "
+            "were sized for exactness — data cardinality grew past the "
+            "compaction threshold"
+        )
+    return (
+        latest.select("item", "cnt")
+        .orderBy(F.desc("cnt"), F.asc("item"))
+        .limit(50)
+    )

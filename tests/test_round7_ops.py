@@ -143,6 +143,63 @@ def test_grouped_percentile_disc_single_row_group(spark):
     }
 
 
+# ------------------------------------------- parquet write-side bloom
+
+def test_parquet_bloom_footer_and_pruning(spark, tmp_path_factory):
+    """VERDICT r6 directive #6: write-side parquet bloom filters
+    (ParquetOptions bloom_filter_on_write twin). Footer must carry a
+    bloom filter for the enabled column only, present keys must always
+    survive the row-group probe (no false negatives), and a sweep of
+    absent keys must show real pruning (most row groups dropped)."""
+    from pyspark.sql import functions as F
+
+    from ballista_extensions_spark.sources.parquet_bloom import (
+        bloom_filter_offsets,
+        row_groups_surviving,
+        write_parquet_bloom,
+    )
+
+    path = str(tmp_path_factory.mktemp("pb") / "t")
+    # high-cardinality key whose row groups all span the full range:
+    # min/max stats can NEVER prune this layout; bloom filters can.
+    df = (
+        spark.range(40_000)
+        .select(
+            (F.xxhash64("id") % 1_000_000).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        .repartition(4)
+    )
+    write_parquet_bloom(df, path, {"k": 20_000})
+
+    from pathlib import Path
+
+    first = sorted(str(p) for p in Path(path).glob("*.parquet"))[0]
+    offs = bloom_filter_offsets(spark, first)
+    assert all(o is not None for o in offs["k"]), offs
+    assert all(o is None for o in offs["payload"]), offs
+
+    # no false negatives: every present key survives in >= 1 row group
+    present = [r["k"] for r in df.select("k").distinct().limit(20).collect()]
+    for v in present:
+        s, t = row_groups_surviving(spark, path, "k", int(v))
+        assert s >= 1, f"present key {v} pruned everywhere"
+
+    # pruning: absent keys (outside the residue range) drop most groups
+    total_surv = total_groups = 0
+    for v in range(2_000_000, 2_000_040):
+        s, t = row_groups_surviving(spark, path, "k", v)
+        total_surv += s
+        total_groups += t
+    assert total_groups >= 40  # at least one row group per probe
+    # <= 5% of (row group, probe) pairs may false-positive at this NDV
+    assert total_surv <= total_groups * 0.05, (total_surv, total_groups)
+
+    # the pruned scan is still a correct scan (false positives only)
+    got = spark.read.parquet(path).filter(F.col("k") == present[0]).count()
+    assert got >= 1
+
+
 # -------------------------------------------- weighted pow-parity margin
 
 def test_weighted_sample_boundary_margin(spark):
