@@ -1,0 +1,34 @@
+"""The plan-fingerprint regrade gate (tools/plan_fingerprint.py):
+round-6's manual discipline — remove a query from PRIOR_DRIVER_GRADED
+whenever its implementation changes — enforced mechanically."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ballista_extensions_spark.queries import registry
+from tools.plan_fingerprint import drifted_graded_names
+
+
+def test_gate_green_at_head(spark):
+    """Every query still marked driver-graded must plan exactly as it
+    did when its grade was recorded. A failure here means an
+    implementation changed without the name being removed from
+    PRIOR_DRIVER_GRADED for re-grading — fix the rotation, never the
+    fingerprint file alone."""
+    assert drifted_graded_names(spark) == []
+
+
+def test_gate_red_on_injected_change(spark):
+    """Injecting a behavior change into a graded query must trip the
+    gate."""
+    name = "q2_cheapest_supplier"
+    assert name in registry.PRIOR_DRIVER_GRADED
+    orig = registry.QUERIES[name]
+    registry.QUERIES[name] = lambda s, d: orig(s, d).filter(
+        F.lit(True)
+    ).limit(3)
+    try:
+        assert name in drifted_graded_names(spark, names={name})
+    finally:
+        registry.QUERIES[name] = orig
