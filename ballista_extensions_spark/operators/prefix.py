@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 __all__ = [
+    "distributed_cummax",
     "distributed_cumsum",
     "distributed_percentile_disc",
     "distributed_row_number",
@@ -107,6 +108,57 @@ def distributed_cumsum(
         .otherwise(F.col(_LOCAL) + F.col(_OFF))
     )
     return joined.withColumn(out_col, cum).drop(_PID, _LOCAL, _OFF)
+
+
+def distributed_cummax(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cummax",
+    inclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global ``MAX(value) OVER (ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING .. CURRENT ROW)`` (or ``.. 1 PRECEDING`` with
+    ``inclusive=False`` — the exclusive prefix a skyline scan needs)
+    via the same two-phase plan as :func:`distributed_cumsum`: max is
+    associative, so per-partition running maxes plus an exclusive
+    prefix-max of per-partition totals reproduce the sequential scan
+    exactly (and bit-exactly — max never rounds).
+
+    NULL discipline matches MAX OVER: NULLs contribute nothing; a
+    prefix that has seen only NULLs (or nothing, for the first row
+    exclusive) is NULL.
+    """
+    part = _range_partitioned(df, order_cols, num_partitions)
+    frame_end = Window.currentRow if inclusive else -1
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, frame_end)
+    )
+    local = part.withColumn(_LOCAL, F.max(value_col).over(w))
+    totals = (
+        local.groupBy(_PID).agg(F.max(value_col).alias("__t")).collect()
+    )
+    totals.sort(key=lambda r: r[_PID])
+    offsets, acc = [], None
+    for r in totals:
+        offsets.append((int(r[_PID]), acc))
+        t = r["__t"]
+        if t is not None:
+            acc = t if acc is None else max(acc, t)
+    total_type = local.schema[_LOCAL].dataType
+    off_df = df.sparkSession.createDataFrame(
+        offsets, schema=f"{_PID} int, {_OFF} {total_type.simpleString()}"
+    )
+    joined = local.join(F.broadcast(off_df), _PID)
+    cm = (
+        F.when(F.col(_OFF).isNull(), F.col(_LOCAL))
+        .when(F.col(_LOCAL).isNull(), F.col(_OFF))
+        .otherwise(F.greatest(F.col(_LOCAL), F.col(_OFF)))
+    )
+    return joined.withColumn(out_col, cm).drop(_PID, _LOCAL, _OFF)
 
 
 def distributed_row_number(

@@ -26,5 +26,6 @@ from ballista_extensions_spark.queries import analytics2  # noqa: E402,F401
 from ballista_extensions_spark.queries import sampling  # noqa: E402,F401
 from ballista_extensions_spark.queries import analytics3  # noqa: E402,F401
 from ballista_extensions_spark.queries import streaming_replay  # noqa: E402,F401
+from ballista_extensions_spark.queries import analytics4  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register", "get_queries", "get_oracles"]

@@ -1,0 +1,367 @@
+"""Round-7 wave: skyline frontier, weighted percentiles, rolling
+time-range windows, SCD2 point-in-time joins, Markov transitions, and
+a referential-integrity audit.
+
+Each query is the registry face of a scale-shaped plan: frontier and
+weighted-percentile ride the distributed prefix machinery
+(operators/prefix.py — range partition + parallel scan + O(partitions)
+offsets, never a single-task global window); the rolling window and
+transition matrix partition by their natural key; the PIT join is a
+key-equi join with an interval predicate; the FK audit is seven
+anti-joins with map-side-combined counts. Exactness discipline as
+everywhere: currency sums ride DECIMAL, counts are BIGINT,
+deterministic tie-breaks on every ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ballista_extensions_spark.io import load_table
+from ballista_extensions_spark.queries.registry import register
+
+
+@register(
+    "part_price_size_skyline",
+    oracle="""
+    WITH pp AS (
+      SELECT p_retailprice AS price, CAST(MAX(p_size) AS INT) AS best_size
+      FROM part
+      WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+      GROUP BY 1),
+    c AS (
+      SELECT price, best_size,
+             MAX(best_size) OVER (ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+      FROM pp),
+    f AS (SELECT price, best_size FROM c
+          WHERE prev IS NULL OR best_size > prev)
+    SELECT f.price, f.best_size, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM f JOIN part p
+      ON p.p_retailprice = f.price AND p.p_size = f.best_size
+    GROUP BY 1, 2
+    """,
+)
+def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts (cheapest price for each achievable
+    size level): non-dominated (p_retailprice low, p_size high) points
+    with the count of parts sitting exactly on each frontier point.
+    operators/skyline.py reduces to one row per price level then runs
+    an EXCLUSIVE distributed prefix-max (distributed_cummax — range
+    partition, parallel scan, O(partitions) offsets) instead of the
+    quadratic dominance self-join or a single-task MAX OVER window;
+    the oracle uses the equivalent monotone-scan SQL (the dominance
+    NOT EXISTS form is checked in pytest where quadratic cost is
+    harmless)."""
+    from ballista_extensions_spark.operators.skyline import skyline_2d
+
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_retailprice").alias("price"), F.col("p_size")
+    )
+    f = skyline_2d(p, "price", "p_size").select(
+        F.col("price").alias("__sk_price"),
+        F.col("p_size").cast("int").alias("best_size"),
+    )
+    return (
+        p.join(
+            f,
+            (p["price"] == f["__sk_price"])
+            & (p["p_size"] == f["best_size"]),
+        )
+        .groupBy(
+            F.col("__sk_price").alias("price"), F.col("best_size")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    )
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH w AS (
+      SELECT l_extendedprice AS v,
+             CAST(l_quantity AS DECIMAL(12,2)) AS wt,
+             l_orderkey, l_linenumber
+      FROM lineitem),
+    r AS (
+      SELECT v, SUM(wt) OVER (ORDER BY v, l_orderkey, l_linenumber
+                              ROWS UNBOUNDED PRECEDING) AS cw
+      FROM w),
+    t AS (SELECT SUM(wt) AS tot FROM w),
+    probs(p) AS (VALUES (CAST(0.25 AS DECIMAL(3,2))),
+                        (CAST(0.50 AS DECIMAL(3,2))),
+                        (CAST(0.75 AS DECIMAL(3,2))),
+                        (CAST(0.90 AS DECIMAL(3,2))))
+    SELECT CAST(p AS DOUBLE) AS p, MIN(v) AS value
+    FROM r, t, probs
+    WHERE cw >= p * tot
+    GROUP BY p
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted percentiles (weighted median and friends) of the
+    extended price, weighted by quantity: the value at which the
+    running weight first reaches p of the total. The running weight is
+    a distributed_cumsum over (price, orderkey, linenumber) — range
+    partition + parallel window + O(partitions) offsets, never the
+    single-task global running-total window the oracle writes. Weights
+    ride DECIMAL so the cumulative sums and the p*total thresholds are
+    exact in both engines (p as DECIMAL(3,2): the multiply is exact,
+    no float ceil/rounding anywhere)."""
+    from ballista_extensions_spark.operators.prefix import distributed_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("decimal(12,2)").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cum = distributed_cumsum(
+        li, ["v", "l_orderkey", "l_linenumber"], "wt", out_col="cw"
+    )
+    tot = li.agg(F.sum("wt").alias("tot"))
+    probs = spark.createDataFrame(
+        [("0.25",), ("0.50",), ("0.75",), ("0.90",)], "p string"
+    ).select(F.col("p").cast("decimal(3,2)").alias("p"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(probs))
+        .filter(F.col("cw") >= F.col("p") * F.col("tot"))
+        .groupBy(F.col("p").cast("double").alias("p"))
+        .agg(F.min("v").alias("value"))
+    )
+
+
+@register(
+    "orders_rolling_7d_revenue",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+                  AS BIGINT) AS day,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders)
+    SELECT o_orderkey, o_custkey, day,
+           CAST(SUM(price) OVER (
+             PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rolling_rev
+    FROM o
+    """,
+)
+def orders_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day revenue per customer: a RANGE-framed window over
+    the day number, PARTITIONED by customer — the frame is over values
+    (days), not rows, so sparse order histories window correctly.
+    Scale: one shuffle on o_custkey; per-customer partitions are tiny
+    and parallel. Decimal sum inside the frame for cross-engine
+    bit-parity; day numbers are integer days since epoch (identical
+    arithmetic in both engines, no timezone round-trip)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.sum("price").over(w).cast("double").alias("rolling_rev"),
+    )
+
+
+@register(
+    "pit_priority_revenue",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             CASE WHEN LAG(o_orderpriority) OVER w IS NOT DISTINCT FROM
+                       o_orderpriority
+                  THEN 0 ELSE 1 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)),
+    runs AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM seq),
+    islands AS (
+      SELECT o_custkey, island, o_orderpriority,
+             MIN(o_orderdate) AS valid_from
+      FROM runs GROUP BY o_custkey, island, o_orderpriority),
+    dim AS (
+      SELECT o_custkey, o_orderpriority AS pit_priority, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY o_custkey
+                                    ORDER BY island) AS valid_to
+      FROM islands),
+    facts AS (
+      SELECT o.o_custkey, l.l_shipdate,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l.l_discount AS DECIMAL(4,2)) AS rev
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT d.pit_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(f.rev) AS DOUBLE) AS revenue
+    FROM facts f JOIN dim d
+      ON f.o_custkey = d.o_custkey
+     AND d.valid_from <= f.l_shipdate
+     AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)
+    GROUP BY 1
+    """,
+)
+def pit_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time join: each shipped lineitem joins to the
+    priority interval its customer was in AT SHIP TIME (the dimension
+    is the scd2_compact'd per-customer priority history), then revenue
+    rolls up by that as-of priority. The PIT join is an equi-join on
+    the customer key with an interval predicate — it shuffles on the
+    key like any join (never a cross product); the dimension side is
+    the compacted history (one row per priority run, far smaller than
+    the orders that produced it). Revenue rides DECIMAL end-to-end."""
+    from ballista_extensions_spark.operators.weighted import scd2_compact
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    dim = scd2_compact(
+        o, "o_custkey", ["o_orderdate", "o_orderkey"], "o_orderpriority"
+    ).select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("pit_priority"),
+        "valid_from",
+        "valid_to",
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+        ).alias("rev"),
+    )
+    facts = li.join(
+        o.select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"),
+        "l_orderkey",
+    )
+    joined = facts.join(
+        dim,
+        (facts["o_custkey"] == dim["o_custkey"])
+        & (dim["valid_from"] <= facts["l_shipdate"])
+        & (dim["valid_to"].isNull() | (facts["l_shipdate"] < dim["valid_to"])),
+    )
+    return joined.groupBy("pit_priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("rev").cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    pairs AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT from_type, SUM(n) AS t FROM pairs GROUP BY 1)
+    SELECT p.from_type, p.to_type, p.n,
+           CAST(p.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS prob
+    FROM pairs p JOIN tot t ON p.from_type = t.from_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    timelines: counts and conditional probabilities of event_type ->
+    next event_type. The lead window partitions by user (parallel
+    across users, never global); the probability is a long/long double
+    division — deterministic and identical across engines. The
+    per-from-type totals are a broadcast-sized dimension frame."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("t"))
+    return pairs.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("t").cast("double")).alias("prob"),
+    )
+
+
+_FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for rel, child, ck, parent, pk in _FK_EDGES:
+        parts.append(f"""
+    SELECT '{rel}' AS relationship,
+           CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(COUNT(*) FILTER (WHERE {ck} IS NOT NULL AND NOT EXISTS (
+             SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck}))
+             AS BIGINT) AS n_orphans
+    FROM {child} c""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("fk_integrity_audit", oracle=_fk_oracle())
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every FK edge of the star
+    schema: child row count and orphan count (non-NULL child keys with
+    no parent) per relationship — the data-quality gate an ingest
+    pipeline runs before publishing a snapshot. Each edge is one
+    left-anti join on the key (the parent side reduced to its key
+    column first, so dimension parents broadcast); the seven 1-row
+    results union into the report. NULL child keys are not orphans
+    (they violate NOT NULL, not the FK) — the catalog constraint
+    checker owns that."""
+    out = None
+    for rel, child, ck, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias(ck)
+        ).distinct()
+        n_child = c.agg(F.count(F.lit(1)).cast("long").alias("n")).first()["n"]
+        orphans = (
+            c.select(ck)
+            .filter(F.col(ck).isNotNull())
+            .join(p, ck, "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .first()["n"]
+        )
+        row = spark.createDataFrame(
+            [(rel, n_child, orphans)],
+            "relationship string, n_child long, n_orphans long",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -200,6 +200,78 @@ def test_parquet_bloom_footer_and_pruning(spark, tmp_path_factory):
     assert got >= 1
 
 
+# ------------------------------------------------ distributed_cummax
+
+def test_distributed_cummax_matches_window(spark):
+    from pyspark.sql.window import Window
+
+    from ballista_extensions_spark.operators.prefix import distributed_cummax
+
+    rows = [(i, v) for i, v in enumerate([3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5])]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(4)
+    got = {
+        r["k"]: r["cummax"]
+        for r in distributed_cummax(df, ["k"], "v").collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    expect = {
+        r["k"]: r["m"]
+        for r in df.withColumn("m", F.max("v").over(w)).collect()
+    }
+    assert got == expect
+
+
+def test_distributed_cummax_exclusive_and_nulls(spark):
+    from ballista_extensions_spark.operators.prefix import distributed_cummax
+
+    rows = [(0, None), (1, 5), (2, None), (3, 2), (4, 9)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(3)
+    got = {
+        r["k"]: r["cummax"]
+        for r in distributed_cummax(
+            df, ["k"], "v", inclusive=False
+        ).collect()
+    }
+    # exclusive prefix: first row sees nothing; NULLs contribute nothing
+    assert got == {0: None, 1: None, 2: 5, 3: 5, 4: 5}
+
+
+# ------------------------------------------------------- skyline_2d
+
+def test_skyline_2d_matches_bruteforce_dominance(spark):
+    """The monotone-scan skyline must equal the quadratic NOT EXISTS
+    dominance definition (checked here where quadratic cost is
+    harmless; the registered oracle uses the linear form)."""
+    import random
+
+    from ballista_extensions_spark.operators.skyline import skyline_2d
+
+    rng = random.Random(7)
+    pts = [(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(300)]
+    df = spark.createDataFrame(pts, "price long, q long").repartition(5)
+    got = {(r["price"], r["q"]) for r in skyline_2d(df, "price", "q").collect()}
+    # brute force: non-dominated distinct points
+    uniq = set(pts)
+    expect = {
+        (x, y)
+        for (x, y) in uniq
+        if not any(
+            (bx <= x and by >= y and (bx < x or by > y)) for (bx, by) in uniq
+        )
+    }
+    assert got == expect
+
+
+def test_skyline_2d_drops_null_dimensions(spark):
+    from ballista_extensions_spark.operators.skyline import skyline_2d
+
+    df = spark.createDataFrame(
+        [(1, 10), (None, 99), (2, None), (2, 20)], "a long, b long"
+    )
+    got = {(r["a"], r["b"]) for r in skyline_2d(df, "a", "b").collect()}
+    assert got == {(1, 10), (2, 20)}
+
+
 # -------------------------------------------- weighted pow-parity margin
 
 def test_weighted_sample_boundary_margin(spark):
