@@ -310,6 +310,210 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "proportional_token_allocation",
+    oracle=r"""
+    WITH cnt AS (
+      SELECT source,
+             CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY 1),
+    tot AS (SELECT SUM(n_tokens) AS t FROM cnt),
+    base AS (
+      SELECT source, n_tokens,
+             (100000 * n_tokens) // t AS floor_alloc,
+             (100000 * n_tokens) % t AS rem
+      FROM cnt, tot),
+    short AS (SELECT 100000 - SUM(floor_alloc) AS k FROM base),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr
+      FROM base)
+    SELECT source, n_tokens,
+           CAST(floor_alloc + CASE WHEN rr <= k THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked, short
+    """,
+)
+def proportional_token_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a global token
+    budget across sources, proportional to each source's token count:
+    floor quotas in EXACT integer arithmetic (budget*count div total —
+    never a float share that misrounds), then the under-allocation goes
+    to the largest remainders with a deterministic source tiebreak.
+    The quota frame is dimension-bounded (one row per source), so its
+    window is trivially small; the only data-sized work is the one
+    map-side-combined token-count aggregation. Sums to the budget
+    exactly by construction — the property a float-rounded allocator
+    violates."""
+    from ballista_extensions_spark.operators import text as T
+
+    budget = 100000
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr(T.TOKENS_SQL.format(col="text"))
+    cnt = d.groupBy("source").agg(
+        F.sum(F.size(toks)).cast("long").alias("n_tokens")
+    )
+    tot = cnt.agg(F.sum("n_tokens").alias("t"))
+    base = cnt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr(f"({budget} * n_tokens) div t").alias("floor_alloc"),
+        F.expr(f"({budget} * n_tokens) % t").alias("rem"),
+    )
+    short = base.agg(
+        (F.lit(budget) - F.sum("floor_alloc")).alias("k")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("source"))
+    ranked = base.withColumn("rr", F.row_number().over(w))
+    return ranked.crossJoin(F.broadcast(short)).select(
+        "source",
+        "n_tokens",
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rr") <= F.col("k"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
+
+
+@register(
+    "winsorized_mean_price",
+    oracle="""
+    WITH r AS (
+      SELECT o_totalprice AS v,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders),
+    th AS (
+      SELECT MIN(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                      THEN v END) AS lo,
+             MIN(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                      THEN v END) AS hi,
+             CAST(MAX(n) AS BIGINT) AS n
+      FROM r)
+    SELECT lo, hi, n,
+           (SELECT CAST(SUM(CAST(LEAST(GREATEST(o_totalprice, th.lo),
+                                       th.hi) AS DECIMAL(18,2)))
+                        AS DOUBLE) / COUNT(*)
+            FROM orders) AS wins_mean
+    FROM th
+    """,
+)
+def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (outlier-robust average): clamp order prices to
+    their exact P5/P95 PERCENTILE_DISC thresholds, then take the
+    decimal-exact mean. The thresholds come from
+    distributed_percentile_disc (range-partitioned global rank, exact
+    integer ceil(p*n) — no single-reducer percentile buffer, no float
+    rank); the clamp+mean is one map-side-combined aggregation over a
+    second scan. The oracle states the same rank arithmetic with the
+    window form."""
+    from ballista_extensions_spark.operators.prefix import (
+        distributed_percentile_disc,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"), "o_orderkey"
+    )
+    th = distributed_percentile_disc(
+        o, "v", [0.05, 0.95], tiebreak_cols=("o_orderkey",)
+    )
+    piv = th.groupBy().agg(
+        F.min(F.when(F.col("prob") == 0.05, F.col("v"))).alias("lo"),
+        F.min(F.when(F.col("prob") == 0.95, F.col("v"))).alias("hi"),
+        F.max("n").alias("n"),
+    )
+    clamped = o.crossJoin(F.broadcast(piv)).agg(
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+        F.first("n").alias("n"),
+        (
+            F.sum(
+                F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+                .cast("decimal(18,2)")
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("wins_mean"),
+    )
+    return clamped.select("lo", "hi", "n", "wins_mean")
+
+
+@register(
+    "cdc_merge_orders",
+    oracle="""
+    WITH snapshot AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 10 != 9),
+    changes AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 9 THEN 'I'
+                  WHEN o_orderkey % 10 = 0 THEN 'U'
+                  ELSE 'D' END AS op,
+             CASE WHEN o_orderkey % 10 = 9
+                    THEN CAST(o_totalprice AS DECIMAL(18,2))
+                  WHEN o_orderkey % 10 = 0
+                    THEN CAST(o_totalprice AS DECIMAL(18,2))
+                         * CAST(1.1 AS DECIMAL(3,1))
+                  ELSE NULL END AS new_price
+      FROM orders
+      WHERE o_orderkey % 10 IN (9, 0, 1))
+    SELECT COALESCE(s.o_orderkey, c.o_orderkey) AS o_orderkey,
+           CAST(CASE WHEN c.op IN ('I','U') THEN c.new_price
+                     ELSE s.price END AS DOUBLE) AS price,
+           COALESCE(c.op, 'K') AS op
+    FROM snapshot s FULL OUTER JOIN changes c
+      ON s.o_orderkey = c.o_orderkey
+    WHERE c.op IS NULL OR c.op != 'D'
+    """,
+)
+def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture merge (the MERGE INTO / upsert pattern):
+    apply a deterministic change batch — inserts (keys ending in 9),
+    updates (+10% price, keys ending in 0), deletes (keys ending in 1)
+    — to a snapshot via ONE full-outer join on the key: deletes drop,
+    upserts take the change's values, untouched rows pass through
+    flagged 'K'. Scale: one key shuffle, exactly the shape table-format
+    MERGE implementations (Delta/Iceberg) lower to; prices ride DECIMAL
+    so the 1.1x update is exact in both engines."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    snapshot = o.filter(F.col("o_orderkey") % 10 != 9)
+    last = F.col("o_orderkey") % 10
+    changes = (
+        o.filter(last.isin(9, 0, 1))
+        .select(
+            F.col("o_orderkey").alias("c_orderkey"),
+            F.when(last == 9, F.lit("I"))
+            .when(last == 0, F.lit("U"))
+            .otherwise(F.lit("D"))
+            .alias("op"),
+            F.when(last == 9, F.col("price"))
+            .when(
+                last == 0,
+                F.col("price") * F.lit("1.1").cast("decimal(3,1)"),
+            )
+            .alias("new_price"),
+        )
+    )
+    merged = snapshot.join(
+        changes, snapshot["o_orderkey"] == changes["c_orderkey"], "full_outer"
+    ).filter(F.col("op").isNull() | (F.col("op") != "D"))
+    return merged.select(
+        F.coalesce(F.col("o_orderkey"), F.col("c_orderkey")).alias(
+            "o_orderkey"
+        ),
+        F.when(F.col("op").isin("I", "U"), F.col("new_price"))
+        .otherwise(F.col("price"))
+        .cast("double")
+        .alias("price"),
+        F.coalesce(F.col("op"), F.lit("K")).alias("op"),
+    )
+
+
 _FK_EDGES = [
     ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
