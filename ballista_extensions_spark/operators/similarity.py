@@ -458,3 +458,26 @@ def quantize_int8(
             "n_saturated"
         ),
     )
+
+
+def sign_pack64(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Pack a 64-dim vector's sign bits into ONE BIGINT signature —
+    the binary-sketch compression that makes 100 TB embedding search
+    tractable: 64 floats (256 B) become 8 B, and angular similarity is
+    approximated by Hamming distance computed with two codegen'd
+    integer ops (xor + bit_count). Bit i is set iff component i > 0
+    (strictly — a deterministic IEEE comparison both engines share).
+
+    Returns (id_col, sig long). One narrow projection, zero shuffles;
+    the OR-fold over disjoint bit positions is exact integer
+    arithmetic, replayable in ANSI SQL as a SUM of disjoint powers of
+    two (OR == + when operand bits never overlap).
+    """
+    sig = (
+        "aggregate(sequence(0, 63), 0L, (acc, i) -> acc | "
+        f"CASE WHEN element_at({vec_col}, i + 1) > 0 "
+        "THEN shiftleft(1L, i) ELSE 0L END)"
+    )
+    return df.select(F.col(id_col), F.expr(sig).alias("sig"))

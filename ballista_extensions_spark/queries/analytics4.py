@@ -514,6 +514,111 @@ def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_hamming_sign_topk",
+    oracle="""
+    WITH idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+    sig AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN embedding[i + 1] <= 0 THEN 0
+                           WHEN i = 63 THEN -9223372036854775808
+                           ELSE (CAST(1 AS BIGINT) << i)
+                           END) AS BIGINT) AS sig
+      FROM embeddings, idx
+      GROUP BY vec_id),
+    probes AS (
+      SELECT vec_id AS probe_id, sig AS psig FROM sig
+      WHERE vec_id % 199 = 0),
+    scored AS (
+      SELECT p.probe_id, s.vec_id,
+             CAST(bit_count(xor(p.psig, s.sig)) AS BIGINT) AS hamming
+      FROM probes p, sig s WHERE s.vec_id != p.probe_id),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY hamming, vec_id) AS rn
+      FROM scored)
+    SELECT probe_id, vec_id, hamming FROM r WHERE rn <= 10
+    """,
+)
+def ann_hamming_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-sketch ANN: 64-dim embeddings collapse to one BIGINT of
+    sign bits (operators/similarity.sign_pack64 — 32x compression),
+    then top-10 neighbors per probe by Hamming distance, which is two
+    codegen'd integer ops (xor + bit_count) instead of 64 float
+    multiplies. THE 100 TB embedding trick: the corpus-side scan state
+    is 8 bytes/vector, probes broadcast, and distance is exact integer
+    arithmetic — so unlike the cosine ANN family this sketch query IS
+    oracle-checkable bit-for-bit. Deterministic (hamming, vec_id)
+    tie-break."""
+    from ballista_extensions_spark.operators.similarity import sign_pack64
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sig = sign_pack64(e)
+    probes = sig.filter(F.col("vec_id") % 199 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("sig").alias("psig")
+    )
+    scored = sig.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    w = Window.partitionBy("probe_id").orderBy("hamming", "vec_id")
+    return (
+        scored.select(
+            "probe_id",
+            "vec_id",
+            F.bit_count(F.col("psig").bitwiseXOR(F.col("sig")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+@register(
+    "lineitem_price_equidepth_hist",
+    oracle="""
+    WITH r AS (
+      SELECT l_extendedprice AS v,
+             NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                             l_linenumber) AS bucket
+      FROM lineitem)
+    SELECT CAST(bucket AS INT) AS bucket, MIN(v) AS lo, MAX(v) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM r GROUP BY bucket
+    """,
+)
+def lineitem_price_equidepth_hist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Equi-depth histogram of prices (the CBO statistics shape:
+    buckets of equal row count with value bounds) computed at fact
+    scale: the NTILE comes from distributed_row_number +
+    ntile_from_rank (range partition + O(partitions) offsets), never
+    the oracle's single-task global NTILE window. Deterministic total
+    order via (price, orderkey, linenumber)."""
+    from ballista_extensions_spark.operators.prefix import (
+        distributed_row_number,
+        ntile_from_rank,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
+    )
+    ranked = distributed_row_number(
+        li, ["v", "l_orderkey", "l_linenumber"], out_col="__rn"
+    )
+    totals = ranked.agg(F.max("__rn").alias("__n"))
+    b = ranked.crossJoin(F.broadcast(totals)).withColumn(
+        "bucket", ntile_from_rank("__rn", "__n", 10).cast("int")
+    )
+    return b.groupBy("bucket").agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
 _FK_EDGES = [
     ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
