@@ -656,21 +656,28 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     checker owns that."""
     out = None
     for rel, child, ck, parent, pk in _FK_EDGES:
-        c = load_table(spark, sf_dir, child)
-        p = load_table(spark, sf_dir, parent).select(
-            F.col(pk).alias(ck)
-        ).distinct()
-        n_child = c.agg(F.count(F.lit(1)).cast("long").alias("n")).first()["n"]
-        orphans = (
-            c.select(ck)
-            .filter(F.col(ck).isNotNull())
-            .join(p, ck, "left_anti")
-            .agg(F.count(F.lit(1)).cast("long").alias("n"))
-            .first()["n"]
+        c = load_table(spark, sf_dir, child).select(ck)
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("__pk"))
+            .distinct()
         )
-        row = spark.createDataFrame(
-            [(rel, n_child, orphans)],
-            "relationship string, n_child long, n_orphans long",
+        # ONE left join + ONE aggregation per edge (not a count job plus
+        # an anti-join job): total rows and orphan rows come from the
+        # same pass; a missing parent shows as __pk NULL after the join.
+        edge = (
+            c.join(p, c[ck] == p["__pk"], "left")
+            .agg(
+                F.lit(rel).alias("relationship"),
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                F.sum(
+                    F.when(
+                        F.col(ck).isNotNull() & F.col("__pk").isNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_orphans"),
+            )
         )
-        out = row if out is None else out.unionByName(row)
+        out = edge if out is None else out.unionByName(edge)
     return out
