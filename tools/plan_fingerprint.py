@@ -48,20 +48,29 @@ FP_SF_DIR = "/root/testdata/sf0.001"
 EAGER_EXCLUDED = frozenset({
     "streaming_gapfill_replay",
     "streaming_heavy_hitters_replay",
-    # profile_documents: Catalyst's RewriteDistinctAggregates numbers
-    # its per-distinct-column `gid` groups in an order that depends on
-    # the session's global expression-id counter — the SAME code
-    # fingerprints differently depending on what ran earlier in the
-    # session (observed: lang/source swapped gid 1<->3). Semantically
-    # identical, so the gate cannot use it; changes to this query are
-    # caught by the oracle + selfcheck instead.
-    "profile_documents",
 })
+
+#: Sentinel recorded for plans Catalyst's RewriteDistinctAggregates has
+#: touched: the rewrite numbers its per-distinct-aggregate `gid` groups
+#: in an order that depends on the JVM-GLOBAL expression-id counter, so
+#: the SAME code fingerprints differently depending on what ran earlier
+#: in the process (observed on profile_documents, filtered_agg_orders,
+#: embedding_centroids — gid groups swap). Semantically identical, so
+#: the gate skips them; changes to these queries are caught by the
+#: oracle + selfcheck instead.
+UNSTABLE = "UNSTABLE-DISTINCT-AGG"
 
 
 def plan_fingerprint(df) -> str:
     s = df._jdf.queryExecution().optimizedPlan().toString()
+    if re.search(r"\bgid#", s):
+        return UNSTABLE
     s = re.sub(r"#\d+", "#", s)
+    # generated-name counters are JVM-global, so the suffix depends on
+    # what ran earlier in the process: lambda variable names
+    # (lambda x_1 vs x_7) and CSE aliases (_common_expr_1 vs _7)
+    s = re.sub(r"_common_expr_\d+", "_common_expr_", s)
+    s = re.sub(r"(lambda [A-Za-z]+)_\d+", r"\1_", s)
     s = re.sub(r"/root/testdata/sf[0-9.]+", "<SF>", s)
     s = re.sub(r"\[id=#?\d*\]", "[id]", s)
     # partition counts derive from SPARK_GRAFT_CPUS / default
@@ -77,6 +86,11 @@ def compute_fingerprints(
 ) -> dict[str, str]:
     from ballista_extensions_spark.queries import get_queries
 
+    # Isolate from caller session state (temp views, conf mutations left
+    # by earlier tests): fingerprints must be a function of the CODE, so
+    # compute them in a fresh sibling session. load_table re-applies the
+    # engine confs idempotently there.
+    spark = spark.newSession()
     qs = get_queries()
     out: dict[str, str] = {}
     for name, fn in qs.items():
@@ -112,7 +126,12 @@ def drifted_graded_names(
         and (names is None or n in names)
     ]
     current = compute_fingerprints(spark, names=set(graded), sf_dir=sf_dir)
-    return sorted(n for n in graded if current.get(n) != recorded[n])
+    return sorted(
+        n
+        for n in graded
+        if UNSTABLE not in (current.get(n), recorded[n])
+        and current.get(n) != recorded[n]
+    )
 
 
 def main() -> int:
