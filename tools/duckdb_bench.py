@@ -5,7 +5,8 @@ baseline at the same scale factor).
 
 Protocol matches bench.py: median of N runs per query (default 3).
 
-Usage: python tools/duckdb_bench.py [sf_dir] [reps] > duckdb_times.json
+Usage: python tools/duckdb_bench.py [sf_dir] [reps] [query ...] > duckdb_times.json
+(query names filter the sweep, for incremental runs)
 """
 
 from __future__ import annotations
@@ -38,7 +39,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    only = set(sys.argv[3:])
     for name, sql in entrymod.oracle_sql().items():
+        if only and name not in only:
+            continue
         samples = []
         for _ in range(reps):
             t0 = time.time()
