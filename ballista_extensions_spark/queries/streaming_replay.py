@@ -176,6 +176,50 @@ def streaming_gapfill_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_replay",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-batch streaming exact dedup, oracle-checked: the event
+    stream replays in three micro-batches with CROSS-BATCH duplicates
+    injected (batch 2 re-ships a copy of batch 1's rows, batch 3 of
+    batch 2's), through dropDuplicatesWithinWatermark on event_id. The
+    watermark horizon is set beyond the corpus time range so dedup
+    state spans the whole replay — a duplicate arriving a batch later
+    than its original MUST be dropped from state, which is exactly
+    what the one-row-per-event_id oracle verifies. (A production
+    deployment sets a finite horizon to bound state; the oracle-exact
+    contract here needs the unbounded-within-replay form, and the
+    bounded form's late-drop behavior is pytest-covered in
+    tests/test_streaming.py.)"""
+    from ballista_extensions_spark.streaming.ops import dedup_stream
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    s0 = e.filter(F.pmod(F.col("event_id"), F.lit(3)) == 0)
+    s1 = e.filter(F.pmod(F.col("event_id"), F.lit(3)) == 1)
+    s2 = e.filter(F.pmod(F.col("event_id"), F.lit(3)) == 2)
+    stage = _stage_dir("dedup", sf_dir)
+    in_dir = os.path.join(stage, "in")
+    os.makedirs(in_dir)
+    _write_ordered_slices(
+        [s0, s1.unionAll(s0), s2.unionAll(s1)],  # dupes cross batches
+        in_dir,
+    )
+    sink = _replay(
+        spark,
+        in_dir,
+        "event_id long, ts timestamp, user_id long, event_type string",
+        os.path.join(stage, "out"),
+        lambda s: dedup_stream(s, watermark="3650 days"),
+    )
+    return sink.select("event_id", "user_id", "event_type")
+
+
+@register(
     "streaming_heavy_hitters_replay",
     oracle="""
     SELECT CAST(user_id AS VARCHAR) AS item, CAST(COUNT(*) AS BIGINT) AS cnt

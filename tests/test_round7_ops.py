@@ -272,6 +272,38 @@ def test_skyline_2d_drops_null_dimensions(spark):
     assert got == {(1, 10), (2, 20)}
 
 
+# -------------------------------------- dynamic partition pruning (DPP)
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path_factory):
+    """Partition-pruned star join: when the fact table is laid out by
+    the join key and the dimension side carries a selective filter,
+    Catalyst must inject a dynamic-pruning subquery so the fact scan
+    reads only the matching partitions — the layout/plan combination a
+    100 TB star schema lives on. Asserts the dynamicpruningexpression
+    is present in the fact scan's partition filters AND the result
+    equals the unpruned join."""
+    from ballista_extensions_spark.io import load_table
+
+    path = str(tmp_path_factory.mktemp("dpp") / "orders_by_pri")
+    o = load_table(spark, sf_dir, "orders")
+    o.write.partitionBy("o_orderpriority").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        o.select("o_orderpriority", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    )
+    joined = fact.join(dim, "o_orderpriority")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    got = joined.count()
+    expect = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).count()
+    assert got == expect > 0
+
+
 # -------------------------------------------- weighted pow-parity margin
 
 def test_weighted_sample_boundary_margin(spark):

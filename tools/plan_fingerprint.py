@@ -46,6 +46,7 @@ FP_SF_DIR = "/root/testdata/sf0.001"
 # Queries whose constructor executes (streaming replay staging); see
 # module docstring.
 EAGER_EXCLUDED = frozenset({
+    "streaming_dedup_replay",
     "streaming_gapfill_replay",
     "streaming_heavy_hitters_replay",
 })
