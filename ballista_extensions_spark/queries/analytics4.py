@@ -619,6 +619,155 @@ def lineitem_price_equidepth_hist(
     )
 
 
+@register(
+    "customer_percent_rank_scalable",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           PERCENT_RANK() OVER (ORDER BY c_acctbal) AS pr
+    FROM customer
+    """,
+)
+def customer_percent_rank_scalable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERCENT_RANK over the whole customer table with NO single-task
+    sort: row numbers come from distributed_row_number; the SQL RANK
+    (ties share the rank of their first row) is recovered as the MIN
+    row number within each tied value — one extra aggregate + join on
+    the value, both data-parallel; percent_rank = (rank-1)/(n-1) is a
+    long/long double division, deterministic in both engines."""
+    from ballista_extensions_spark.operators.prefix import (
+        distributed_row_number,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    rn = distributed_row_number(c, ["c_acctbal", "c_custkey"], out_col="__rn")
+    first = rn.groupBy(F.col("c_acctbal").alias("__v")).agg(
+        F.min("__rn").alias("__rank")
+    )
+    tot = rn.agg(F.max("__rn").alias("__n"))
+    return (
+        rn.join(first, rn["c_acctbal"] == first["__v"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            (
+                (F.col("__rank") - F.lit(1)).cast("double")
+                / (F.col("__n") - F.lit(1)).cast("double")
+            ).alias("pr"),
+        )
+    )
+
+
+@register(
+    "top_decile_docs",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(string_split_regex(text, '\s+')))
+                  AS DOUBLE)
+               / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE)
+               AS score
+      FROM documents),
+    r AS (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM scored)
+    SELECT doc_id, score, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= CAST(ceil(0.1 * n) AS BIGINT)
+    """,
+)
+def top_decile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the best 10% of documents by quality score, EXACTLY (the
+    curation cut 'keep the top decile'): global rank from
+    distributed_row_number, cutoff rank ceil(0.1*n) computed in exact
+    integer arithmetic from the O(1) count — no global sort, no float
+    rank boundary. Deterministic (score DESC, doc_id) total order."""
+    from ballista_extensions_spark.operators import text as T
+    from ballista_extensions_spark.operators.prefix import (
+        distributed_row_number,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr(T.TOKENS_SQL.format(col="text"))
+    scored = d.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("score"),
+    )
+    rn = distributed_row_number(
+        scored.withColumn("__neg", -F.col("score")),
+        ["__neg", "doc_id"],
+        out_col="rn",
+    )
+    n = rn.agg(F.max("rn").alias("__n"))
+    # ceil(n/10) in integer arithmetic: (n + 9) div 10
+    return (
+        rn.crossJoin(F.broadcast(n))
+        .filter(F.col("rn") <= F.expr("(__n + 9) div 10"))
+        .select("doc_id", "score", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+@register(
+    "revenue_gini_customers",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM per)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(SUM((2 * i - n - 1) * rev) AS DOUBLE)
+             / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE)) AS gini
+    FROM r
+    """,
+)
+def revenue_gini_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of revenue across customers — the inequality
+    metric a data-curation pipeline runs on source/domain contribution
+    (is 1% of sources 90% of the corpus?). The classic sorted-position
+    formula sum((2i-n-1)*x_i)/(n*sum(x)) needs a GLOBAL position per
+    customer: positions come from distributed_row_number (range
+    partition + offsets, no single-task sort), the weighted sum rides
+    DECIMAL (exact, order-free), and only the final division is a
+    double — the same two doubles in both engines."""
+    from ballista_extensions_spark.operators.prefix import (
+        distributed_row_number,
+    )
+
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    r = distributed_row_number(per, ["rev", "o_custkey"], out_col="i")
+    tot = r.agg(F.max("i").alias("__n"))
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("__n").cast("long").alias("n_customers"),
+            (
+                F.sum(
+                    (2 * F.col("i") - F.col("__n") - 1).cast("decimal(18,0)")
+                    * F.col("rev")
+                ).cast("double")
+                / (
+                    F.max("__n").cast("double")
+                    * F.sum("rev").cast("double")
+                )
+            ).alias("gini"),
+        )
+    )
+
+
 _FK_EDGES = [
     ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
