@@ -768,6 +768,83 @@ def revenue_gini_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "customer_rank_change",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey, EXTRACT(year FROM o_orderdate) AS yr,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2),
+    b AS (SELECT MIN(yr) AS y0, MAX(yr) AS y1 FROM per),
+    r AS (
+      SELECT p.o_custkey, p.yr,
+             ROW_NUMBER() OVER (PARTITION BY p.yr
+                                ORDER BY p.rev DESC, p.o_custkey) AS rk
+      FROM per p, b WHERE p.yr = b.y0 OR p.yr = b.y1),
+    f AS (SELECT o_custkey, rk AS rank_first FROM r, b WHERE yr = y0),
+    l AS (SELECT o_custkey, rk AS rank_last FROM r, b WHERE yr = y1)
+    SELECT f.o_custkey,
+           CAST(rank_first AS BIGINT) AS rank_first,
+           CAST(rank_last AS BIGINT) AS rank_last,
+           CAST(rank_first - rank_last AS BIGINT) AS improvement
+    FROM f JOIN l ON f.o_custkey = l.o_custkey
+    ORDER BY improvement DESC, f.o_custkey
+    LIMIT 20
+    """,
+)
+def customer_rank_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-improved customers: revenue rank within the first
+    observed year vs the last, per-year ranks recovered from ONE global
+    distributed rank over (year, revenue DESC, custkey) minus broadcast
+    per-year offsets — the grouped-rank pattern (operators/mixing.py,
+    grouped_percentile_disc) where a per-year window would funnel all
+    of a year's customers through one task. Revenue rides DECIMAL;
+    ordering is totalized by custkey at every step."""
+    from ballista_extensions_spark.operators.prefix import (
+        distributed_row_number,
+    )
+
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            "o_custkey", F.year("o_orderdate").cast("long").alias("yr")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    b = per.agg(F.min("yr").alias("y0"), F.max("yr").alias("y1"))
+    sub = per.crossJoin(F.broadcast(b)).filter(
+        (F.col("yr") == F.col("y0")) | (F.col("yr") == F.col("y1"))
+    )
+    ranked = distributed_row_number(
+        sub.withColumn("__negrev", -F.col("rev")),
+        ["yr", "__negrev", "o_custkey"],
+        out_col="__grn",
+    )
+    starts = ranked.groupBy("yr").agg(F.min("__grn").alias("__g0"))
+    with_rank = ranked.join(F.broadcast(starts), "yr").withColumn(
+        "rk", (F.col("__grn") - F.col("__g0") + 1).cast("long")
+    )
+    first = with_rank.filter(F.col("yr") == F.col("y0")).select(
+        "o_custkey", F.col("rk").alias("rank_first")
+    )
+    last = with_rank.filter(F.col("yr") == F.col("y1")).select(
+        F.col("o_custkey").alias("__ck"), F.col("rk").alias("rank_last")
+    )
+    return (
+        first.join(last, first["o_custkey"] == last["__ck"])
+        .select(
+            "o_custkey",
+            "rank_first",
+            "rank_last",
+            (F.col("rank_first") - F.col("rank_last"))
+            .cast("long")
+            .alias("improvement"),
+        )
+        .orderBy(F.desc("improvement"), F.asc("o_custkey"))
+        .limit(20)
+    )
+
+
 _FK_EDGES = [
     ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),

@@ -385,3 +385,103 @@ def test_group_ols_matches_fraction_closed_form(spark, pts):
     slope_d = num_d / den_d
     assert got["slope"] == slope_d
     assert got["intercept"] == (fsy - slope_d * fsx) / fn
+
+
+# ------------------------------------------------ round-7 properties
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(-50, 50)),
+        min_size=1,
+        max_size=40,
+    ),
+    probs=st.lists(
+        st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_grouped_percentile_disc_matches_window(spark, vals, probs):
+    """grouped_percentile_disc == the per-group window PERCENTILE_DISC
+    (value at rank ceil(p*n), deterministic tiebreak) on random data."""
+    from ballista_extensions_spark.operators.prefix import (
+        grouped_percentile_disc,
+    )
+
+    rows = [(f"g{g}", v, i) for i, (g, v) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, v long, tb long").repartition(3)
+    got = {
+        (r["g"], r["prob"]): r["v"]
+        for r in grouped_percentile_disc(
+            df, "g", "v", probs, tiebreak_cols=("tb",)
+        ).collect()
+    }
+    # reference: python-side exact ceil(p*n) over sorted per-group values
+    import math
+    from collections import defaultdict
+    from fractions import Fraction
+
+    groups = defaultdict(list)
+    for g, v, tb in rows:
+        groups[g].append((v, tb))
+    expect = {}
+    for g, items in groups.items():
+        items.sort()
+        n = len(items)
+        for p in probs:
+            fr = Fraction(str(p))
+            rank = max(1, math.ceil(fr * n))
+            expect[(g, p)] = items[rank - 1][0]
+    assert got == expect
+
+
+@SETTINGS
+@given(
+    counts=st.lists(st.integers(0, 10_000), min_size=1, max_size=12),
+    budget=st.integers(1, 5_000),
+)
+def test_largest_remainder_allocation_properties(spark, counts, budget):
+    """Hamilton apportionment invariants: allocations sum EXACTLY to
+    the budget, each group's share is within 1 of its exact
+    proportional quota, and allocation is monotone-ish in count (a
+    group never gets less than a group with a smaller count minus 1)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    total = sum(counts)
+    if total == 0:
+        return
+    rows = [(f"s{i}", c) for i, c in enumerate(counts)]
+    base = (
+        spark.createDataFrame(rows, "source string, n_tokens long")
+        .crossJoin(spark.createDataFrame([(total,)], "t long"))
+        .select(
+            "source",
+            "n_tokens",
+            F.expr(f"({budget} * n_tokens) div t").alias("floor_alloc"),
+            F.expr(f"({budget} * n_tokens) % t").alias("rem"),
+        )
+    )
+    short = base.agg((F.lit(budget) - F.sum("floor_alloc")).alias("k"))
+    w = Window.orderBy(F.desc("rem"), F.asc("source"))
+    out = {
+        r["source"]: (r["n_tokens"], r["alloc"])
+        for r in base.withColumn("rr", F.row_number().over(w))
+        .crossJoin(F.broadcast(short))
+        .select(
+            "source",
+            "n_tokens",
+            (
+                F.col("floor_alloc")
+                + F.when(F.col("rr") <= F.col("k"), 1).otherwise(0)
+            ).alias("alloc"),
+        )
+        .collect()
+    }
+    allocs = {s: a for s, (c, a) in out.items()}
+    assert sum(allocs.values()) == budget
+    for s, (c, a) in out.items():
+        exact = budget * c / total
+        assert exact - 1 < a < exact + 1 or abs(a - exact) < 1 + 1e-9
