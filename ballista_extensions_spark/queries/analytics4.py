@@ -845,6 +845,163 @@ def customer_rank_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "supplier_pareto_8020",
+    oracle="""
+    WITH per AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem GROUP BY 1),
+    r AS (
+      SELECT l_suppkey, rev,
+             ROW_NUMBER() OVER (ORDER BY rev DESC, l_suppkey) AS rk,
+             SUM(rev) OVER (ORDER BY rev DESC, l_suppkey
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM per),
+    t AS (SELECT SUM(rev) AS tot, CAST(COUNT(*) AS BIGINT) AS n FROM per)
+    SELECT n AS n_suppliers,
+           CAST(MIN(CASE WHEN cum >= CAST(0.8 AS DECIMAL(2,1)) * tot
+                         THEN rk END) AS BIGINT) AS n_top,
+           CAST(MIN(CASE WHEN cum >= CAST(0.8 AS DECIMAL(2,1)) * tot
+                         THEN rk END) AS DOUBLE) / CAST(n AS DOUBLE)
+             AS top_share
+    FROM r, t GROUP BY n
+    """,
+)
+def supplier_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 concentration: the smallest set of suppliers covering 80%
+    of revenue. Ranks AND the running revenue both come from the
+    distributed prefix machinery over (revenue DESC, suppkey) — no
+    single-task sort; the 0.8*total threshold is a DECIMAL multiply
+    (exact in both engines, no float share), and the answer is one
+    conditional-min aggregation."""
+    from ballista_extensions_spark.operators.prefix import (
+        distributed_cumsum,
+        distributed_row_number,
+    )
+
+    per = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+        )
+        .withColumn("__negrev", -F.col("rev"))
+    )
+    ranked = distributed_row_number(
+        per, ["__negrev", "l_suppkey"], out_col="rk"
+    )
+    cum = distributed_cumsum(
+        ranked, ["__negrev", "l_suppkey"], "rev", out_col="cum"
+    )
+    t = per.agg(
+        F.sum("rev").alias("tot"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    hit = F.min(
+        F.when(
+            F.col("cum") >= F.lit("0.8").cast("decimal(2,1)") * F.col("tot"),
+            F.col("rk"),
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(t))
+        .groupBy(F.col("n").alias("n_suppliers"))
+        .agg(
+            hit.cast("long").alias("n_top"),
+            (hit.cast("double") / F.col("n").cast("double")).alias(
+                "top_share"
+            ),
+        )
+    )
+
+
+@register(
+    "events_value_mad_anomalies",
+    oracle="""
+    WITH vals AS (
+      SELECT event_type, value, event_id
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM vals),
+    med AS (
+      SELECT event_type, MIN(value) AS med, CAST(MAX(n) AS BIGINT) AS n
+      FROM r WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+      GROUP BY event_type),
+    d AS (
+      SELECT v.event_type, abs(v.value - m.med) AS dev, v.event_id
+      FROM vals v JOIN med m ON v.event_type = m.event_type),
+    r2 AS (
+      SELECT event_type, dev,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY dev, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM d),
+    mad AS (
+      SELECT event_type, MIN(dev) AS mad
+      FROM r2 WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+      GROUP BY event_type)
+    SELECT m.event_type, m.n, m.med, a.mad,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM vals v
+            WHERE v.event_type = m.event_type
+              AND abs(v.value - m.med) > 3 * a.mad) AS n_anomalies
+    FROM med m JOIN mad a ON m.event_type = a.event_type
+    """,
+)
+def events_value_mad_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Grouped robust anomaly detection: per event type, the median and
+    the median absolute deviation (both exact PERCENTILE_DISC medians
+    via grouped_percentile_disc — global distributed rank minus group
+    offsets, never a per-group window over the fact table), then the
+    count of values beyond 3 MADs. abs/subtract/multiply are exact IEEE
+    ops, identical in both engines; the result is the per-type outlier
+    report a quality-filtering pipeline keys on."""
+    from ballista_extensions_spark.operators.prefix import (
+        grouped_percentile_disc,
+    )
+
+    vals = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value", "event_id")
+    )
+    med = grouped_percentile_disc(
+        vals, "event_type", "value", [0.5], tiebreak_cols=("event_id",)
+    ).select(
+        F.col("event_type").alias("__g"),
+        F.col("value").alias("med"),
+        F.col("n"),
+    )
+    withmed = vals.join(
+        F.broadcast(med), vals["event_type"] == med["__g"]
+    ).withColumn("dev", F.abs(F.col("value") - F.col("med")))
+    mad = grouped_percentile_disc(
+        withmed.select("event_type", "dev", "event_id"),
+        "event_type",
+        "dev",
+        [0.5],
+        tiebreak_cols=("event_id",),
+    ).select(F.col("event_type").alias("__g2"), F.col("dev").alias("mad"))
+    flagged = withmed.join(
+        F.broadcast(mad), withmed["event_type"] == mad["__g2"]
+    )
+    return flagged.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("med").alias("med"),
+        F.max("mad").alias("mad"),
+        F.sum(
+            F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_anomalies"),
+    )
+
+
 _FK_EDGES = [
     ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
