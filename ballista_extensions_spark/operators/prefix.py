@@ -142,12 +142,23 @@ def distributed_cummax(
         local.groupBy(_PID).agg(F.max(value_col).alias("__t")).collect()
     )
     totals.sort(key=lambda r: r[_PID])
+
+    def _spark_max(a, b):
+        # Spark's MAX orders NaN GREATER than any double (unlike Python's
+        # max, where `nan > x` is False and the accumulator would drop
+        # it) — once a partition's max is NaN every later offset is NaN.
+        if isinstance(a, float) and a != a:
+            return a
+        if isinstance(b, float) and b != b:
+            return b
+        return max(a, b)
+
     offsets, acc = [], None
     for r in totals:
         offsets.append((int(r[_PID]), acc))
         t = r["__t"]
         if t is not None:
-            acc = t if acc is None else max(acc, t)
+            acc = t if acc is None else _spark_max(acc, t)
     total_type = local.schema[_LOCAL].dataType
     off_df = df.sparkSession.createDataFrame(
         offsets, schema=f"{_PID} int, {_OFF} {total_type.simpleString()}"
@@ -267,12 +278,15 @@ def grouped_percentile_disc(
 
     Returns one row per (group, prob): (group, prob, <value_col>,
     rank, n). ``tiebreak_cols`` must totalize the per-group order for
-    cross-engine determinism.
+    cross-engine determinism. NULL values are excluded up front — the
+    SQL-standard PERCENTILE_DISC ignores them; without the filter the
+    distributed rank would sort NULLs FIRST and count them in n,
+    selecting a NULL for small p.
     """
     from fractions import Fraction
 
     ranked = distributed_row_number(
-        df,
+        df.filter(F.col(value_col).isNotNull()),
         [group_col, value_col, *tiebreak_cols],
         out_col="__bx_grn",
         num_partitions=num_partitions,

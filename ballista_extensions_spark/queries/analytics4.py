@@ -352,8 +352,13 @@ def proportional_token_allocation(
     budget = 100000
     d = load_table(spark, sf_dir, "documents")
     toks = F.expr(T.TOKENS_SQL.format(col="text"))
-    cnt = d.groupBy("source").agg(
-        F.sum(F.size(toks)).cast("long").alias("n_tokens")
+    # One materialization: the quota frame feeds BOTH the broadcast
+    # shortfall scalar and the ranked output — without it the
+    # tokenize+sum scan of documents (the dominant cost) runs twice.
+    cnt = (
+        d.groupBy("source")
+        .agg(F.sum(F.size(toks)).cast("long").alias("n_tokens"))
+        .localCheckpoint(eager=False)
     )
     tot = cnt.agg(F.sum("n_tokens").alias("t"))
     base = cnt.crossJoin(F.broadcast(tot)).select(
@@ -520,10 +525,11 @@ def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH idx AS (SELECT unnest(generate_series(0, 63)) AS i),
     sig AS (
       SELECT vec_id,
-             CAST(SUM(CASE WHEN embedding[i + 1] <= 0 THEN 0
-                           WHEN i = 63 THEN -9223372036854775808
-                           ELSE (CAST(1 AS BIGINT) << i)
-                           END) AS BIGINT) AS sig
+             CAST(SUM(CASE WHEN embedding[i + 1] > 0
+                           THEN CASE WHEN i = 63
+                                     THEN -9223372036854775808
+                                     ELSE (CAST(1 AS BIGINT) << i) END
+                           ELSE 0 END) AS BIGINT) AS sig
       FROM embeddings, idx
       GROUP BY vec_id),
     probes AS (
@@ -557,21 +563,34 @@ def ann_hamming_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = sig.filter(F.col("vec_id") % 199 == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("sig").alias("psig")
     )
-    scored = sig.crossJoin(F.broadcast(probes)).filter(
-        F.col("vec_id") != F.col("probe_id")
-    )
-    w = Window.partitionBy("probe_id").orderBy("hamming", "vec_id")
-    return (
-        scored.select(
+    scored = (
+        sig.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
             "probe_id",
             "vec_id",
             F.bit_count(F.col("psig").bitwiseXOR(F.col("sig")))
             .cast("long")
             .alias("hamming"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .drop("rn")
+    )
+    # Two-stage top-k so NO task ever holds a whole probe's candidate
+    # list (a Window.partitionBy(probe_id) would funnel the full corpus
+    # through one task per probe): stage 1 takes each (probe, input
+    # partition)'s local top-10 in parallel; stage 2 reduces the
+    # surviving 10 x partitions rows per probe — a bounded frame. The
+    # global top-10 is always contained in the per-partition top-10s.
+    local_w = Window.partitionBy("probe_id", "__pid").orderBy(
+        "hamming", "vec_id"
+    )
+    final_w = Window.partitionBy("probe_id").orderBy("hamming", "vec_id")
+    return (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrn", F.row_number().over(local_w))
+        .filter(F.col("__lrn") <= 10)
+        .withColumn("__rn", F.row_number().over(final_w))
+        .filter(F.col("__rn") <= 10)
+        .select("probe_id", "vec_id", "hamming")
     )
 
 

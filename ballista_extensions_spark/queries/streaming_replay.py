@@ -38,7 +38,6 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ballista_extensions_spark.functions.exact import lcount
 from ballista_extensions_spark.io import load_table
 from ballista_extensions_spark.queries.registry import register
 from ballista_extensions_spark.streaming.sinks import idempotent_parquet_sink
@@ -92,8 +91,16 @@ def _replay(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
     q.stop()
+    if not finished:
+        # A timed-out replay has committed only SOME micro-batches; the
+        # sink would read as a silently-partial (wrong) result. Fail
+        # loudly instead.
+        raise TimeoutError(
+            "streaming replay did not finish within 300s; sink at "
+            f"{out_dir} is partial and must not be graded"
+        )
     return spark.read.parquet(out_dir)
 
 

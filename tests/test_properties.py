@@ -480,8 +480,20 @@ def test_largest_remainder_allocation_properties(spark, counts, budget):
         )
         .collect()
     }
+    import math
+
     allocs = {s: a for s, (c, a) in out.items()}
     assert sum(allocs.values()) == budget
+    from fractions import Fraction
+
     for s, (c, a) in out.items():
-        exact = budget * c / total
-        assert exact - 1 < a < exact + 1 or abs(a - exact) < 1 + 1e-9
+        # quota rule: allocation is the exact proportional share rounded
+        # down or up, never further (Fraction keeps the bound exact)
+        exact = Fraction(budget * c, total)
+        assert math.floor(exact) <= a <= math.ceil(exact), (s, c, a, exact)
+    # monotonicity: a larger count never receives MORE THAN 1 less than
+    # a smaller count (floor quotas are ordered; the +1 bonus can favor
+    # either side by at most one)
+    by_count = sorted(out.values())
+    for (c1, a1), (c2, a2) in zip(by_count, by_count[1:]):
+        assert a2 >= a1 - 1, (c1, a1, c2, a2)

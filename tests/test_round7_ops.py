@@ -236,6 +236,50 @@ def test_distributed_cummax_exclusive_and_nulls(spark):
     assert got == {0: None, 1: None, 2: 5, 3: 5, 4: 5}
 
 
+def test_distributed_cummax_nan_propagates_like_spark_max(spark):
+    """Spark's MAX orders NaN greater than any double; the driver-side
+    offset fold must not drop it (Python max(5.0, nan) returns 5.0)."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    from ballista_extensions_spark.operators.prefix import distributed_cummax
+
+    rows = [(0, 5.0), (1, float("nan")), (2, 3.0), (3, 7.0)]
+    df = spark.createDataFrame(rows, "k long, v double").repartition(4)
+    got = {
+        r["k"]: r["cummax"]
+        for r in distributed_cummax(df, ["k"], "v").collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    expect = {
+        r["k"]: r["m"]
+        for r in df.withColumn("m", F.max("v").over(w)).collect()
+    }
+    assert set(got) == set(expect)
+    for k in got:
+        if isinstance(expect[k], float) and math.isnan(expect[k]):
+            assert math.isnan(got[k]), (k, got[k])
+        else:
+            assert got[k] == expect[k], (k, got[k], expect[k])
+    # and concretely: once NaN appears the cummax stays NaN
+    assert math.isnan(got[2]) and math.isnan(got[3])
+
+
+def test_grouped_percentile_disc_ignores_nulls(spark):
+    """SQL-standard PERCENTILE_DISC excludes NULL values: n must count
+    only non-NULLs and a NULL can never be the selected value."""
+    from ballista_extensions_spark.operators.prefix import (
+        grouped_percentile_disc,
+    )
+
+    rows = [("g", None), ("g", 1), ("g", 2), ("g", 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = grouped_percentile_disc(df, "g", "v", [0.25]).collect()
+    assert len(got) == 1
+    assert (got[0]["v"], got[0]["rank"], got[0]["n"]) == (1, 1, 3)
+
+
 # ------------------------------------------------------- skyline_2d
 
 def test_skyline_2d_matches_bruteforce_dominance(spark):

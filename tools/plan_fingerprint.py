@@ -118,20 +118,32 @@ def drifted_graded_names(
     reverted or removed from PRIOR_DRIVER_GRADED for re-grading."""
     from ballista_extensions_spark.queries.registry import PRIOR_DRIVER_GRADED
 
+    from ballista_extensions_spark.queries.registry import QUERIES
+
     recorded = load_recorded()
     graded = [
         n
         for n in PRIOR_DRIVER_GRADED
-        if n in recorded
+        if n in QUERIES
         and n not in EAGER_EXCLUDED
         and (names is None or n in names)
     ]
-    current = compute_fingerprints(spark, names=set(graded), sf_dir=sf_dir)
+    # A graded name with NO recorded fingerprint means the rotation
+    # forgot `plan_fingerprint.py record` — that query would dodge the
+    # gate forever. Flag it, never skip it.
+    missing = [n for n in graded if n not in recorded]
+    current = compute_fingerprints(
+        spark, names={n for n in graded if n in recorded}, sf_dir=sf_dir
+    )
     return sorted(
-        n
-        for n in graded
-        if UNSTABLE not in (current.get(n), recorded[n])
-        and current.get(n) != recorded[n]
+        missing
+        + [
+            n
+            for n in graded
+            if n in recorded
+            and UNSTABLE not in (current.get(n), recorded[n])
+            and current.get(n) != recorded[n]
+        ]
     )
 
 
