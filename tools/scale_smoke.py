@@ -122,6 +122,8 @@ def main() -> None:
         # round-7 additions (VERDICT r6 directive #4): the remaining
         # round-6 operators whose linearity was asserted but unmeasured
         "percentile_disc_distributed": lambda d, e: _pctl(d),
+        # round-7 operators, measured the round they landed
+        "hamming_sign_topk": lambda d, e: _hamming(e),
     }
 
     def _heavy_hitters(d):
@@ -208,11 +210,107 @@ def main() -> None:
             F.col("value"),
         ).count()
 
+    def _hamming(em):
+        from ballista_extensions_spark.operators.similarity import (
+            sign_pack64,
+        )
+        from pyspark.sql.window import Window
+
+        sig = sign_pack64(em)
+        probes = sig.filter(F.col("vec_id") % 199 == 0).select(
+            F.col("vec_id").alias("probe_id"), F.col("sig").alias("psig")
+        )
+        scored = (
+            sig.crossJoin(F.broadcast(probes))
+            .filter(F.col("vec_id") != F.col("probe_id"))
+            .select(
+                "probe_id",
+                "vec_id",
+                F.bit_count(F.col("psig").bitwiseXOR(F.col("sig")))
+                .cast("long")
+                .alias("hamming"),
+            )
+            .withColumn("__pid", F.spark_partition_id())
+        )
+        lw = Window.partitionBy("probe_id", "__pid").orderBy(
+            "hamming", "vec_id"
+        )
+        fw = Window.partitionBy("probe_id").orderBy("hamming", "vec_id")
+        return (
+            scored.withColumn("l", F.row_number().over(lw))
+            .filter(F.col("l") <= 10)
+            .withColumn("r", F.row_number().over(fw))
+            .filter(F.col("r") <= 10)
+            .count()
+        )
+
+    def _skyline(ev):
+        from ballista_extensions_spark.operators.skyline import skyline_2d
+
+        pts = ev.select(
+            F.col("value").cast("int").alias("lvl"), "event_id"
+        )
+        return skyline_2d(pts, "lvl", "event_id").count()
+
+    def _grouped_pctl(ev):
+        from ballista_extensions_spark.operators.prefix import (
+            grouped_percentile_disc,
+        )
+
+        return grouped_percentile_disc(
+            ev.select("event_type", "value", "event_id"),
+            "event_type",
+            "value",
+            [0.1, 0.5, 0.9],
+            tiebreak_cols=("event_id",),
+        ).count()
+
+    def _wmedian(ev):
+        from ballista_extensions_spark.operators.prefix import (
+            distributed_cumsum,
+        )
+
+        w = ev.select(
+            F.col("value").alias("v"),
+            (F.pmod(F.col("event_id"), F.lit(7)) + 1)
+            .cast("decimal(12,2)")
+            .alias("wt"),
+            "event_id",
+        )
+        cum = distributed_cumsum(w, ["v", "event_id"], "wt", out_col="cw")
+        tot = w.agg(F.sum("wt").alias("tot"))
+        return (
+            cum.crossJoin(F.broadcast(tot))
+            .filter(F.col("cw") >= F.lit("0.5").cast("decimal(2,1)") * F.col("tot"))
+            .agg(F.min("v"))
+            .count()
+        )
+
+    def _cdc(ev):
+        snapshot = ev.filter(F.col("event_id") % 10 != 9)
+        last = F.col("event_id") % 10
+        changes = ev.filter(last.isin(9, 0, 1)).select(
+            F.col("event_id").alias("c_id"),
+            F.when(last == 9, F.lit("I"))
+            .when(last == 0, F.lit("U"))
+            .otherwise(F.lit("D"))
+            .alias("op"),
+        )
+        merged = snapshot.join(
+            changes, snapshot["event_id"] == changes["c_id"], "full_outer"
+        ).filter(F.col("op").isNull() | (F.col("op") != "D"))
+        return merged.count()
+
     ev_ops = {
         "interval_sweepline": _sweep,
         "gapfill_locf": _gapfill,
         "bloom_filtered_join": _bloom_join,
         "group_ols": _ols,
+        # round-7 operators
+        "skyline_2d": _skyline,
+        "grouped_percentile_disc": _grouped_pctl,
+        "weighted_median_cumsum": _wmedian,
+        "cdc_merge": _cdc,
     }
 
     print(f"| op | t_1x (s) | t_{factor}x (s) | exponent |")
