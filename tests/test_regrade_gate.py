@@ -19,6 +19,19 @@ def test_gate_green_at_head(spark):
     assert drifted_graded_names(spark) == []
 
 
+def test_gate_red_on_missing_fingerprint(spark, monkeypatch):
+    """A graded name with NO recorded fingerprint (rotation forgot
+    `plan_fingerprint.py record`) must be flagged, not silently
+    skipped — that is the gate's own blind spot."""
+    import tools.plan_fingerprint as pf
+
+    name = "q2_cheapest_supplier"
+    assert name in registry.PRIOR_DRIVER_GRADED
+    recorded = {k: v for k, v in pf.load_recorded().items() if k != name}
+    monkeypatch.setattr(pf, "load_recorded", lambda: recorded)
+    assert name in pf.drifted_graded_names(spark, names={name})
+
+
 def test_gate_red_on_injected_change(spark):
     """Injecting a behavior change into a graded query must trip the
     gate."""
