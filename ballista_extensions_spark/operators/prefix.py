@@ -56,6 +56,56 @@ def _range_partitioned(df: DataFrame, order_cols: list[str], num_partitions: int
     return part.withColumn(_PID, F.spark_partition_id()).localCheckpoint()
 
 
+def _distributed_prefix(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    agg,
+    fold,
+    combine,
+    frame_end,
+    num_partitions: int | None,
+) -> DataFrame:
+    """Shared two-phase prefix scaffolding for any ASSOCIATIVE window
+    aggregate: range-partition (checkpointed so the sampled bounds are
+    pinned), per-partition window ``agg`` over the frame, per-partition
+    totals collected and ``fold``ed into exclusive-prefix offsets on
+    the driver (NULL totals skipped — they contribute nothing), then a
+    broadcast join applying ``combine(local, offset)`` with the shared
+    NULL discipline: a NULL offset (nothing before this partition)
+    passes the local prefix through; a NULL local prefix (only NULLs so
+    far in this partition) takes the offset. All three public prefix
+    operators (`cumsum`, `cummax`, `row_number`) are instances; fixes
+    to the invariants here fix them all at once."""
+    part = _range_partitioned(df, order_cols, num_partitions)
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, frame_end)
+    )
+    local = part.withColumn(_LOCAL, agg(value_col).over(w))
+    totals = local.groupBy(_PID).agg(agg(value_col).alias("__t")).collect()
+    totals.sort(key=lambda r: r[_PID])
+    offsets, acc = [], None
+    for r in totals:
+        offsets.append((int(r[_PID]), acc))
+        t = r["__t"]
+        if t is not None:
+            acc = t if acc is None else fold(acc, t)
+    total_type = local.schema[_LOCAL].dataType
+    off_df = df.sparkSession.createDataFrame(
+        offsets, schema=f"{_PID} int, {_OFF} {total_type.simpleString()}"
+    )
+    joined = local.join(F.broadcast(off_df), _PID)
+    out = (
+        F.when(F.col(_OFF).isNull(), F.col(_LOCAL))
+        .when(F.col(_LOCAL).isNull(), F.col(_OFF))
+        .otherwise(combine(F.col(_LOCAL), F.col(_OFF)))
+    )
+    return joined.withColumn(out_col, out).drop(_PID, _LOCAL, _OFF)
+
+
 def distributed_cumsum(
     df: DataFrame,
     order_cols: list[str],
@@ -68,46 +118,32 @@ def distributed_cumsum(
 
     ``order_cols`` must be a total order (include a tiebreak key).
     Driver state: one (pid, total) pair per partition — O(partitions),
-    independent of row count; the offset table broadcasts back.
+    independent of row count; the offset table broadcasts back. NULL
+    discipline matches SUM OVER: NULL values contribute nothing, and a
+    prefix that has seen only NULLs is NULL (see _distributed_prefix).
     """
-    part = _range_partitioned(df, order_cols, num_partitions)
-    w = (
-        Window.partitionBy(_PID)
-        .orderBy(*[F.col(c) for c in order_cols])
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return _distributed_prefix(
+        df,
+        order_cols,
+        value_col,
+        out_col,
+        F.sum,
+        lambda a, b: a + b,
+        lambda lo, off: lo + off,
+        Window.currentRow,
+        num_partitions,
     )
-    local = part.withColumn(_LOCAL, F.sum(value_col).over(w))
-    totals = (
-        local.groupBy(_PID)
-        .agg(F.sum(value_col).alias("__t"))
-        .collect()
-    )
-    totals.sort(key=lambda r: r[_PID])
-    # NULL discipline matches SUM OVER: NULL values contribute nothing to
-    # the running sum, and a prefix that has seen only NULLs is NULL. A
-    # partition whose values are all NULL therefore adds 0 to later
-    # partitions' offsets (not None, which would poison the accumulation),
-    # and the offset add below must not turn a NULL local prefix into NULL
-    # output when earlier partitions did contribute.
-    offsets, acc = [], None
-    for r in totals:
-        offsets.append((r[_PID], acc))
-        t = r["__t"]
-        if t is not None:
-            acc = t if acc is None else acc + t
-    spark = df.sparkSession
-    total_type = local.schema[_LOCAL].dataType
-    off_df = spark.createDataFrame(
-        [(int(p), o) for p, o in offsets],
-        schema=f"{_PID} int, {_OFF} {total_type.simpleString()}",
-    )
-    joined = local.join(F.broadcast(off_df), _PID)
-    cum = (
-        F.when(F.col(_OFF).isNull(), F.col(_LOCAL))
-        .when(F.col(_LOCAL).isNull(), F.col(_OFF))
-        .otherwise(F.col(_LOCAL) + F.col(_OFF))
-    )
-    return joined.withColumn(out_col, cum).drop(_PID, _LOCAL, _OFF)
+
+
+def _spark_max(a, b):
+    # Spark's MAX orders NaN GREATER than any double (unlike Python's
+    # max, where `nan > x` is False and the accumulator would drop
+    # it) — once a partition's max is NaN every later offset is NaN.
+    if isinstance(a, float) and a != a:
+        return a
+    if isinstance(b, float) and b != b:
+        return b
+    return max(a, b)
 
 
 def distributed_cummax(
@@ -120,56 +156,22 @@ def distributed_cummax(
 ) -> DataFrame:
     """Global ``MAX(value) OVER (ORDER BY order_cols ROWS UNBOUNDED
     PRECEDING .. CURRENT ROW)`` (or ``.. 1 PRECEDING`` with
-    ``inclusive=False`` — the exclusive prefix a skyline scan needs)
-    via the same two-phase plan as :func:`distributed_cumsum`: max is
-    associative, so per-partition running maxes plus an exclusive
-    prefix-max of per-partition totals reproduce the sequential scan
-    exactly (and bit-exactly — max never rounds).
-
-    NULL discipline matches MAX OVER: NULLs contribute nothing; a
-    prefix that has seen only NULLs (or nothing, for the first row
-    exclusive) is NULL.
-    """
-    part = _range_partitioned(df, order_cols, num_partitions)
-    frame_end = Window.currentRow if inclusive else -1
-    w = (
-        Window.partitionBy(_PID)
-        .orderBy(*[F.col(c) for c in order_cols])
-        .rowsBetween(Window.unboundedPreceding, frame_end)
+    ``inclusive=False`` — the exclusive prefix a skyline scan needs):
+    max is associative, so the shared two-phase plan reproduces the
+    sequential scan exactly (and bit-exactly — max never rounds). The
+    driver fold orders NaN greatest, matching Spark MAX. NULL
+    discipline matches MAX OVER (see _distributed_prefix)."""
+    return _distributed_prefix(
+        df,
+        order_cols,
+        value_col,
+        out_col,
+        F.max,
+        _spark_max,
+        F.greatest,
+        Window.currentRow if inclusive else -1,
+        num_partitions,
     )
-    local = part.withColumn(_LOCAL, F.max(value_col).over(w))
-    totals = (
-        local.groupBy(_PID).agg(F.max(value_col).alias("__t")).collect()
-    )
-    totals.sort(key=lambda r: r[_PID])
-
-    def _spark_max(a, b):
-        # Spark's MAX orders NaN GREATER than any double (unlike Python's
-        # max, where `nan > x` is False and the accumulator would drop
-        # it) — once a partition's max is NaN every later offset is NaN.
-        if isinstance(a, float) and a != a:
-            return a
-        if isinstance(b, float) and b != b:
-            return b
-        return max(a, b)
-
-    offsets, acc = [], None
-    for r in totals:
-        offsets.append((int(r[_PID]), acc))
-        t = r["__t"]
-        if t is not None:
-            acc = t if acc is None else _spark_max(acc, t)
-    total_type = local.schema[_LOCAL].dataType
-    off_df = df.sparkSession.createDataFrame(
-        offsets, schema=f"{_PID} int, {_OFF} {total_type.simpleString()}"
-    )
-    joined = local.join(F.broadcast(off_df), _PID)
-    cm = (
-        F.when(F.col(_OFF).isNull(), F.col(_LOCAL))
-        .when(F.col(_LOCAL).isNull(), F.col(_OFF))
-        .otherwise(F.greatest(F.col(_LOCAL), F.col(_OFF)))
-    )
-    return joined.withColumn(out_col, cm).drop(_PID, _LOCAL, _OFF)
 
 
 def distributed_row_number(
@@ -281,25 +283,39 @@ def grouped_percentile_disc(
     cross-engine determinism. NULL values are excluded up front — the
     SQL-standard PERCENTILE_DISC ignores them; without the filter the
     distributed rank would sort NULLs FIRST and count them in n,
-    selecting a NULL for small p.
+    selecting a NULL for small p. A group whose values are ALL NULL
+    still emits one row per prob with value NULL, rank NULL, n=0
+    (matching ``GROUP BY`` + ``PERCENTILE_DISC``), and a NULL group
+    KEY is a group like any other (null-safe join). ``probs`` must be
+    exactly representable with denominator <= 10^6 (0.25, 0.1, ...) —
+    the per-group target rank is computed in Spark long arithmetic,
+    and a float-artifact denominator like Fraction(1/3)'s 10^16 would
+    overflow ``num * n`` silently under the engine's non-ANSI config.
     """
     from fractions import Fraction
+
+    fracs = [Fraction(str(p)) for p in probs]
+    for p, fr in zip(probs, fracs):
+        if fr.denominator > 10**6:
+            raise ValueError(
+                f"prob {p!r} has denominator {fr.denominator} > 1e6; "
+                "pass an exactly-representable probability (e.g. round "
+                "to 6 decimal places) — larger denominators overflow "
+                "the long target-rank arithmetic"
+            )
 
     ranked = distributed_row_number(
         df.filter(F.col(value_col).isNotNull()),
         [group_col, value_col, *tiebreak_cols],
         out_col="__bx_grn",
         num_partitions=num_partitions,
-    )
+    ).localCheckpoint(eager=False)
     stats = ranked.groupBy(group_col).agg(
         F.min("__bx_grn").alias("__g0"),
         F.count(F.lit(1)).cast("long").alias("__gn"),
     )
     pr = df.sparkSession.createDataFrame(
-        [
-            (float(p), Fraction(str(p)).numerator, Fraction(str(p)).denominator)
-            for p in probs
-        ],
+        [(float(p), fr.numerator, fr.denominator) for p, fr in zip(probs, fracs)],
         schema="prob double, __num long, __den long",
     )
     tgt = (
@@ -317,16 +333,39 @@ def grouped_percentile_disc(
     )
     joined = ranked.join(
         F.broadcast(tgt),
-        (F.col(group_col) == F.col("__bx_g"))
+        F.col(group_col).eqNullSafe(F.col("__bx_g"))
         & (F.col("__bx_grn") == F.col("__g0") + F.col("__bx_target") - F.lit(1)),
     )
-    return joined.select(
+    out = joined.select(
         group_col,
         "prob",
         F.col(value_col),
         F.col("__bx_target").alias("rank"),
         F.col("n"),
     )
+    # Groups with zero non-NULL values were filtered before ranking;
+    # SQL still returns them (value NULL, n = 0). The group-key frame
+    # is dimension-bounded, so the anti-join + cross with probs is
+    # broadcast-sized.
+    value_type = df.schema[value_col].dataType.simpleString()
+    nonempty = stats.select(F.col(group_col).alias("__bx_sg"))
+    empty_groups = (
+        df.select(group_col)
+        .distinct()
+        .join(
+            nonempty,
+            F.col(group_col).eqNullSafe(F.col("__bx_sg")),
+            "left_anti",
+        )
+    )
+    empties = empty_groups.crossJoin(F.broadcast(pr.select("prob"))).select(
+        group_col,
+        "prob",
+        F.lit(None).cast(value_type).alias(value_col),
+        F.lit(None).cast("long").alias("rank"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    return out.unionByName(empties)
 
 
 def ntile_from_rank(rn_col: str, n_col: str, k: int):

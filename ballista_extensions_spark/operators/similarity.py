@@ -473,11 +473,19 @@ def sign_pack64(
     Returns (id_col, sig long). One narrow projection, zero shuffles;
     the OR-fold over disjoint bit positions is exact integer
     arithmetic, replayable in ANSI SQL as a SUM of disjoint powers of
-    two (OR == + when operand bits never overlap).
+    two (OR == + when operand bits never overlap). A NULL or
+    shorter-than-64 vector yields sig NULL — NOT 0, which is the valid
+    signature of an all-nonpositive vector and would silently
+    participate in Hamming ranking; callers filter or propagate the
+    NULL as fits their contract.
     """
     sig = (
         "aggregate(sequence(0, 63), 0L, (acc, i) -> acc | "
         f"CASE WHEN element_at({vec_col}, i + 1) > 0 "
         "THEN shiftleft(1L, i) ELSE 0L END)"
     )
-    return df.select(F.col(id_col), F.expr(sig).alias("sig"))
+    valid = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= 64)
+    return df.select(
+        F.col(id_col),
+        F.when(valid, F.expr(sig)).alias("sig"),
+    )

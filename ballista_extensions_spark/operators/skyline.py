@@ -38,12 +38,19 @@ def skyline_2d(
     """Frontier points of (``minimize_col`` low, ``maximize_col`` high):
     one row per non-dominated (minimize value, best maximize value)
     pair, columns ``(<minimize_col>, <maximize_col>)``. Rows with NULL
-    in either dimension are excluded (dominance is undefined on NULL).
+    (or, for float/double dimensions, NaN) in either dimension are
+    excluded — dominance is undefined on both, and an unfiltered NaN
+    would become a level's MAX (Spark orders NaN greatest) and then
+    suppress every later frontier level, since ``x > NaN`` is false.
     """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    keep = F.col(minimize_col).isNotNull() & F.col(maximize_col).isNotNull()
+    for c in (minimize_col, maximize_col):
+        if isinstance(df.schema[c].dataType, (DoubleType, FloatType)):
+            keep = keep & ~F.isnan(F.col(c))
     per = (
-        df.filter(
-            F.col(minimize_col).isNotNull() & F.col(maximize_col).isNotNull()
-        )
+        df.filter(keep)
         .groupBy(minimize_col)
         .agg(F.max(maximize_col).alias(maximize_col))
     )

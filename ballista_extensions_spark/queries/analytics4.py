@@ -559,7 +559,8 @@ def ann_hamming_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ballista_extensions_spark.operators.similarity import sign_pack64
 
     e = load_table(spark, sf_dir, "embeddings")
-    sig = sign_pack64(e)
+    # NULL sigs (null/short vectors — none in this corpus) can't rank
+    sig = sign_pack64(e).filter(F.col("sig").isNotNull())
     probes = sig.filter(F.col("vec_id") % 199 == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("sig").alias("psig")
     )

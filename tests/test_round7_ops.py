@@ -280,6 +280,65 @@ def test_grouped_percentile_disc_ignores_nulls(spark):
     assert (got[0]["v"], got[0]["rank"], got[0]["n"]) == (1, 1, 3)
 
 
+def test_grouped_percentile_disc_all_null_group_and_null_key(spark):
+    """SQL parity corners: an all-NULL group still emits (group, prob,
+    NULL, NULL, 0) rows, and a NULL group KEY is a group like any
+    other (null-safe join)."""
+    from ballista_extensions_spark.operators.prefix import (
+        grouped_percentile_disc,
+    )
+
+    rows = [("a", 1), ("a", 2), ("allnull", None), (None, 7)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r["g"], r["prob"]): (r["v"], r["rank"], r["n"])
+        for r in grouped_percentile_disc(df, "g", "v", [0.5]).collect()
+    }
+    assert got[("a", 0.5)] == (1, 1, 2)
+    assert got[("allnull", 0.5)] == (None, None, 0)
+    assert got[(None, 0.5)] == (7, 1, 1)
+
+
+def test_grouped_percentile_disc_rejects_overflow_probs(spark):
+    """Float-artifact denominators (Fraction(str(1/3)) -> 1e16) would
+    overflow the long num*n target arithmetic — rejected loudly."""
+    from ballista_extensions_spark.operators.prefix import (
+        grouped_percentile_disc,
+    )
+
+    df = spark.createDataFrame([("g", 1)], "g string, v long")
+    with pytest.raises(ValueError, match="denominator"):
+        grouped_percentile_disc(df, "g", "v", [1 / 3])
+
+
+def test_sign_pack64_null_and_short_vectors(spark):
+    from ballista_extensions_spark.operators.similarity import sign_pack64
+
+    rows = [
+        (1, [1.0] * 64),
+        (2, None),
+        (3, [1.0] * 10),
+        (4, [-1.0] * 64),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["sig"] for r in sign_pack64(df).collect()}
+    assert got[1] == -1  # all 64 bits set
+    assert got[2] is None  # NULL vector -> NULL, not the valid sig 0
+    assert got[3] is None  # short vector -> NULL
+    assert got[4] == 0  # genuinely all-nonpositive -> 0
+
+
+def test_skyline_2d_excludes_nan(spark):
+    """A NaN maximize value must not become a level max and suppress
+    the rest of the frontier (Spark MAX orders NaN greatest)."""
+    from ballista_extensions_spark.operators.skyline import skyline_2d
+
+    rows = [(1.0, float("nan")), (2.0, 100.0), (3.0, 150.0)]
+    df = spark.createDataFrame(rows, "price double, q double")
+    got = {(r["price"], r["q"]) for r in skyline_2d(df, "price", "q").collect()}
+    assert got == {(2.0, 100.0), (3.0, 150.0)}
+
+
 # ------------------------------------------------------- skyline_2d
 
 def test_skyline_2d_matches_bruteforce_dominance(spark):
