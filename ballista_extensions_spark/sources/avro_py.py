@@ -167,9 +167,14 @@ def _encode_core(t, v, out: bytearray) -> None:
             import datetime as _dt
 
             epoch = _dt.datetime(1970, 1, 1)
-            micros = int((v - epoch).total_seconds() * 1_000_000) if isinstance(
-                v, _dt.datetime
-            ) else int(v)
+            # Exact integer micros: float total_seconds() has ~2.4e-7 s
+            # resolution at 2026 epochs, so *1e6 + int() truncation
+            # silently corrupts the last microsecond digit.
+            micros = (
+                (v - epoch) // _dt.timedelta(microseconds=1)
+                if isinstance(v, _dt.datetime)
+                else int(v)
+            )
             out += _zigzag_encode(micros)
             return
         if lt == "date":
@@ -359,37 +364,43 @@ def write_container(
 
 def read_container(path: str):
     """Yield (avro_schema, row_dict) pairs — schema once per call via the
-    first element being the schema dict (header read), then dict rows."""
-    with open(path, "rb") as f:
-        raw = f.read()
-    buf = io.BytesIO(raw)
-    if buf.read(4) != _MAGIC:
-        raise ValueError(f"{path!r} is not an Avro object container file")
-    meta = _read_meta_map(buf)
-    avro_schema = json.loads(meta["avro.schema"].decode("utf-8"))
-    codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate"):
-        raise ValueError(f"avro bridge: unsupported codec {codec!r}")
-    sync = buf.read(16)
-    fields = avro_schema["fields"]
-    yield avro_schema
-    while True:
-        head = buf.read(1)
-        if not head:
-            return
-        buf.seek(-1, os.SEEK_CUR)
-        n_objs = _zigzag_decode(buf)
-        n_bytes = _zigzag_decode(buf)
-        data = buf.read(n_bytes)
-        if codec == "deflate":
-            data = zlib.decompress(data, wbits=-15)
-        if buf.read(16) != sync:
-            raise ValueError(f"{path!r}: sync marker mismatch (corrupt block)")
-        bbuf = io.BytesIO(data)
-        for _ in range(n_objs):
-            yield {
-                fld["name"]: _decode_value(fld["type"], bbuf) for fld in fields
-            }
+    first element being the schema dict (header read), then dict rows.
+
+    Streams from the open file: a schema probe that stops after the
+    first yielded element reads only the header bytes, and a full scan
+    holds one compressed block (plus its decompressed copy) in memory
+    at a time — never the whole file."""
+    with open(path, "rb") as buf:
+        if buf.read(4) != _MAGIC:
+            raise ValueError(f"{path!r} is not an Avro object container file")
+        meta = _read_meta_map(buf)
+        avro_schema = json.loads(meta["avro.schema"].decode("utf-8"))
+        codec = meta.get("avro.codec", b"null").decode("utf-8")
+        if codec not in ("null", "deflate"):
+            raise ValueError(f"avro bridge: unsupported codec {codec!r}")
+        sync = buf.read(16)
+        fields = avro_schema["fields"]
+        yield avro_schema
+        while True:
+            head = buf.read(1)
+            if not head:
+                return
+            buf.seek(-1, os.SEEK_CUR)
+            n_objs = _zigzag_decode(buf)
+            n_bytes = _zigzag_decode(buf)
+            data = buf.read(n_bytes)
+            if codec == "deflate":
+                data = zlib.decompress(data, wbits=-15)
+            if buf.read(16) != sync:
+                raise ValueError(
+                    f"{path!r}: sync marker mismatch (corrupt block)"
+                )
+            bbuf = io.BytesIO(data)
+            for _ in range(n_objs):
+                yield {
+                    fld["name"]: _decode_value(fld["type"], bbuf)
+                    for fld in fields
+                }
 
 
 # --------------------------------------------------------- Spark bridge

@@ -153,7 +153,12 @@ def read_delta_log(
     )
 
     def _file(a: dict) -> str:
-        return os.path.join(path, a["path"])
+        # add.path is RFC 2396 URL-encoded in the Delta log (PROTOCOL.md:
+        # a partition dir `col=a b` is logged as `col=a%20b`); decode
+        # before touching the filesystem.
+        from urllib.parse import unquote
+
+        return os.path.join(path, unquote(a["path"]))
 
     if not part_cols:
         return spark.read.schema(data_schema).parquet(*[_file(a) for a in adds])

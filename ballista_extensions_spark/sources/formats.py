@@ -46,25 +46,46 @@ def read_csv(
 ) -> DataFrame:
     """CSV with the dialect knobs CsvOptions declares (delimiter/quote/
     escape/comment/null/timestamp_format/schema_infer_max_rec — proto
-    :411-429). Explicit schema skips the inference pass."""
-    reader = (
-        spark.read.option("header", header)
-        .option("sep", delimiter)
-        .option("quote", quote)
-        .option("escape", escape)
-        .option("nullValue", null_value)
-        .option("samplingRatio", 1.0)
-    )
-    if comment is not None:
-        reader = reader.option("comment", comment)
-    if timestamp_format is not None:
-        reader = reader.option("timestampFormat", timestamp_format)
+    :411-429). Explicit schema skips the inference pass.
+
+    ``infer_max_records`` BOUNDS the inference scan for real: Spark CSV
+    has no row-capped inference option (only samplingRatio), so the
+    schema is inferred from a probe over the first N text lines and
+    then pinned on the main reader — the full-data pass never infers.
+    Caveat: the line-based probe assumes records are single-line
+    (quoted embedded newlines in the first N records would truncate the
+    probe's view, not the data); xz-compressed inputs infer over the
+    full decompressed text.
+    """
+
+    def _dialect(r):
+        r = (
+            r.option("header", header)
+            .option("sep", delimiter)
+            .option("quote", quote)
+            .option("escape", escape)
+            .option("nullValue", null_value)
+        )
+        if comment is not None:
+            r = r.option("comment", comment)
+        if timestamp_format is not None:
+            r = r.option("timestampFormat", timestamp_format)
+        return r
+
+    reader = _dialect(spark.read.option("samplingRatio", 1.0))
     if schema is not None:
         reader = reader.schema(schema)
+    elif _is_xz(path):
+        reader = reader.option("inferSchema", True)
     else:
-        reader = reader.option("inferSchema", True).option(
-            "maxRowsForSchemaInference", infer_max_records
+        n = int(infer_max_records) + (1 if header else 0)
+        lines = spark.read.text(path).limit(n)
+        inferred = (
+            _dialect(spark.read.option("inferSchema", True))
+            .csv(lines.rdd.map(lambda r: r[0]))
+            .schema
         )
+        reader = reader.schema(inferred)
     for k, v in options.items():
         reader = reader.option(k, v)
     if _is_xz(path):
@@ -337,10 +358,10 @@ def write_any(
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    if compression != "none" or fmt != "parquet":
-        writer = writer.option(
-            "compression", compression if compression != "none" else "none"
-        )
+    # ALWAYS set the codec: parquet's default is snappy, so skipping the
+    # option for compression='none' would silently write snappy when the
+    # caller explicitly asked for uncompressed (parquet accepts "none").
+    writer = writer.option("compression", compression)
     for k, v in options.items():
         writer = writer.option(k, v)
     if fmt == "csv":

@@ -52,14 +52,21 @@ def write_parquet_bloom(
     path: str,
     bloom_cols: dict[str, int],
     mode: str = "overwrite",
+    **options: str,
 ) -> None:
     """Write ``df`` as parquet with a write-side bloom filter on each
     column in ``bloom_cols`` (column -> expected NDV, which sizes the
-    bitset for ~1% FPP)."""
+    bitset for ~1% FPP). Note parquet-mr OMITS the bloom filter for a
+    column whose every page ends up dictionary-encoded (the dictionary
+    is already an exact membership structure); low-cardinality columns
+    therefore show no footer offset — pass
+    ``**{"parquet.enable.dictionary": "false"}`` to force one."""
     w = df.write.mode(mode)
     for col, ndv in bloom_cols.items():
         w = w.option(f"parquet.bloom.filter.enabled#{col}", "true")
         w = w.option(f"parquet.bloom.filter.expected.ndv#{col}", str(int(ndv)))
+    for k, v in options.items():
+        w = w.option(k, v)
     w.parquet(path)
 
 
@@ -101,19 +108,26 @@ def bloom_filter_offsets(
         reader.close()
 
 
-def _plain_encode(value) -> bytes:
-    """The parquet PLAIN encoding parquet-mr's bloom hash consumes."""
-    if isinstance(value, bool):
-        raise TypeError("parquet writes no bloom filters for BOOLEAN")
-    if isinstance(value, int):
-        return struct.pack("<q", value)  # INT64
-    if isinstance(value, float):
-        return struct.pack("<d", value)  # DOUBLE
-    if isinstance(value, str):
-        return value.encode("utf-8")  # BYTE_ARRAY (UTF8)
-    if isinstance(value, bytes):
-        return value
-    raise TypeError(f"unsupported probe type {type(value).__name__}")
+def _plain_encode(value, physical: str) -> bytes:
+    """The parquet PLAIN encoding parquet-mr's bloom hash consumes, for
+    the column's ACTUAL physical type (read from the footer — guessing
+    from the Python value would hash an INT32 column's probe as 8
+    little-endian bytes and report every row group 'provably'
+    match-free)."""
+    if physical == "INT64":
+        return struct.pack("<q", int(value))
+    if physical == "INT32":
+        return struct.pack("<i", int(value))
+    if physical == "DOUBLE":
+        return struct.pack("<d", float(value))
+    if physical == "FLOAT":
+        return struct.pack("<f", float(value))
+    if physical == "BINARY":
+        return value.encode("utf-8") if isinstance(value, str) else bytes(value)
+    raise TypeError(
+        f"unsupported physical type {physical} for a bloom probe "
+        "(BOOLEAN columns get no bloom filters; INT96/FIXED are unhandled)"
+    )
 
 
 def row_groups_surviving(
@@ -124,10 +138,9 @@ def row_groups_surviving(
     ``path``: returns (surviving, total). A row group without a bloom
     filter on ``col`` always survives (no evidence to drop it); one
     whose filter reports absent is provably match-free and a scan
-    skips it. For INT64 columns pass a Python int, DOUBLE a float,
-    BYTE_ARRAY a str/bytes — the probe hashes the same plain encoding
-    the writer hashed."""
-    enc = _plain_encode(value)
+    skips it. The probe hashes the plain encoding of the column's
+    physical type AS READ FROM THE FOOTER (INT32/INT64/FLOAT/DOUBLE/
+    BINARY), so it is bit-identical to what the writer hashed."""
     surviving = total = 0
     for f in _part_files(path):
         jvm, reader = _open_reader(spark, f)
@@ -152,7 +165,12 @@ def row_groups_surviving(
                 if bloom is None:
                     surviving += 1
                     continue
-                b = Binary.fromConstantByteArray(enc)
+                physical = (
+                    chunk.getPrimitiveType().getPrimitiveTypeName().name()
+                )
+                b = Binary.fromConstantByteArray(
+                    _plain_encode(value, physical)
+                )
                 if bloom.findHash(bloom.hash(b)):
                     surviving += 1
         finally:

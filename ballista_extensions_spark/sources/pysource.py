@@ -261,10 +261,9 @@ class _NdjsonPartWriter(DataSourceWriter):
             # ONLY this job's parts. Clear stale parts before renaming
             # the new ones in, else overwrite silently behaves as append
             # and a read-back returns the union of both writes.
-            fresh = {_os.path.basename(m.path) for m in messages}
+            # messages carry `.inprogress` temp names (renamed below), so
+            # every existing committed `.ndjson` is stale by definition
             for name in _os.listdir(self.path):
-                if name in fresh:
-                    continue
                 if name.endswith(".ndjson") or name == "_SUCCESS":
                     try:
                         _os.remove(_os.path.join(self.path, name))

@@ -48,6 +48,11 @@ def mg_summary_stream(
     """
     if counters < 1:
         raise ValueError(f"counters must be >= 1, got {counters}")
+    if shards < 1:
+        # pmod(x, 0) is NULL in Spark: every row would silently funnel
+        # through one null-keyed state entry — the exact hotspot the
+        # shard design exists to prevent
+        raise ValueError(f"shards must be >= 1, got {shards}")
     compact_at = 4 * counters
     items = df.select(
         F.col(col).cast("string").alias("item"),

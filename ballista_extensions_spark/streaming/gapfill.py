@@ -55,6 +55,11 @@ def locf_gapfill_stream(
         F.col(series_col).cast("string").alias("series"),
         F.col(bucket_col).cast("long").alias("bucket"),
         F.col(value_col).cast("double").alias("value"),
+    ).filter(
+        # a NULL bucket cannot be placed on the dense axis; unfiltered
+        # it reaches pandas as NaN and int(b) dies with a non-diagnostic
+        # ValueError inside the state function
+        F.col("bucket").isNotNull()
     )
 
     def update(

@@ -29,17 +29,17 @@ def idempotent_parquet_sink(path: str) -> Callable[[DataFrame, int], None]:
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                batch_df.withColumn("__batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("__batch_id")
-                .parquet(path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # Writer-scoped option, NOT a session conf mutation: a set/
+        # restore of spark.sql.sources.partitionOverwriteMode races with
+        # concurrent foreachBatch sinks on the same session — another
+        # sink's overwrite caught between restore and execution would run
+        # STATIC and wipe its entire output directory.
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(path)
+        )
 
     return write_batch

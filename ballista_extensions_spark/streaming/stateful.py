@@ -75,20 +75,17 @@ def funnel_stages_stream(events: DataFrame) -> DataFrame:
         v, c, p = state.get if state.exists else (-1, -1, -1)
         for pdf in pdfs:
             ts_us = pdf["ts"].astype("int64") // 1000  # ns -> µs
-            for col_min, etype, cur in (
-                ("v", "view", v),
-                ("c", "click", c),
-                ("p", "purchase", p),
-            ):
+
+            def first_seen(etype: str, prev: int) -> int:
                 sel = ts_us[pdf["event_type"] == etype]
-                if len(sel):
-                    m = int(sel.min())
-                    if col_min == "v":
-                        v = m if v < 0 else min(v, m)
-                    elif col_min == "c":
-                        c = m if c < 0 else min(c, m)
-                    else:
-                        p = m if p < 0 else min(p, m)
+                if not len(sel):
+                    return prev
+                m = int(sel.min())
+                return m if prev < 0 else min(prev, m)
+
+            v = first_seen("view", v)
+            c = first_seen("click", c)
+            p = first_seen("purchase", p)
         state.update((v, c, p))
         stage = 0
         if v >= 0:

@@ -375,6 +375,114 @@ def test_skyline_2d_drops_null_dimensions(spark):
     assert got == {(1, 10), (2, 20)}
 
 
+# ------------------------------------------- source-layer regressions
+
+def test_avro_timestamp_micros_roundtrip_exact(spark, tmp_path_factory):
+    """Micros must survive the write bit-exactly: the old float
+    total_seconds() path truncated the last microsecond digit for
+    2026-era timestamps."""
+    import datetime as dt
+
+    from ballista_extensions_spark.sources.avro_py import (
+        read_avro,
+        write_avro,
+    )
+
+    ts = dt.datetime(2026, 8, 14, 12, 0, 0, 123456)
+    df = spark.createDataFrame([(1, ts)], "id long, ts timestamp")
+    path = str(tmp_path_factory.mktemp("avro_us") / "t")
+    write_avro(df, path)
+    got = read_avro(spark, path).collect()[0]["ts"]
+    assert got == ts, got
+
+
+def test_parquet_bloom_int32_column_probe(spark, tmp_path_factory):
+    """The probe must hash the column's ACTUAL physical type: an INT32
+    column probed with the INT64 plain encoding would report every row
+    group 'provably' match-free."""
+    from pyspark.sql import functions as F
+
+    from ballista_extensions_spark.sources.parquet_bloom import (
+        row_groups_surviving,
+        write_parquet_bloom,
+    )
+
+    path = str(tmp_path_factory.mktemp("pb32") / "t")
+    df = spark.range(5000).select(
+        (F.col("id") % 1000).cast("int").alias("k")
+    )
+    # dictionary encoding would make parquet-mr omit the bloom filter
+    # entirely (the dict already answers membership) — force it off so
+    # the typed-probe path is actually exercised
+    write_parquet_bloom(
+        df.repartition(2),
+        path,
+        {"k": 1000},
+        **{"parquet.enable.dictionary": "false"},
+    )
+    from ballista_extensions_spark.sources.parquet_bloom import (
+        bloom_filter_offsets,
+    )
+    from pathlib import Path
+
+    first = sorted(str(p) for p in Path(path).glob("*.parquet"))[0]
+    assert all(o is not None for o in bloom_filter_offsets(spark, first)["k"])
+    s, t = row_groups_surviving(spark, path, "k", 7)  # present value
+    assert s >= 1, "present INT32 key pruned everywhere (wrong encoding)"
+    absent = sum(
+        row_groups_surviving(spark, path, "k", v)[0]
+        for v in range(5_000_000, 5_000_020)
+    )
+    assert absent <= t * 20 * 0.05
+
+
+def test_write_any_parquet_uncompressed(spark, tmp_path_factory):
+    """compression='none' must actually write uncompressed parquet, not
+    fall through to Spark's snappy default."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from ballista_extensions_spark.sources.formats import write_any
+
+    path = str(tmp_path_factory.mktemp("unc") / "t")
+    write_any(
+        spark.range(1000).selectExpr("id", "id * 2 AS v"),
+        "parquet",
+        path,
+        compression="none",
+    )
+    f = sorted(str(p) for p in Path(path).glob("*.parquet"))[0]
+    md = pq.ParquetFile(f).metadata
+    codecs = {
+        md.row_group(i).column(j).compression
+        for i in range(md.num_row_groups)
+        for j in range(md.num_columns)
+    }
+    assert codecs == {"UNCOMPRESSED"}, codecs
+
+
+def test_read_csv_bounded_inference(spark, tmp_path_factory):
+    """infer_max_records must bound the inference probe yet still give
+    a correctly typed schema."""
+    from ballista_extensions_spark.sources.formats import read_csv, write_any
+
+    path = str(tmp_path_factory.mktemp("csvinf") / "t")
+    write_any(
+        spark.range(10_000).selectExpr(
+            "id", "CAST(id AS DOUBLE) / 7 AS ratio", "CONCAT('s', id) AS s"
+        ),
+        "csv",
+        path,
+        compression="none",
+    )
+    df = read_csv(spark, path, infer_max_records=50)
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types["id"] in ("int", "bigint")
+    assert types["ratio"] == "double"
+    assert types["s"] == "string"
+    assert df.count() == 10_000
+
+
 # -------------------------------------- dynamic partition pruning (DPP)
 
 def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path_factory):
