@@ -9,6 +9,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _q(identifier: str) -> str:
+    """Backtick-quote a (possibly dotted) identifier: names needing
+    quoting ('my-db.events', a column named 'order') would otherwise
+    fail to parse — and an unquoted f-string interpolation would let a
+    crafted name inject arbitrary SQL."""
+    return ".".join(
+        "`" + part.replace("`", "``") + "`" for part in identifier.split(".")
+    )
+
+
 def register_as_table(df: DataFrame, name: str) -> None:
     """Persist as a managed parquet table (stats need catalog tables)."""
     df.write.mode("overwrite").format("parquet").saveAsTable(name)
@@ -20,17 +30,18 @@ def analyze_table(
     """ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ...] — feeds the
     cost-based optimizer (join reordering, broadcast decisions)."""
     if columns:
+        cols = ", ".join(_q(c) for c in columns)
         spark.sql(
-            f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {', '.join(columns)}"
+            f"ANALYZE TABLE {_q(name)} COMPUTE STATISTICS FOR COLUMNS {cols}"
         )
     else:
-        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        spark.sql(f"ANALYZE TABLE {_q(name)} COMPUTE STATISTICS")
 
 
 def table_stats(spark: SparkSession, name: str) -> dict:
     """Extract the gathered stats (rowCount/sizeInBytes) — the engine-side
     equivalent of the proto's Statistics message."""
-    rows = spark.sql(f"DESCRIBE EXTENDED {name}").collect()
+    rows = spark.sql(f"DESCRIBE EXTENDED {_q(name)}").collect()
     out: dict = {}
     for r in rows:
         if r.col_name == "Statistics":
@@ -47,7 +58,7 @@ def table_stats(spark: SparkSession, name: str) -> dict:
 def column_stats(spark: SparkSession, name: str, column: str) -> dict:
     """Per-column stats (min/max/null count/distinct estimate) after
     ANALYZE ... FOR COLUMNS — proto fields :560-574."""
-    rows = spark.sql(f"DESCRIBE EXTENDED {name} {column}").collect()
+    rows = spark.sql(f"DESCRIBE EXTENDED {_q(name)} {_q(column)}").collect()
     return {r.info_name: r.info_value for r in rows}
 
 
@@ -74,6 +85,11 @@ def declare_constraints(
             meta["constraint"] = "primary_key"
         elif field.name in uq:
             meta["constraint"] = "unique"
+        else:
+            # a re-declaration REPLACES the constraint set: stale
+            # markers on columns no longer declared must clear, or two
+            # successive declarations leave two "primary keys"
+            meta.pop("constraint", None)
         cols.append(F.col(field.name).alias(field.name, metadata=meta))
     return df.select(*cols)
 

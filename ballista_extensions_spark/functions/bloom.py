@@ -113,12 +113,33 @@ def bloom_filtered_join(
     the big side first. Result is EXACTLY the plain join (the exact join
     clears bloom false positives); the prune only reduces what the join
     exchange has to move. ``how`` must not need unmatched big-side rows
-    (inner / left_semi / right outer relative to big are fine)."""
-    if how in {"left", "left_outer", "full", "full_outer", "left_anti"}:
+    (inner / left_semi / right outer relative to big are fine).
+
+    Both sides' key type must MATCH: xxhash64 is type-sensitive (the
+    same number hashes differently as INT vs BIGINT), so hashing across
+    an implicit join coercion would produce false NEGATIVES — the one
+    thing a bloom prune must never do. Cast one side explicitly."""
+    # normalize so Spark's accepted alias spellings can't dodge the guard
+    if how.lower().replace("_", "") in {
+        "left", "leftouter", "full", "fullouter", "outer",
+        "anti", "leftanti",
+    }:
         raise ValueError(
             f"how={how!r} needs unmatched big-side rows; the bloom prune "
             "would drop them"
         )
-    bloom = bloom_build(small.select(key).distinct(), key, num_bits, num_hashes)
+    big_t = dict(big.dtypes)[key]
+    small_t = dict(small.dtypes)[key]
+    if big_t != small_t:
+        raise ValueError(
+            f"key {key!r} types differ (big {big_t} vs small {small_t}); "
+            "xxhash64 is type-sensitive, so the bloom would false-negative "
+            "rows the coercing equi-join matches — cast one side first"
+        )
+    # no .distinct() on the build side: bloom_build's bit_or aggregation
+    # is idempotent under duplicate keys and map-side combines into at
+    # most num_bits/64 groups, so the distinct would only add a full
+    # shuffle of every build key
+    bloom = bloom_build(small.select(key), key, num_bits, num_hashes)
     pruned = bloom_prefilter(big, bloom, key, num_bits, num_hashes)
     return pruned.join(small, on=key, how=how)

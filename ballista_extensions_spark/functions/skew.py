@@ -27,9 +27,22 @@ def salted_join(
     The dim side is replicated via explode(sequence(...)) — keep it
     broadcast-sized x salt_buckets. Result columns = fact ++ dim (salt
     columns dropped); row multiplicity identical to the plain join.
+
+    ``how`` must not need unmatched DIM-side rows: the dim side is
+    replicated salt_buckets times, so a right/full outer join would
+    emit every unmatched replica (salt_buckets copies of each
+    unmatched dim row) — rejected loudly instead of multiplying rows.
     """
     if salt_buckets < 1:
         raise ValueError("salt_buckets must be >= 1")
+    if how.lower().replace("_", "") in {
+        "right", "rightouter", "full", "fullouter", "outer",
+        "rightanti", "rightsemi",
+    }:
+        raise ValueError(
+            f"how={how!r} needs unmatched/deduplicated dim-side rows; "
+            "the salt replication would multiply them by salt_buckets"
+        )
     salted_fact = fact.withColumn(
         "__salt", (F.rand(seed=7) * salt_buckets).cast("int")
     )

@@ -26,13 +26,22 @@ from pyspark.sql import Column
 # importable (query registry import) before any session exists.
 
 
+# ASCII-whitespace-only, per the cross-engine contract operators/text.py
+# documents: Python's \s is Unicode-wide (NBSP, U+2028, ...) while Java
+# regex \s and DuckDB RE2 \s are ASCII-only — a Unicode-space document
+# would make the "twin" UDFs diverge from the JVM/oracle results.
+_WS = r"[ \t\n\r\f\v]+"
+
+
 def _token_count_batch(texts: pd.Series) -> pd.Series:
-    pattern = re.compile(r"\s+")
-    return texts.map(lambda t: 0 if t is None else len(pattern.split(t)))
+    pattern = re.compile(_WS)
+    # NULL text -> NULL count (size(split(NULL)) is NULL in Spark and
+    # len(string_split_regex(NULL)) is NULL in DuckDB; 0 would diverge)
+    return texts.map(lambda t: None if t is None else len(pattern.split(t)))
 
 
 def _normalize_batch(texts: pd.Series) -> pd.Series:
-    pattern = re.compile(r"\s+")
+    pattern = re.compile(_WS)
     return texts.map(
         lambda t: None if t is None else pattern.sub(" ", t).strip().lower()
     )

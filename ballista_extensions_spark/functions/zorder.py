@@ -21,12 +21,21 @@ from pyspark.sql import functions as F
 def morton_key(a: str | Column, b: str | Column, bits: int = 16) -> Column:
     """Interleave the low ``bits`` of two non-negative int columns into
     a Morton key (a's bit i -> position 2i, b's -> 2i+1). Values are
-    clamped to the bit budget; 16+16 bits fit comfortably in a long."""
+    clamped into [0, 2^bits - 1] from BOTH ends (a negative input would
+    otherwise wrap to the top of the range via the bit mask), and NULLs
+    clamp LOW (least() skips NULLs, which would silently send NULL rows
+    to the maximum key and widen the top row groups' stats); 16+16 bits
+    fit comfortably in a long."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     mask = (1 << bits) - 1
-    ca = F.least(ca.cast("long"), F.lit(mask)).bitwiseAND(F.lit(mask))
-    cb = F.least(cb.cast("long"), F.lit(mask)).bitwiseAND(F.lit(mask))
+
+    def _clamp(c):
+        c = F.coalesce(c.cast("long"), F.lit(0).cast("long"))
+        return F.least(F.greatest(c, F.lit(0).cast("long")), F.lit(mask))
+
+    ca = _clamp(ca)
+    cb = _clamp(cb)
     key = F.lit(0).cast("long")
     for i in range(bits):
         key = key.bitwiseOR(

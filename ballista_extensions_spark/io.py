@@ -58,10 +58,19 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     and ship the package to Python workers."""
     for k, v in _REQUIRED_CONFS.items():
         try:
-            if spark.conf.get(k, None) != v:
-                spark.conf.set(k, v)
-        except Exception:  # noqa: BLE001 — a read-only conf would raise here
+            if spark.conf.get(k, None) == v:
+                continue
+        except Exception:  # noqa: BLE001 — get unsupported here; try set
+            pass
+        try:
             spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001
+            # Read-only/static conf on this session type (managed or
+            # Connect environments can pin confs). Skip rather than
+            # crash every load_table: operators tolerate defaults where
+            # they can, and a hard incompatibility surfaces at the
+            # operator with its own diagnostic.
+            pass
     _ship_package(spark)
 
 
