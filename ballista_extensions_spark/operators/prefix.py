@@ -288,9 +288,10 @@ def grouped_percentile_disc(
     (matching ``GROUP BY`` + ``PERCENTILE_DISC``), and a NULL group
     KEY is a group like any other (null-safe join). ``probs`` must be
     exactly representable with denominator <= 10^6 (0.25, 0.1, ...) —
-    the per-group target rank is computed in Spark long arithmetic,
-    and a float-artifact denominator like Fraction(1/3)'s 10^16 would
-    overflow ``num * n`` silently under the engine's non-ANSI config.
+    a float-artifact denominator like Fraction(1/3)'s 10^16 signals
+    the caller passed an inexact float, not a probability; the target
+    rank itself is computed with the multiply in DECIMAL(38,0), so no
+    group size a long can count overflows it.
     """
     from fractions import Fraction
 
@@ -325,9 +326,19 @@ def grouped_percentile_disc(
             "prob",
             "__g0",
             F.col("__gn").alias("n"),
+            # ceil(num/den * gn) with the multiply in DECIMAL(38,0):
+            # long `__num * __gn` silently wraps under the non-ANSI
+            # config once gn > LONG_MAX/num (~9.2e12 rows at num=1e6 —
+            # plausible at this module's 100 TB posture). The decimal
+            # product is exact (1e6 * 9.2e18 < 1e38) and the quotient
+            # is <= gn (num <= den for a probability), so the final
+            # cast back to LONG never overflows.
             F.greatest(
                 F.lit(1).cast("long"),
-                F.expr("(__num * __gn + __den - 1) div __den").cast("long"),
+                F.expr(
+                    "CAST((CAST(__num AS DECIMAL(38,0)) * __gn + __den - 1)"
+                    " div __den AS LONG)"
+                ),
             ).alias("__bx_target"),
         )
     )

@@ -27,7 +27,7 @@ _DISC_PRICE = (
 
 
 @register(
-    "customer_rfm_segments",
+    "customer_rfm_segments_demo",
     oracle="""
     WITH base AS (
       SELECT c_custkey,
@@ -51,9 +51,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (value, custkey) window. One shuffle for the
     aggregate; the three ntiles share one global sort (same partition:
     Catalyst computes all three windows in a single Window node chain).
-    Scale: global ntile is a single-task sort of ONE ROW PER CUSTOMER
-    (the aggregate, not the fact table); per-segment windows would
-    remove even that if needed."""
+
+    Registered under the ``_demo`` suffix DELIBERATELY (VERDICT r7):
+    the global ntile is a single-task sort — of one row per customer
+    (the aggregate, not the fact table), so it survives far longer
+    than a fact-table window, but the customer dimension itself is
+    billions of rows at 100 TB. The undecorated name
+    ``customer_rfm_segments_scalable`` reconstructs the same quartiles
+    from distributed_row_number + ntile_from_rank with no single-task
+    stage and is the form to copy at scale."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     base = (
@@ -101,7 +107,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_rfm_segments_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation with NO single-task window: the scale twin of
-    customer_rfm_segments. Each of the three quartile dimensions gets a
+    customer_rfm_segments_demo. Each of the three quartile dimensions gets a
     global rank from distributed_row_number (operators/prefix.py —
     range partition, parallel per-partition rank, O(partitions) offset
     stitch), and NTILE(4) is reconstructed exactly from (rank, total)

@@ -478,11 +478,13 @@ def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-capture merge (the MERGE INTO / upsert pattern):
     apply a deterministic change batch — inserts (keys ending in 9),
     updates (+10% price, keys ending in 0), deletes (keys ending in 1)
-    — to a snapshot via ONE full-outer join on the key: deletes drop,
-    upserts take the change's values, untouched rows pass through
-    flagged 'K'. Scale: one key shuffle, exactly the shape table-format
-    MERGE implementations (Delta/Iceberg) lower to; prices ride DECIMAL
-    so the 1.1x update is exact in both engines."""
+    — to a snapshot via ONE full-outer join on the key (operators/
+    cdc.py:cdc_merge): deletes drop, upserts take the change's values,
+    untouched rows pass through flagged 'K'. Scale: one key shuffle,
+    exactly the shape table-format MERGE implementations (Delta/
+    Iceberg) lower to — and ZERO shuffles when both sides are bucketed
+    on the key (plan-asserted in tests/test_round8_ops.py); prices
+    ride DECIMAL so the 1.1x update is exact in both engines."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
     )
@@ -504,18 +506,15 @@ def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("new_price"),
         )
     )
-    merged = snapshot.join(
-        changes, snapshot["o_orderkey"] == changes["c_orderkey"], "full_outer"
-    ).filter(F.col("op").isNull() | (F.col("op") != "D"))
+    from ballista_extensions_spark.operators.cdc import cdc_merge
+
+    merged = cdc_merge(
+        snapshot, changes, "o_orderkey", "c_orderkey", {"price": "new_price"}
+    )
     return merged.select(
-        F.coalesce(F.col("o_orderkey"), F.col("c_orderkey")).alias(
-            "o_orderkey"
-        ),
-        F.when(F.col("op").isin("I", "U"), F.col("new_price"))
-        .otherwise(F.col("price"))
-        .cast("double")
-        .alias("price"),
-        F.coalesce(F.col("op"), F.lit("K")).alias("op"),
+        "o_orderkey",
+        F.col("price").cast("double").alias("price"),
+        "op",
     )
 
 
@@ -654,8 +653,15 @@ def customer_percent_rank_scalable(
     sort: row numbers come from distributed_row_number; the SQL RANK
     (ties share the rank of their first row) is recovered as the MIN
     row number within each tied value — one extra aggregate + join on
-    the value, both data-parallel; percent_rank = (rank-1)/(n-1) is a
-    long/long double division, deterministic in both engines."""
+    the value (null-safe, so a NULL-acctbal row keeps its rank instead
+    of being dropped), both data-parallel; percent_rank = (rank-1)/
+    max(n-1, 1) is a long/long double division, deterministic in both
+    engines (the max() guard makes the degenerate 1-row table return
+    0.0, matching SQL PERCENT_RANK, instead of 0/0 = NaN). NULL
+    ordering caveat: Spark ranks NULLs first while DuckDB's ORDER BY
+    defaults to NULLs last — irrelevant for TPC-H customer (acctbal
+    NOT NULL) but a corpus with NULL values would need explicit
+    nulls-last ranking to match."""
     from ballista_extensions_spark.operators.prefix import (
         distributed_row_number,
     )
@@ -667,14 +673,16 @@ def customer_percent_rank_scalable(
     )
     tot = rn.agg(F.max("__rn").alias("__n"))
     return (
-        rn.join(first, rn["c_acctbal"] == first["__v"])
+        rn.join(first, rn["c_acctbal"].eqNullSafe(first["__v"]))
         .crossJoin(F.broadcast(tot))
         .select(
             "c_custkey",
             "c_acctbal",
             (
                 (F.col("__rank") - F.lit(1)).cast("double")
-                / (F.col("__n") - F.lit(1)).cast("double")
+                / F.greatest(F.col("__n") - F.lit(1), F.lit(1)).cast(
+                    "double"
+                )
             ).alias("pr"),
         )
     )
@@ -694,7 +702,7 @@ def customer_percent_rank_scalable(
       SELECT doc_id, score,
              ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn,
              COUNT(*) OVER () AS n
-      FROM scored)
+      FROM scored WHERE score IS NOT NULL)
     SELECT doc_id, score, CAST(rn AS BIGINT) AS rn
     FROM r WHERE rn <= CAST(ceil(0.1 * n) AS BIGINT)
     """,
@@ -704,7 +712,12 @@ def top_decile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation cut 'keep the top decile'): global rank from
     distributed_row_number, cutoff rank ceil(0.1*n) computed in exact
     integer arithmetic from the O(1) count — no global sort, no float
-    rank boundary. Deterministic (score DESC, doc_id) total order."""
+    rank boundary. Deterministic (score DESC, doc_id) total order.
+    NULL scores (NULL/empty text) are excluded before ranking on BOTH
+    sides: the distributed rank sorts on __neg = -score, which would
+    put NULLs FIRST (into the 'top decile') while DuckDB's ORDER BY
+    score DESC puts them last — a doc with no text is not top-decile
+    quality under any reading."""
     from ballista_extensions_spark.operators import text as T
     from ballista_extensions_spark.operators.prefix import (
         distributed_row_number,
@@ -720,7 +733,9 @@ def top_decile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
     )
     rn = distributed_row_number(
-        scored.withColumn("__neg", -F.col("score")),
+        scored.filter(F.col("score").isNotNull()).withColumn(
+            "__neg", -F.col("score")
+        ),
         ["__neg", "doc_id"],
         out_col="rn",
     )
@@ -953,7 +968,8 @@ def supplier_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY event_type),
     d AS (
       SELECT v.event_type, abs(v.value - m.med) AS dev, v.event_id
-      FROM vals v JOIN med m ON v.event_type = m.event_type),
+      FROM vals v JOIN med m
+        ON v.event_type IS NOT DISTINCT FROM m.event_type),
     r2 AS (
       SELECT event_type, dev,
              ROW_NUMBER() OVER (PARTITION BY event_type
@@ -966,9 +982,10 @@ def supplier_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY event_type)
     SELECT m.event_type, m.n, m.med, a.mad,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM vals v
-            WHERE v.event_type = m.event_type
+            WHERE v.event_type IS NOT DISTINCT FROM m.event_type
               AND abs(v.value - m.med) > 3 * a.mad) AS n_anomalies
-    FROM med m JOIN mad a ON m.event_type = a.event_type
+    FROM med m JOIN mad a
+      ON m.event_type IS NOT DISTINCT FROM a.event_type
     """,
 )
 def events_value_mad_anomalies(
@@ -997,8 +1014,11 @@ def events_value_mad_anomalies(
         F.col("value").alias("med"),
         F.col("n"),
     )
+    # Null-safe re-joins throughout: grouped_percentile_disc treats a
+    # NULL event_type as a group like any other, so the joins back onto
+    # its output must not silently drop that group (ADVICE r7).
     withmed = vals.join(
-        F.broadcast(med), vals["event_type"] == med["__g"]
+        F.broadcast(med), vals["event_type"].eqNullSafe(med["__g"])
     ).withColumn("dev", F.abs(F.col("value") - F.col("med")))
     mad = grouped_percentile_disc(
         withmed.select("event_type", "dev", "event_id"),
@@ -1008,7 +1028,7 @@ def events_value_mad_anomalies(
         tiebreak_cols=("event_id",),
     ).select(F.col("event_type").alias("__g2"), F.col("dev").alias("mad"))
     flagged = withmed.join(
-        F.broadcast(mad), withmed["event_type"] == mad["__g2"]
+        F.broadcast(mad), withmed["event_type"].eqNullSafe(mad["__g2"])
     )
     return flagged.groupBy("event_type").agg(
         F.max("n").cast("long").alias("n"),

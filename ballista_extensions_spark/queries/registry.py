@@ -17,111 +17,95 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-# Names the driver's CORRECTNESS gate has already hash-verified in prior
-# rounds (round 2 graded the first 50 registry entries). The driver grades
-# a bounded prefix of ``queries()``, so ``get_queries`` orders
-# never-graded entries FIRST: across rounds every query gets a
-# driver-green row instead of the same prefix being re-graded forever.
+# Names the driver's CORRECTNESS gate has already hash-verified in a
+# prior round. The driver grades a bounded prefix (~50) of ``queries()``,
+# and ``get_queries`` orders never-graded entries FIRST, so across rounds
+# every query gets a driver-green row instead of the same prefix being
+# re-graded forever.
+#
+# Round-8 rotation (VERDICT r7 directive #1): this is the union of the
+# hash/rows-green keys of CORRECTNESS_r02..r07, MINUS
+#   (a) the 22 oldest-graded names, rotated back in for re-grading —
+#       the r03 TPC-H cohort (q2, q7-q9, q11-q13, q15-q22),
+#       dedup_components / tfidf_top_terms / ann_cosine_topk, and the 4
+#       r04 rows-only ANN entries (ann_lsh_topk, ann_ivf_topk,
+#       embedding_near_dup, ann_recall_report);
+#   (b) the 4 round-8 implementation changes, which MUST be re-graded
+#       (regrade-gate rule): customer_percent_rank_scalable /
+#       top_decile_docs / events_value_mad_anomalies (ADVICE r7
+#       null-safety + NULL-score fixes) and
+#       shipping_delay_deciles_by_priority (grouped_percentile_disc
+#       target-rank arithmetic moved to DECIMAL(38,0));
+#   (c) token_budget_selection and customer_rfm_segments, renamed to
+#       *_demo (VERDICT r7 directive #2) — the new names re-grade fresh.
 PRIOR_DRIVER_GRADED: frozenset[str] = frozenset({
-    # The keys of CORRECTNESS_r02.json, MINUS the round-7 rotation: the
-    # 20 r02-graded names never re-verified since (the 7 TPC-H queries
-    # q1/q3/q4/q5/q6/q10/q14 and the 13 dedup/text/multimodal r02
-    # entries) are dropped per the round-6 VERDICT directive so the r07
-    # driver window re-grades them against current testdata.
-    "scan_project_alias", "explode_unnest", "sample_lineitem",
-    "sample_by_segment", "sketch_distinct_users", "join_inner",
-    "join_left_agg", "join_right", "join_full_outer", "join_left_semi",
-    "join_left_anti", "join_cross", "agg_argmax_customer",
-    "agg_orders_by_priority", "window_top3_orders_per_customer",
-    "sort_limit_expensive_orders", "distinct_segments_by_nation",
-    "set_union_nations", "set_intersect_nations", "set_except_nations",
-    "asof_join_purchases", "range_join_bursts", "set_except_all_lineitems",
-    "set_intersect_all_keys", "posexplode_tokens", "string_agg_segments",
-    "null_and_regex_functions", "events_hourly_rollup",
-    "events_json_extract", "events_sessionize",
-    # + the 47 hash-green keys of CORRECTNESS_r03.json (its 3 errored
-    # entries — latest_event_per_user, array_functions, events_lag_lead —
-    # stay out so their round-4 fixes get re-graded first).
-    "join_right_semi", "join_right_anti", "ann_cosine_topk",
-    "multimodal_decode_meta", "dedup_components", "tfidf_top_terms",
-    "corpus_vocabulary", "doc_length_histogram", "dataset_split",
-    "pii_scrub", "quality_filter_chain", "chunk_documents",
-    # "pack_token_bins" removed from this set in round 6: its
-    # implementation changed in round 5 (global window -> distributed
-    # cumsum), so it must be re-graded by the driver, not deferred.
-    "contamination_check", "rollup_revenue",
-    "cube_orders", "grouping_sets_revenue", "price_buckets",
-    "null_safe_arithmetic", "q17_small_quantity_revenue",
-    "q18_large_orders", "q19_disjunctive_revenue", "q7_nation_volume",
-    "pivot_segment_revenue", "string_functions", "date_functions",
-    "window_running_totals", "unpivot_balances", "window_rank_family",
-    "median_order_price", "stats_corr_covar", "percentile_disc_prices",
-    # "ntile_customer_quartiles" removed in round 7: rewritten from the
-    # single-task global ntile window onto distributed_row_number +
-    # ntile_from_rank (VERDICT r6 directive #2) — must be re-graded.
-    "filtered_agg_orders",
-    "salted_join_revenue",
-    # "pyudf_text_metrics" removed in round 7: its pandas-UDF kernels
-    # changed (ASCII-whitespace contract + NULL propagation) — UDF
-    # closures are invisible to the plan-fingerprint gate, so the
-    # rotation must be manual here
-    "q2_cheapest_supplier",
-    "q13_customer_order_distribution", "q15_top_supplier",
-    "q22_global_sales_opportunity", "q8_market_share", "q9_product_profit",
-    "q11_important_stock", "q12_shipping_horizon",
-    "q16_supplier_part_counts", "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    # + the 43 hash-green keys of CORRECTNESS_r04.json plus its 4
-    # rows-only-by-design rows (ann_lsh/ivf/recall, embedding_near_dup —
-    # the driver already recorded their rows-only grade; re-grading buys
-    # nothing). 39 keys not already listed above:
-    "asof_join_forward_views", "repetition_stats", "rare_token_fraction",
-    "corpus_stats_by_lang", "source_quality_stats",
-    "embedding_quantize_int8", "bpe_merge_candidates", "bigram_lm_counts",
-    "incremental_dedup", "token_budget_selection", "profile_documents",
-    "cross_source_dup_matrix", "knn_label_accuracy", "contrastive_pairs",
-    "curation_pipeline_summary", "dedup_keep_best", "latest_event_per_user",
-    "array_functions", "events_lag_lead", "event_funnel",
-    "retention_cohorts", "lateral_top_customers", "year_spine_order_counts",
-    "pagerank_trade_graph", "edit_distance_neighbors",
-    "sliding_hour_value_sums", "bitwise_agg_keys", "explode_outer_tokens",
-    "hourly_anomaly_flags", "null_safe_join_segments", "phrase_locate_spans",
-    "session_funnel", "mad_order_prices", "deterministic_mode_priority",
-    # "orderkey_islands" left out in round 6 (rewritten onto the
-    # distributed-prefix rank; must be driver re-graded)
-    "ann_ivf_topk", "ann_lsh_topk",
-    "embedding_near_dup", "ann_recall_report",
-    # + the 24 driver-green keys of CORRECTNESS_r05.json not already
-    # above. "docs_quality_quartiles" (graded r05) is intentionally
-    # absent: round 6 replaced its single-task ntile window with the
-    # distributed prefix rank, so the driver must re-grade it.
-    "acctbal_zscore_outliers", "brand_year_revenue",
+    "ab_test_value_by_type", "acctbal_zscore_outliers",
+    "agg_argmax_customer", "agg_orders_by_priority",
+    "ann_hamming_sign_topk", "array_functions", "asof_join_forward_views",
+    "asof_join_purchases", "bigram_lm_counts", "bitwise_agg_keys",
+    "bloom_prejoin_revenue", "bpe_merge_candidates", "brand_year_revenue",
+    "cdc_merge_orders", "chunk_documents", "concurrent_open_orders",
+    "contamination_check", "contrastive_pairs", "corpus_stats_by_lang",
+    "corpus_vocabulary", "cross_source_dup_matrix", "cube_orders",
     "cumulative_revenue_scalable", "curation_pipeline_lsh",
-    "customer_rank_scalable", "customer_rfm_segments",
-    "doc_char_class_profile", "dup_cluster_size_histogram",
-    "embedding_centroids", "events_out_of_order_stats",
-    "events_top_hour_per_user", "group_sample_customers",
-    "join_left_mark", "key_skew_report", "multimodal_decode_real",
-    "near_dup_lsh_verified", "near_dup_threshold_sweep",
-    "orders_priority_scd2", "orders_running_share",
-    "source_lang_crosstab", "token_cooccurrence_topk",
-    "token_length_histogram", "weighted_sample_parts",
-    "year_over_year_revenue",
-    # + the driver-green keys of CORRECTNESS_r06.json not already above.
-    # Deliberately ABSENT (round-7 implementation changes, must be
-    # re-graded): "heavy_hitter_tokens" (frequent.py canonical-string +
-    # <k-survivors guard fixes), "shipping_delay_deciles_by_priority"
-    # (rewritten onto grouped_percentile_disc), "bloom_prejoin_revenue"
-    # (bloom NULL-key semantics fix changed the plan).
-    "ab_test_value_by_type", "concurrent_open_orders",
-    "custkey_overlap_sketch", "customer_rfm_segments_scalable",
-    "docs_quality_quartiles", "domain_mix_resample",
-    "embedding_dup_clusters", "events_gapfill_hourly",
-    "incremental_near_dup_lsh", "ngram_novelty_scores",
-    "orderkey_islands", "pack_token_bins", "pretrain_mixture_pipeline",
+    "curation_pipeline_summary", "custkey_overlap_sketch",
+    "customer_rank_change", "customer_rank_scalable",
+    "customer_rfm_segments_scalable", "dataset_split", "date_functions",
+    "dedup_exact", "dedup_exact_normalized", "dedup_keep_best",
+    "dedup_near_minhash", "dedup_simhash", "deterministic_mode_priority",
+    "distinct_segments_by_nation", "doc_char_class_profile",
+    "doc_fingerprint", "doc_length_histogram", "docs_quality_quartiles",
+    "domain_mix_resample", "dup_cluster_size_histogram",
+    "edit_distance_neighbors", "embedding_centroids",
+    "embedding_dup_clusters", "embedding_norms", "embedding_quantize_int8",
+    "event_funnel", "event_transition_matrix", "events_gapfill_hourly",
+    "events_hourly_rollup", "events_json_extract", "events_lag_lead",
+    "events_out_of_order_stats", "events_sessionize",
+    "events_top_hour_per_user", "explode_outer_tokens", "explode_unnest",
+    "filtered_agg_orders", "fk_integrity_audit", "group_sample_customers",
+    "grouping_sets_revenue", "heavy_hitter_tokens", "hourly_anomaly_flags",
+    "incremental_dedup", "incremental_near_dup_lsh", "join_cross",
+    "join_full_outer", "join_inner", "join_left_agg", "join_left_anti",
+    "join_left_mark", "join_left_semi", "join_right", "join_right_anti",
+    "join_right_semi", "key_skew_report", "knn_label_accuracy",
+    "lang_id_heuristic", "lateral_top_customers", "latest_event_per_user",
+    "lineitem_price_equidepth_hist", "mad_order_prices",
+    "median_order_price", "multimodal_binary_meta",
+    "multimodal_decode_meta", "multimodal_decode_real",
+    "near_dup_char_ngram", "near_dup_lsh_verified", "near_dup_pairs_exact",
+    "near_dup_threshold_sweep", "ngram_novelty_scores",
+    "ntile_customer_quartiles", "null_and_regex_functions",
+    "null_safe_arithmetic", "null_safe_join_segments", "orderkey_islands",
+    "orders_priority_scd2", "orders_rolling_7d_revenue",
+    "orders_running_share", "pack_token_bins", "pagerank_trade_graph",
+    "part_price_size_skyline", "percentile_disc_prices",
+    "phrase_locate_spans", "pii_scrub", "pit_priority_revenue",
+    "pivot_segment_revenue", "posexplode_tokens",
+    "pretrain_mixture_pipeline", "price_buckets",
     "price_percentiles_scalable", "price_quantile_sketch_rollup",
-    "revenue_trend_by_segment", "sketch_rollup_custkeys",
-    "span_dedup_report",
+    "profile_documents", "proportional_token_allocation",
+    "pyudf_text_metrics", "q10_returned_items", "q14_promo_revenue_share",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q4_order_priority_exists", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "quality_filter_chain", "range_join_bursts",
+    "rare_token_fraction", "repetition_stats", "retention_cohorts",
+    "revenue_gini_customers", "revenue_trend_by_segment", "rollup_revenue",
+    "salted_join_revenue", "sample_by_segment", "sample_lineitem",
+    "scan_project_alias", "session_funnel", "set_except_all_lineitems",
+    "set_except_nations", "set_intersect_all_keys",
+    "set_intersect_nations", "set_union_nations", "sketch_distinct_users",
+    "sketch_rollup_custkeys", "sliding_hour_value_sums",
+    "sort_limit_expensive_orders", "source_lang_crosstab",
+    "source_quality_stats", "span_dedup_report", "stats_corr_covar",
+    "streaming_dedup_replay", "streaming_gapfill_replay",
+    "streaming_heavy_hitters_replay", "string_agg_segments",
+    "string_functions", "supplier_pareto_8020", "text_stats_quality",
+    "text_token_count", "text_token_count_bpe",
+    "token_budget_selection_scalable", "token_cooccurrence_topk",
+    "token_length_histogram", "unpivot_balances", "weighted_median_price",
+    "weighted_sample_parts", "window_rank_family", "window_running_totals",
+    "window_top3_orders_per_customer", "winsorized_mean_price",
+    "year_over_year_revenue", "year_spine_order_counts",
 })
 
 

@@ -52,9 +52,16 @@ def read_csv(
     has no row-capped inference option (only samplingRatio), so the
     schema is inferred from a probe over the first N text lines and
     then pinned on the main reader — the full-data pass never infers.
-    Caveat: the line-based probe assumes records are single-line
+    Caveats of the line-based probe: it assumes records are single-line
     (quoted embedded newlines in the first N records would truncate the
-    probe's view, not the data); xz-compressed inputs infer over the
+    probe's view, not the data), and for a DIRECTORY of part files it
+    samples ~N lines in unspecified file order — Spark packs input
+    files into splits largest-first, so ``spark.read.text(dir).limit(n)``
+    is "some N records", not "the first N of the lexicographically
+    first file". That is the right behavior for dialect/type inference
+    over homogeneous part files (any N records are as representative as
+    any other); a directory whose part files have HETEROGENEOUS schemas
+    needs an explicit ``schema=``. xz-compressed inputs infer over the
     full decompressed text.
     """
 
