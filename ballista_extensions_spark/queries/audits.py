@@ -1,0 +1,327 @@
+"""Contract-audit queries: driver-hash-checkable evidence for the
+operators whose outputs are legitimately non-deterministic or
+approximate (VERDICT r7 directive #4).
+
+The sample family and the sketch family register rows-only queries (a
+Bernoulli sample has no ANSI oracle; a sketch estimate is not a SQL
+expression), so their strong contracts — determinism, Chernoff bands,
+validation matrix, error bounds — lived only in pytest. Each audit
+query here RETURNS those contracts as (check_name, passed) rows whose
+oracle is a constant table of TRUE — the driver's hash gate then
+re-proves the contracts on its own data every time the query is graded.
+
+Construction is lazy: the validation-matrix and plan-shape checks are
+plan-time booleans (no jobs), everything statistical is a one-row
+aggregate unioned into the result, so the driver's single collect runs
+the whole audit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ballista_extensions_spark.errors import PlanError
+from ballista_extensions_spark.io import load_table
+from ballista_extensions_spark.queries.registry import register
+
+
+def _lit_checks(spark: SparkSession, checks: list[tuple[str, bool]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(n, bool(p)) for n, p in checks],
+        schema="check_name string, passed boolean",
+    )
+
+
+def _agg_check(name: str, df_passed: DataFrame) -> DataFrame:
+    """Wrap a one-row frame with a boolean ``passed`` column."""
+    return df_passed.select(
+        F.lit(name).alias("check_name"), F.col("passed").cast("boolean")
+    )
+
+
+_SAMPLE_AUDIT_CHECKS = [
+    "fraction_zero_rejected",
+    "fraction_above_one_rejected",
+    "negative_seed_rejected",
+    "fraction_one_accepted",
+    "schema_preserved",
+    "plan_no_exchange",
+    "same_seed_deterministic",
+    "different_seeds_differ",
+    "chernoff_band_6sigma",
+    "stratified_bands_6sigma",
+]
+
+
+def _const_true_oracle(names: list[str]) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT '{n}' AS check_name, TRUE AS passed" for n in names
+    )
+
+
+@register(
+    "sample_contract_audit", oracle=_const_true_oracle(_SAMPLE_AUDIT_CHECKS)
+)
+def sample_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sample operator's full contract as driver-checkable rows —
+    the reference's e2e matrix (tests/e2e.rs:20-51) plus the statistical
+    guarantees its golden tests encode rand-crate-specifically:
+
+    - validation matrix: fraction 0 / >1 and negative seeds rejected,
+      fraction 1.0 accepted (src/dataframe/sample.rs:28-38);
+    - schema passthrough and no-Exchange plan shape
+      (src/logical/sample_extension.rs:24, src/physical/sample_exec.rs:55-57);
+    - same (plan, fraction, seed) -> identical kept set; different
+      seeds -> different kept sets;
+    - Chernoff 6-sigma band on the kept count at fraction 0.3, and
+      per-stratum 6-sigma bands for the stratified sampler.
+
+    The statistical checks are aggregates over the driver's own data
+    (the symmetric difference rides a full-outer join on the composite
+    key — distributed, no collect); the plan-shape checks are
+    plan-construction booleans. Oracle: the constant all-TRUE table."""
+    from ballista_extensions_spark import plans as P
+    from ballista_extensions_spark.operators.sample import sample, sample_by
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def _rejected(fn) -> bool:
+        try:
+            fn()
+            return False
+        except PlanError:
+            return True
+
+    lit_part = _lit_checks(
+        spark,
+        [
+            ("fraction_zero_rejected", _rejected(lambda: sample(li, 0.0))),
+            ("fraction_above_one_rejected", _rejected(lambda: sample(li, 1.5))),
+            ("negative_seed_rejected", _rejected(lambda: sample(li, 0.5, -1))),
+            ("fraction_one_accepted", sample(li, 1.0, 0) is not None),
+            ("schema_preserved", sample(li, 0.3, 7).schema == li.schema),
+            (
+                "plan_no_exchange",
+                P.shuffle_exchanges(sample(li, 0.3, 7))
+                == P.shuffle_exchanges(li),
+            ),
+        ],
+    )
+
+    key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long")
+    s1 = sample(li, 0.3, 123).select(key.alias("k1"))
+    s2 = sample(li, 0.3, 123).select(key.alias("k2"))
+    s3 = sample(li, 0.3, 321).select(key.alias("k3"))
+
+    same = _agg_check(
+        "same_seed_deterministic",
+        s1.join(s2, F.col("k1") == F.col("k2"), "full_outer").agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("k1").isNull() | F.col("k2").isNull(), 1
+                    ).otherwise(0)
+                )
+                == 0
+            ).alias("passed")
+        ),
+    )
+    differ = _agg_check(
+        "different_seeds_differ",
+        s1.join(s3, F.col("k1") == F.col("k3"), "full_outer").agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("k1").isNull() | F.col("k3").isNull(), 1
+                    ).otherwise(0)
+                )
+                > 0
+            ).alias("passed")
+        ),
+    )
+    chernoff = _agg_check(
+        "chernoff_band_6sigma",
+        li.agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .crossJoin(
+            s1.agg(F.count(F.lit(1)).cast("double").alias("kept"))
+        )
+        .select(
+            (
+                F.abs(F.col("kept") - 0.3 * F.col("n"))
+                < F.lit(6.0) * F.sqrt(F.col("n") * 0.3 * 0.7)
+            ).alias("passed")
+        ),
+    )
+
+    fractions = {"AUTOMOBILE": 0.4, "BUILDING": 0.3, "MACHINERY": 0.2}
+    cust = load_table(spark, sf_dir, "customer")
+    strat = sample_by(cust, "c_mktsegment", fractions, seed=7)
+    frac_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in fractions.items()],
+        schema="seg string, frac double",
+    )
+    per_key = (
+        cust.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_seg"))
+        .join(frac_df, F.col("c_mktsegment") == F.col("seg"))
+        .join(
+            strat.groupBy(F.col("c_mktsegment").alias("__sseg")).agg(
+                F.count(F.lit(1)).cast("double").alias("kept_seg")
+            ),
+            F.col("c_mktsegment") == F.col("__sseg"),
+            "left",
+        )
+        .select(
+            (
+                F.abs(
+                    F.coalesce(F.col("kept_seg"), F.lit(0.0))
+                    - F.col("frac") * F.col("n_seg")
+                )
+                < F.lit(6.0)
+                * F.sqrt(
+                    F.col("n_seg") * F.col("frac") * (1 - F.col("frac"))
+                )
+                + F.lit(1.0)  # integer rounding slack for tiny strata
+            ).alias("within")
+        )
+    )
+    strat_check = _agg_check(
+        "stratified_bands_6sigma",
+        per_key.agg(F.min("within").alias("passed")),
+    )
+
+    return (
+        lit_part.unionByName(same)
+        .unionByName(differ)
+        .unionByName(chernoff)
+        .unionByName(strat_check)
+    )
+
+
+_SKETCH_AUDIT_CHECKS = [
+    "hll_error_within_3rse",
+    "hll_union_consistent",
+    "kll_median_rank_error_within_2x",
+    "theta_intersection_error_within_5pct",
+]
+
+
+@register(
+    "sketch_contract_audit", oracle=_const_true_oracle(_SKETCH_AUDIT_CHECKS)
+)
+def sketch_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch error bounds as driver-checkable rows
+    (VERDICT r7 stretch item): every estimate is compared against the
+    EXACT answer computed side-by-side in the same query.
+
+    - HLL (lg_k=12): distinct o_custkey estimate within 3 relative
+      standard errors (3 * 1.04/sqrt(2^12) ~ 4.9%) of COUNT(DISTINCT);
+    - HLL mergeability: union of per-priority sketches within 5% of the
+      directly-built global sketch (both deterministic given the data);
+    - KLL: the sketched median's TRUE normalized rank within twice the
+      published ~1.65% two-sided rank error of 0.5;
+    - theta: estimated intersection of the even-orderkey and
+      odd-orderkey orderer sets (a data-independent split — both halves
+      exist at every sf) within 5% (+1 absolute slack for exact-mode
+      small sets) of the exact intersection.
+
+    Sketches are hash-based and deterministic for fixed data, so the
+    booleans are stable across runs — the oracle is the constant
+    all-TRUE table."""
+    o = load_table(spark, sf_dir, "orders")
+
+    est = o.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("o_custkey", F.lit(12))
+        ).cast("double").alias("est"),
+        F.countDistinct("o_custkey").cast("double").alias("exact"),
+    )
+    hll_err = _agg_check(
+        "hll_error_within_3rse",
+        est.select(
+            (
+                F.abs(F.col("est") - F.col("exact"))
+                <= F.lit(0.049) * F.col("exact")
+            ).alias("passed")
+        ),
+    )
+
+    per = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sk")
+    )
+    union_est = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("double").alias("u")
+    )
+    direct_est = o.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("o_custkey", F.lit(12))
+        ).cast("double").alias("d")
+    )
+    hll_union = _agg_check(
+        "hll_union_consistent",
+        union_est.crossJoin(direct_est).select(
+            (
+                F.abs(F.col("u") - F.col("d")) <= F.lit(0.05) * F.col("d")
+            ).alias("passed")
+        ),
+    )
+
+    q = o.agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double(F.col("o_totalprice").cast("double")),
+            F.lit(0.5),
+        ).alias("q")
+    )
+    kll_rank = _agg_check(
+        "kll_median_rank_error_within_2x",
+        o.select(F.col("o_totalprice").cast("double").alias("v"))
+        .crossJoin(F.broadcast(q))
+        .agg(
+            (
+                F.abs(
+                    F.sum(
+                        F.when(F.col("v") <= F.col("q"), 1).otherwise(0)
+                    ).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    - 0.5
+                )
+                <= F.lit(2 * 0.0165)
+            ).alias("passed")
+        ),
+    )
+
+    halves = o.select(
+        (F.col("o_orderkey") % 2).alias("half"), "o_custkey"
+    )
+    a = halves.filter(F.col("half") == 0).select("o_custkey").distinct()
+    b = halves.filter(F.col("half") == 1).select(
+        F.col("o_custkey").alias("__b")
+    ).distinct()
+    exact_i = a.join(b, F.col("o_custkey") == F.col("__b")).agg(
+        F.count(F.lit(1)).cast("double").alias("exact_i")
+    )
+    theta_est = (
+        halves.groupBy("half")
+        .agg(F.theta_sketch_agg("o_custkey").alias("sk"))
+        .agg(
+            F.theta_sketch_estimate(
+                F.theta_intersection_agg("sk")
+            ).cast("double").alias("est_i")
+        )
+    )
+    theta_check = _agg_check(
+        "theta_intersection_error_within_5pct",
+        theta_est.crossJoin(exact_i).select(
+            (
+                F.abs(F.col("est_i") - F.col("exact_i"))
+                <= F.lit(0.05) * F.col("exact_i") + F.lit(1.0)
+            ).alias("passed")
+        ),
+    )
+
+    return (
+        hll_err.unionByName(hll_union)
+        .unionByName(kll_rank)
+        .unionByName(theta_check)
+    )
