@@ -1,0 +1,475 @@
+"""Round-8 wave: corpus-curation economics (mixture temperature
+weights, dedup shrinkage, split leakage, PII density, language
+diversity) and order-stream temporal statistics (seasonality index,
+inter-order gaps, grouped token-length quartiles).
+
+Parity discipline (the verify-skill rules): counts are BIGINT, currency
+sums ride DECIMAL, every floating-point output is either a single
+division / sqrt of exactly-aggregated integers-or-decimals (one
+correctly-rounded IEEE op — never a SUM over doubles, whose result is
+partition-order-dependent), and every ordering is totalized with a key
+tie-break. Window functions only ever partition by a natural key
+(customer, language); global order statistics ride the distributed
+prefix machinery (operators/prefix.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ballista_extensions_spark.io import load_table
+from ballista_extensions_spark.operators import text as T
+from ballista_extensions_spark.queries.registry import register
+
+_DD_TOKS = r"string_split_regex(text, '\s+')"
+
+
+@register(
+    "temperature_sampling_weights",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({_DD_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n_docs) AS total FROM per)
+    SELECT source, n_docs, n_tokens,
+           CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           sqrt(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)) AS weight
+    FROM per, tot
+    """,
+)
+def temperature_sampling_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled mixture weights per source — the sampling
+    policy behind multilingual/multi-domain pretraining mixes: raw
+    share p_i = n_i/N and the alpha=0.5 up-weighting w_i = p_i^alpha
+    (sqrt — smaller sources sampled more than proportionally). Weights
+    are emitted UN-normalized: sqrt and the share division are single
+    correctly-rounded IEEE ops, while a normalizing SUM over double
+    weights would be partition-order-dependent — the consumer
+    (operators/mixing.resample_to_mixture) normalizes internally.
+    Scale: one map-side-combined aggregate over sources + an O(sources)
+    broadcast of the total."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_docs").alias("total"))
+    share = F.col("n_docs").cast("double") / F.col("total").cast("double")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("share"),
+        F.sqrt(share).alias("weight"),
+    )
+
+
+@register(
+    "split_leakage_audit",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, md5(text) AS h, (doc_id % 10 < 8) AS is_train
+      FROM documents),
+    fam AS (
+      SELECT h,
+             SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS n_tr,
+             SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS n_te
+      FROM t GROUP BY h)
+    SELECT CAST(SUM(n_tr) AS BIGINT) AS n_train,
+           CAST(SUM(n_te) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaked_hashes,
+           CAST(SUM(CASE WHEN n_tr > 0 AND n_te > 0 THEN n_te ELSE 0 END)
+                AS BIGINT) AS n_test_docs_leaked
+    FROM fam
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split leakage: with the deterministic 80/20 split
+    (doc_id % 10), how many exact-duplicate text families straddle the
+    boundary, and how many test documents are thereby contaminated —
+    the audit every eval-set construction must pass (a leaked test doc
+    measures memorization, not generalization). One md5-keyed shuffle
+    carrying two small counters per family; the text column never
+    shuffles. Complements contamination_check (n-gram overlap) with
+    the exact-dup criterion."""
+    d = load_table(spark, sf_dir, "documents")
+    fam = (
+        d.select(
+            F.md5("text").alias("h"),
+            F.when(F.col("doc_id") % 10 < 8, 1).otherwise(0).alias("tr"),
+        )
+        .groupBy("h")
+        .agg(
+            F.sum("tr").alias("n_tr"),
+            F.sum(1 - F.col("tr")).alias("n_te"),
+        )
+    )
+    leaked = (F.col("n_tr") > 0) & (F.col("n_te") > 0)
+    return fam.agg(
+        F.sum("n_tr").cast("long").alias("n_train"),
+        F.sum("n_te").cast("long").alias("n_test"),
+        F.sum(F.when(leaked, 1).otherwise(0)).cast("long").alias(
+            "n_leaked_hashes"
+        ),
+        F.sum(F.when(leaked, F.col("n_te")).otherwise(0))
+        .cast("long")
+        .alias("n_test_docs_leaked"),
+    )
+
+
+_EMAIL_RE = r"[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+_SSN_RE = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+@register(
+    "pii_density_by_source",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN regexp_matches(text, '{_EMAIL_RE}')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs,
+           CAST(SUM(CASE WHEN regexp_matches(text, '{_SSN_RE}')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_ssn_docs,
+           CAST(SUM(CASE WHEN regexp_matches(text, '{_EMAIL_RE}')
+                    THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS email_frac
+    FROM documents GROUP BY source
+    """,
+)
+def pii_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII exposure report per source: document counts matching the
+    email / SSN patterns (the dialect-portable regex subset proven by
+    pii_scrub) and the email fraction — the triage view that decides
+    which sources need the scrubbing pass before the corpus ships.
+    Narrow single-aggregate scan; the regex runs JVM-side inside
+    codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    email = F.when(F.col("text").rlike(_EMAIL_RE), 1).otherwise(0)
+    ssn = F.when(F.col("text").rlike(_SSN_RE), 1).otherwise(0)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(email).cast("long").alias("n_email_docs"),
+        F.sum(ssn).cast("long").alias("n_ssn_docs"),
+        (
+            F.sum(email).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("email_frac"),
+    )
+
+
+@register(
+    "lang_diversity_by_source",
+    oracle="""
+    WITH per AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang),
+    agg AS (
+      SELECT source,
+             CAST(SUM(n) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_langs,
+             SUM(CAST(n AS DECIMAL(38,0)) * n) AS sumsq
+      FROM per GROUP BY source)
+    SELECT source, n_docs, n_langs,
+           1.0 - CAST(sumsq AS DOUBLE)
+                 / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))
+             AS simpson
+    FROM agg
+    """,
+)
+def lang_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity of languages within each source (1 - sum of
+    squared language shares) — the mix-health metric for a multilingual
+    crawl. Computed EXACTLY: the squared counts accumulate in
+    DECIMAL(38,0) (integer adds, order-free; a SUM over double shares
+    would be partition-order-dependent) and only the final
+    1 - sumsq/n^2 runs in IEEE doubles, identically in both engines.
+    Two map-side-combined aggregates over (source, lang) — dimension-
+    bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    agg = per.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias("sumsq"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        (
+            F.lit(1.0)
+            - F.col("sumsq").cast("double")
+            / (
+                F.col("n_docs").cast("double")
+                * F.col("n_docs").cast("double")
+            )
+        ).alias("simpson"),
+    )
+
+
+@register(
+    "orders_seasonality_index",
+    oracle="""
+    WITH m AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             EXTRACT(month FROM o_orderdate) AS mon,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2),
+    y AS (
+      SELECT yr AS y_yr, SUM(rev) AS yr_rev,
+             CAST(COUNT(*) AS BIGINT) AS n_months
+      FROM m GROUP BY yr)
+    SELECT CAST(yr AS BIGINT) AS yr, CAST(mon AS BIGINT) AS mon,
+           CAST(rev AS DOUBLE) AS rev,
+           CAST(rev AS DOUBLE) * n_months / CAST(yr_rev AS DOUBLE)
+             AS seasonality_index
+    FROM m JOIN y ON yr = y_yr
+    """,
+)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly seasonality index: each month's revenue relative to its
+    year's average month (index 1.0 = an average month) — the demand
+    profile a capacity planner reads. Revenue aggregates ride DECIMAL
+    (exact, order-free); the index is double multiply-then-divide in
+    the same literal order in both engines. Two dimension-bounded
+    aggregates + a broadcast join on year — no windows at all."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    y = m.groupBy(F.col("yr").alias("y_yr")).agg(
+        F.sum("rev").alias("yr_rev"),
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+    )
+    return m.join(F.broadcast(y), m["yr"] == y["y_yr"]).select(
+        "yr",
+        "mon",
+        F.col("rev").cast("double").alias("rev"),
+        (
+            F.col("rev").cast("double")
+            * F.col("n_months")
+            / F.col("yr_rev").cast("double")
+        ).alias("seasonality_index"),
+    )
+
+
+@register(
+    "customer_order_gap_stats",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day',
+               LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS gap
+      FROM orders),
+    per AS (
+      SELECT c_mktsegment, o_custkey,
+             CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap) AS BIGINT) AS sum_gap,
+             CAST(MAX(gap) AS BIGINT) AS max_gap
+      FROM g JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1, 2)
+    SELECT c_mktsegment,
+           CAST(SUM(CASE WHEN n_gaps > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat_customers,
+           CAST(SUM(n_gaps) AS BIGINT) AS n_gaps,
+           CAST(SUM(sum_gap) AS DOUBLE) / CAST(SUM(n_gaps) AS DOUBLE)
+             AS avg_gap_days,
+           CAST(MAX(max_gap) AS BIGINT) AS max_gap_days
+    FROM per GROUP BY c_mktsegment
+    """,
+)
+def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap statistics per market segment: repeat-customer
+    counts, mean days between consecutive orders, and the longest gap —
+    the reorder-cadence profile. The LAG window partitions by customer
+    (parallelism = customers, never a global sort); gap sums stay in
+    long integers so the mean is ONE double division. Customer
+    dimension joins broadcast-side."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap"),
+    )
+    per = (
+        g.join(F.broadcast(c), g["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.count("gap").cast("long").alias("n_gaps"),
+            F.sum("gap").cast("long").alias("sum_gap"),
+            F.max("gap").cast("long").alias("max_gap"),
+        )
+    )
+    return per.groupBy("c_mktsegment").agg(
+        F.sum(F.when(F.col("n_gaps") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_repeat_customers"),
+        F.sum("n_gaps").cast("long").alias("n_gaps"),
+        (
+            F.sum("sum_gap").cast("double")
+            / F.sum("n_gaps").cast("double")
+        ).alias("avg_gap_days"),
+        F.max("max_gap").cast("long").alias("max_gap_days"),
+    )
+
+
+@register(
+    "token_len_quartiles_by_lang",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang, CAST(len({_DD_TOKS}) AS BIGINT) AS n_tokens, doc_id
+      FROM documents),
+    n AS (SELECT lang AS n_lang, CAST(COUNT(*) AS BIGINT) AS n
+          FROM s GROUP BY lang),
+    q AS (
+      SELECT lang, 0.25 AS p,
+             percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tokens)
+               AS n_tokens
+      FROM s GROUP BY lang
+      UNION ALL
+      SELECT lang, 0.5,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tokens)
+      FROM s GROUP BY lang
+      UNION ALL
+      SELECT lang, 0.75,
+             percentile_disc(0.75) WITHIN GROUP (ORDER BY n_tokens)
+      FROM s GROUP BY lang)
+    SELECT q.lang, CAST(p AS DOUBLE) AS prob, q.n_tokens, n.n
+    FROM q JOIN n ON q.lang = n.n_lang
+    """,
+)
+def token_len_quartiles_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-length quartiles per language — the length profile that
+    drives per-language chunking and packing policy. Rides
+    grouped_percentile_disc (operators/prefix.py): ONE global
+    distributed rank over (lang, n_tokens) minus broadcast group
+    offsets, target ranks in DECIMAL-exact arithmetic — never a
+    per-language sort task. Values are integer token counts, so
+    cross-engine parity is exact regardless of tie-break."""
+    from ballista_extensions_spark.operators.prefix import (
+        grouped_percentile_disc,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "lang", T.token_count(F.col("text")).alias("n_tokens"), "doc_id"
+    )
+    res = grouped_percentile_disc(
+        s, "lang", "n_tokens", [0.25, 0.5, 0.75], tiebreak_cols=("doc_id",)
+    )
+    return res.select("lang", "prob", "n_tokens", "n")
+
+
+@register(
+    "orders_interarrival_median",
+    oracle="""
+    WITH g AS (
+      SELECT date_diff('day',
+               LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS gap
+      FROM orders),
+    v AS (SELECT gap FROM g WHERE gap IS NOT NULL)
+    SELECT 0.5 AS prob,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY gap) AS gap_days,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM v
+    """,
+)
+def orders_interarrival_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global median of customer inter-order gaps: per-customer
+    LAG (partitioned window) feeds distributed_percentile_disc — the
+    global order statistic comes from the range-partitioned rank, never
+    a single-task sort over all gaps. The selected VALUE at rank
+    ceil(0.5*n) is tie-break-independent, so parity with DuckDB's
+    percentile_disc is exact."""
+    from ballista_extensions_spark.operators.prefix import (
+        distributed_percentile_disc,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    res = distributed_percentile_disc(
+        g, "gap", [0.5], tiebreak_cols=("o_custkey", "o_orderkey")
+    )
+    return res.select(
+        "prob", F.col("gap").alias("gap_days"), F.col("n")
+    )
+
+
+@register(
+    "dedup_shrinkage_by_source",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, md5(text) AS h,
+             CAST(len({_DD_TOKS}) AS BIGINT) AS nt
+      FROM documents),
+    fam AS (
+      SELECT source, h, CAST(COUNT(*) AS BIGINT) AS c,
+             MIN(nt) AS nt
+      FROM t GROUP BY source, h)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(c * nt) AS BIGINT) AS tokens_total,
+           CAST(SUM(nt) AS BIGINT) AS tokens_unique,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS retention
+    FROM fam GROUP BY source
+    """,
+)
+def dedup_shrinkage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup shrinkage report: per source, how many documents and
+    tokens survive within-source exact dedup — the cost/benefit view
+    that prioritizes which sources to dedup first at 100 TB. Exact-dup
+    family members share identical text (hence identical token counts:
+    MIN is 'any'), so family aggregates carry two longs, the text never
+    shuffles, and retention is one double division of exact counts.
+    One md5 shuffle + one dimension-bounded rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    fam = (
+        d.select(
+            "source",
+            F.md5("text").alias("h"),
+            T.token_count(F.col("text")).alias("nt"),
+        )
+        .groupBy("source", "h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.min("nt").alias("nt"),
+        )
+    )
+    return fam.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.sum(F.col("c") * F.col("nt")).cast("long").alias("tokens_total"),
+        F.sum("nt").cast("long").alias("tokens_unique"),
+        (
+            F.count(F.lit(1)).cast("double") / F.sum("c").cast("double")
+        ).alias("retention"),
+    )

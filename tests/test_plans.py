@@ -92,6 +92,9 @@ def test_plan_stability_all_oracle_queries(spark, sf_dir):
         "token_budget_selection_scalable",
         "ntile_customer_quartiles",
         "shipping_delay_deciles_by_priority",
+        "token_len_quartiles_by_lang",
+        "orders_interarrival_median",
+        "customer_order_gap_stats",
     ],
 )
 def test_no_unpartitioned_window(spark, sf_dir, name):
@@ -104,8 +107,9 @@ def test_no_unpartitioned_window(spark, sf_dir, name):
     for line in phys.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             # every window in these queries comes from the prefix
-            # machinery, so it must be partitioned by the range bucket
-            assert "__bx_pid" in line, line
+            # machinery (__bx_pid range buckets) or partitions by a
+            # real high-cardinality key (per-customer LAG)
+            assert "__bx_pid" in line or "o_custkey#" in line, line
 
 
 def test_plan_summary_shape(spark, sf_dir):
