@@ -10,6 +10,22 @@ from ballista_extensions_spark.queries import registry
 from tools.plan_fingerprint import drifted_graded_names
 
 
+def _some_graded_name() -> str:
+    """A deterministic currently-graded name with a recorded stable
+    fingerprint — rotation-proof (round 8 taught us not to hardcode a
+    name that the next rotation removes from PRIOR_DRIVER_GRADED)."""
+    from tools.plan_fingerprint import UNSTABLE, load_recorded
+
+    recorded = load_recorded()
+    candidates = sorted(
+        n
+        for n in registry.PRIOR_DRIVER_GRADED
+        if recorded.get(n) not in (None, UNSTABLE)
+    )
+    assert candidates, "no graded name with a recorded fingerprint"
+    return candidates[0]
+
+
 def test_gate_green_at_head(spark):
     """Every query still marked driver-graded must plan exactly as it
     did when its grade was recorded. A failure here means an
@@ -25,8 +41,7 @@ def test_gate_red_on_missing_fingerprint(spark, monkeypatch):
     skipped — that is the gate's own blind spot."""
     import tools.plan_fingerprint as pf
 
-    name = "q2_cheapest_supplier"
-    assert name in registry.PRIOR_DRIVER_GRADED
+    name = _some_graded_name()
     recorded = {k: v for k, v in pf.load_recorded().items() if k != name}
     monkeypatch.setattr(pf, "load_recorded", lambda: recorded)
     assert name in pf.drifted_graded_names(spark, names={name})
@@ -35,8 +50,7 @@ def test_gate_red_on_missing_fingerprint(spark, monkeypatch):
 def test_gate_red_on_injected_change(spark):
     """Injecting a behavior change into a graded query must trip the
     gate."""
-    name = "q2_cheapest_supplier"
-    assert name in registry.PRIOR_DRIVER_GRADED
+    name = _some_graded_name()
     orig = registry.QUERIES[name]
     registry.QUERIES[name] = lambda s, d: orig(s, d).filter(
         F.lit(True)
