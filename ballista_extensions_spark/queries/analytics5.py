@@ -473,3 +473,244 @@ def dedup_shrinkage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double") / F.sum("c").cast("double")
         ).alias("retention"),
     )
+
+
+@register(
+    "window_value_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(first_value(o_totalprice) OVER w AS DOUBLE) AS first_price,
+           CAST(last_value(o_totalprice) OVER w AS DOUBLE) AS last_price,
+           CAST(nth_value(o_totalprice, 2) OVER w AS DOUBLE) AS second_price,
+           CAST(COALESCE(
+             lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey),
+             -1.0) AS DOUBLE) AS prev_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-window-function library surface (FIRST_VALUE /
+    LAST_VALUE / NTH_VALUE / LAG-with-default) over per-customer order
+    history — completing the window coverage next to the rank family
+    (window_rank_family) and running totals. The frame is explicitly
+    UNBOUNDED-to-UNBOUNDED so LAST_VALUE means the partition's last row
+    in BOTH engines (the default frame would stop at CURRENT ROW).
+    Every window partitions by customer — parallelism grows with keys;
+    ordering totalized by (date, orderkey)."""
+    o = load_table(spark, sf_dir, "orders")
+    wf = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wl = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.first("o_totalprice").over(wf).cast("double").alias("first_price"),
+        F.last("o_totalprice").over(wf).cast("double").alias("last_price"),
+        F.nth_value("o_totalprice", 2)
+        .over(wf)
+        .cast("double")
+        .alias("second_price"),
+        F.coalesce(
+            F.lag("o_totalprice").over(wl), F.lit(-1.0)
+        )
+        .cast("double")
+        .alias("prev_price"),
+    )
+
+
+@register(
+    "customer_repeat_rate_by_nation",
+    oracle="""
+    WITH per AS (
+      SELECT c_nationkey, c_custkey,
+             CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1, 2)
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat,
+           CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS repeat_rate,
+           CAST(SUM(n_orders) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_orders
+    FROM per JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+)
+def customer_repeat_rate_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Repeat-purchase rate and order intensity per nation (customers
+    with zero orders count in the base via the LEFT join — the retention
+    denominator must include the inactive). Long-integer counters all
+    the way; the two rates are single double divisions. One key shuffle
+    for the per-customer rollup, then a dimension-bounded aggregate
+    with the nation dimension broadcast."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
+    )
+    rep = F.when(F.col("n_orders") >= 2, 1).otherwise(0)
+    return (
+        per.join(F.broadcast(n), per["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(rep).cast("long").alias("n_repeat"),
+            (
+                F.sum(rep).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("repeat_rate"),
+            (
+                F.sum("n_orders").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_orders"),
+        )
+    )
+
+
+@register(
+    "cdc_two_batch_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             o_orderkey % 10 AS last
+      FROM orders),
+    snapshot AS (SELECT o_orderkey, price FROM base
+                 WHERE last NOT IN (8, 9)),
+    b1 AS (
+      SELECT o_orderkey AS ck,
+             CASE WHEN last = 8 THEN 'I' WHEN last = 0 THEN 'U'
+                  ELSE 'D' END AS op,
+             CASE WHEN last = 8 THEN price
+                  WHEN last = 0 THEN price * CAST(1.1 AS DECIMAL(3,1))
+                  ELSE NULL END AS nv
+      FROM base WHERE last IN (8, 0, 1)),
+    m1 AS (
+      SELECT COALESCE(s.o_orderkey, c.ck) AS o_orderkey,
+             CASE WHEN c.op IN ('I','U') THEN c.nv ELSE s.price END
+               AS price
+      FROM snapshot s FULL OUTER JOIN b1 c ON s.o_orderkey = c.ck
+      WHERE c.op IS NULL OR c.op != 'D'),
+    b2 AS (
+      SELECT o_orderkey AS ck,
+             CASE WHEN last = 9 THEN 'I' WHEN last = 3 THEN 'U'
+                  ELSE 'D' END AS op,
+             CASE WHEN last = 9 THEN price
+                  WHEN last = 3 THEN price * CAST(1.1 AS DECIMAL(3,1))
+                  ELSE NULL END AS nv
+      FROM base WHERE last IN (9, 3, 2))
+    SELECT COALESCE(m.o_orderkey, c.ck) AS o_orderkey,
+           CAST(CASE WHEN c.op IN ('I','U') THEN c.nv
+                     ELSE m.price END AS DOUBLE) AS price,
+           COALESCE(c.op, 'K') AS op
+    FROM m1 m FULL OUTER JOIN b2 c ON m.o_orderkey = c.ck
+    WHERE c.op IS NULL OR c.op != 'D'
+    """,
+)
+def cdc_two_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two consecutive CDC batches applied through operators/cdc.py —
+    the incremental-snapshot lifecycle (batch 1: insert 8s, uplift 0s,
+    delete 1s; batch 2: insert 9s, uplift 3s, delete 2s). Each merge is
+    one full-outer key shuffle; chaining composes linearly (and goes
+    exchange-free on bucketed layouts — the plan evidence in
+    tests/test_round8_ops.py). The op column reports the LAST batch's
+    action per row ('K' for rows batch 2 left alone). Prices stay in
+    DECIMAL through both merges so the 1.1x uplifts are exact."""
+    from ballista_extensions_spark.operators.cdc import cdc_merge
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    last = F.col("o_orderkey") % 10
+
+    def batch(ins: int, upd: int, dele: int) -> DataFrame:
+        return o.filter(last.isin(ins, upd, dele)).select(
+            F.col("o_orderkey").alias("c_orderkey"),
+            F.when(last == ins, F.lit("I"))
+            .when(last == upd, F.lit("U"))
+            .otherwise(F.lit("D"))
+            .alias("op"),
+            F.when(last == ins, F.col("price"))
+            .when(
+                last == upd,
+                F.col("price") * F.lit("1.1").cast("decimal(3,1)"),
+            )
+            .alias("new_price"),
+        )
+
+    snapshot = o.filter(~last.isin(8, 9))
+    m1 = cdc_merge(
+        snapshot, batch(8, 0, 1), "o_orderkey", "c_orderkey",
+        {"price": "new_price"},
+    ).select("o_orderkey", "price")
+    m2 = cdc_merge(
+        m1, batch(9, 3, 2), "o_orderkey", "c_orderkey",
+        {"price": "new_price"},
+    )
+    return m2.select(
+        "o_orderkey",
+        F.col("price").cast("double").alias("price"),
+        "op",
+    )
+
+
+@register(
+    "events_user_p95_value",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, value, event_id FROM events
+      WHERE value IS NOT NULL)
+    SELECT user_id,
+           percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM v GROUP BY user_id
+    """,
+)
+def events_user_p95_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user p95 event value over a HIGH-cardinality group key —
+    the complement of grouped_percentile_disc (which exists for
+    FEW-groups-over-many-rows, where a partitioned window caps
+    parallelism at the group count). With thousands-to-billions of
+    users, PARTITION BY user_id is the scale-correct plan: parallelism
+    grows with keys, per-key state is one partition's rows. The target
+    rank ceil(0.95*n) is selected in exact integer arithmetic
+    (20*rn >= 19*n strictly first), so the picked VALUE matches
+    PERCENTILE_DISC bit-for-bit."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "value", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wn = Window.partitionBy("user_id")
+    r = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    # smallest rn with 20*rn >= 19*n  <=>  rn = ceil(0.95*n)
+    return r.filter(
+        (20 * F.col("rn") >= 19 * F.col("n"))
+        & (20 * (F.col("rn") - 1) < 19 * F.col("n"))
+    ).select(
+        "user_id",
+        F.col("value").alias("p95"),
+        F.col("n").cast("long").alias("n"),
+    )
