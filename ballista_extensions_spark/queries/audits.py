@@ -325,3 +325,258 @@ def sketch_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(kll_rank)
         .unionByName(theta_check)
     )
+
+
+_ANN_AUDIT_CHECKS = [
+    "exact_topk_well_formed",
+    "lsh_recall_floor",
+    "ivf_recall_floor",
+    "lsh_deterministic",
+    "ivf_deterministic",
+]
+
+
+@register(
+    "ann_contract_audit", oracle=_const_true_oracle(_ANN_AUDIT_CHECKS)
+)
+def ann_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN family's statistical contracts as driver-checkable rows —
+    the audit complement of the rows-only ann_lsh_topk / ann_ivf_topk /
+    ann_recall_report entries (xxhash-bucketed results can never have an
+    ANSI oracle, but their CONTRACTS can):
+
+    - exact top-k well-formedness: brute_force_topk returns exactly k
+      ranked rows per probe, ranks 1..k;
+    - LSH recall floor: recall@10 vs exact >= 0.08 at n_planes=3
+      (measured 0.20-0.23 on the synthetic random corpora — a
+      sieve-sanity floor with headroom for corpus regeneration, not a
+      quality bar; real embedded corpora with cluster structure sit far
+      higher);
+    - IVF recall floor: recall@10 >= 0.5 at n_lists=16, n_probe=8
+      (measured 0.82);
+    - determinism: two constructions of each approximate path agree
+      row-for-row including ranks (xxhash planes / seeded k-means are
+      data-deterministic).
+
+    All checks are lazy joins/aggregates over the driver's own data;
+    the oracle is the constant all-TRUE table."""
+    from ballista_extensions_spark.operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 50)
+
+    exact = S.brute_force_topk(e, probes, k=10).select(
+        "q_id", F.col("c_id").alias("e_id"), F.col("rn").alias("e_rn")
+    )
+    well_formed = _agg_check(
+        "exact_topk_well_formed",
+        exact.agg(
+            (
+                (
+                    F.count(F.lit(1))
+                    == F.lit(10) * F.countDistinct("q_id")
+                )
+                & (F.min("e_rn") == 1)
+                & (F.max("e_rn") == 10)
+            ).alias("passed")
+        ),
+    )
+
+    def _recall_check(name: str, approx: DataFrame, floor: float) -> DataFrame:
+        a = approx.select(
+            F.col("q_id").alias("a_q"), F.col("c_id").alias("a_id")
+        )
+        hit = exact.join(
+            a,
+            (exact["q_id"] == a["a_q"]) & (exact["e_id"] == a["a_id"]),
+        ).agg(F.count(F.lit(1)).cast("double").alias("n_hit"))
+        base = exact.agg(F.count(F.lit(1)).cast("double").alias("n_exact"))
+        return _agg_check(
+            name,
+            hit.crossJoin(base).select(
+                (
+                    F.col("n_hit") / F.col("n_exact") >= F.lit(floor)
+                ).alias("passed")
+            ),
+        )
+
+    lsh = S.lsh_topk(e, probes, dim=64, k=10, n_planes=3)
+    ivf = S.ivf_topk(e, probes, k=10, n_lists=16, n_probe=8)
+    lsh_recall = _recall_check("lsh_recall_floor", lsh, 0.08)
+    ivf_recall = _recall_check("ivf_recall_floor", ivf, 0.5)
+
+    def _determinism_check(name: str, mk) -> DataFrame:
+        a = mk().select(
+            F.col("q_id").alias("a_q"),
+            F.col("c_id").alias("a_c"),
+            F.col("rn").alias("a_rn"),
+        )
+        b = mk().select(
+            F.col("q_id").alias("b_q"),
+            F.col("c_id").alias("b_c"),
+            F.col("rn").alias("b_rn"),
+        )
+        j = a.join(
+            b,
+            (a["a_q"] == b["b_q"])
+            & (a["a_c"] == b["b_c"])
+            & (a["a_rn"] == b["b_rn"]),
+            "full_outer",
+        )
+        return _agg_check(
+            name,
+            j.agg(
+                (
+                    F.sum(
+                        F.when(
+                            F.col("a_q").isNull() | F.col("b_q").isNull(), 1
+                        ).otherwise(0)
+                    )
+                    == 0
+                ).alias("passed")
+            ),
+        )
+
+    lsh_det = _determinism_check(
+        "lsh_deterministic",
+        lambda: S.lsh_topk(e, probes, dim=64, k=10, n_planes=3),
+    )
+    ivf_det = _determinism_check(
+        "ivf_deterministic",
+        lambda: S.ivf_topk(e, probes, k=10, n_lists=16, n_probe=8),
+    )
+
+    return (
+        well_formed.unionByName(lsh_recall)
+        .unionByName(ivf_recall)
+        .unionByName(lsh_det)
+        .unionByName(ivf_det)
+    )
+
+
+_DEDUP_AUDIT_CHECKS = [
+    "minhash_recall_floor",
+    "lsh_verified_matches_exact",
+    "simhash_identical_docs_agree",
+    "simhash_deterministic",
+]
+
+
+@register(
+    "dedup_probabilistic_audit",
+    oracle=_const_true_oracle(_DEDUP_AUDIT_CHECKS),
+)
+def dedup_probabilistic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The probabilistic-dedup contracts as driver-checkable rows — the
+    audit complement of the rows-only dedup_near_minhash / dedup_simhash
+    entries:
+
+    - MinHash recall floor: MinHash+LSH banding recovers >= 0.5 of the
+      true (exact inverted-index) near-dup pairs at threshold 0.35
+      (measured 1.0 on the synthetic corpora; vacuously true if the
+      corpus has no true pairs);
+    - LSH-verified exactness: the banded-candidates-then-verify path
+      reproduces the exact pair join BIT-EXACTLY (pairs and jaccard
+      values) — the property that lets it share the exact path's SQL
+      oracles;
+    - SimHash consistency: documents with identical text always get
+      identical 64-bit signatures (checked per exact-dup family);
+    - SimHash determinism: two independent signature computations agree
+      per document.
+
+    Oracle: the constant all-TRUE table."""
+    from ballista_extensions_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    exact = D.near_dup_pairs_exact(docs, threshold=0.35, probe_mod=1).select(
+        F.col("doc_a").alias("e_a"),
+        F.col("doc_b").alias("e_b"),
+        F.col("jaccard").alias("e_j"),
+    )
+    mh = D.dedup_near_minhash(docs, threshold=0.35).select(
+        F.col("doc_a").alias("m_a"), F.col("doc_b").alias("m_b")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).cast("double").alias("n_exact"))
+    n_hit = exact.join(
+        mh, (exact["e_a"] == mh["m_a"]) & (exact["e_b"] == mh["m_b"])
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_hit"))
+    minhash_recall = _agg_check(
+        "minhash_recall_floor",
+        n_hit.crossJoin(n_exact).select(
+            (
+                (F.col("n_exact") == 0)
+                | (F.col("n_hit") / F.col("n_exact") >= 0.5)
+            ).alias("passed")
+        ),
+    )
+
+    lv = D.near_dup_pairs_lsh_verified(docs, threshold=0.35).select(
+        F.col("doc_a").alias("l_a"),
+        F.col("doc_b").alias("l_b"),
+        F.col("jaccard").alias("l_j"),
+    )
+    sym = exact.join(
+        lv,
+        (exact["e_a"] == lv["l_a"])
+        & (exact["e_b"] == lv["l_b"])
+        & (exact["e_j"] == lv["l_j"]),
+        "full_outer",
+    )
+    lsh_exact = _agg_check(
+        "lsh_verified_matches_exact",
+        sym.agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("e_a").isNull() | F.col("l_a").isNull(), 1
+                    ).otherwise(0)
+                )
+                == 0
+            ).alias("passed")
+        ),
+    )
+
+    sig = D.simhash64(docs)
+    fams = (
+        docs.select(F.md5("text").alias("h"), F.col("doc_id"))
+        .join(sig, F.col("doc_id") == sig["doc"])
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.countDistinct("simhash").alias("nsig"),
+        )
+        .filter(F.col("c") > 1)
+    )
+    identical_agree = _agg_check(
+        "simhash_identical_docs_agree",
+        fams.agg(
+            F.coalesce(F.max("nsig") <= 1, F.lit(True)).alias("passed")
+        ),
+    )
+
+    s2 = D.simhash64(docs).select(
+        F.col("doc").alias("doc2"), F.col("simhash").alias("sim2")
+    )
+    det = _agg_check(
+        "simhash_deterministic",
+        sig.join(s2, sig["doc"] == s2["doc2"], "full_outer").agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("doc").isNull()
+                        | F.col("doc2").isNull()
+                        | (F.col("simhash") != F.col("sim2")),
+                        1,
+                    ).otherwise(0)
+                )
+                == 0
+            ).alias("passed")
+        ),
+    )
+
+    return (
+        minhash_recall.unionByName(lsh_exact)
+        .unionByName(identical_agree)
+        .unionByName(det)
+    )

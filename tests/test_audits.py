@@ -58,3 +58,25 @@ def test_sketch_measured_errors(spark, orders):
     below = orders.filter(F.col("o_totalprice").cast("double") <= q).count()
     kll_rank_err = abs(below / n - 0.5)
     assert kll_rank_err <= 2 * 0.0165
+
+
+def test_ann_contract_audit_all_pass(spark, sf_dir):
+    from ballista_extensions_spark.queries.audits import (
+        _ANN_AUDIT_CHECKS,
+        ann_contract_audit,
+    )
+
+    rows, failed = _all_pass(ann_contract_audit(spark, sf_dir))
+    assert not failed, f"failed checks: {failed}"
+    assert {r["check_name"] for r in rows} == set(_ANN_AUDIT_CHECKS)
+
+
+def test_dedup_probabilistic_audit_all_pass(spark, sf_dir):
+    from ballista_extensions_spark.queries.audits import (
+        _DEDUP_AUDIT_CHECKS,
+        dedup_probabilistic_audit,
+    )
+
+    rows, failed = _all_pass(dedup_probabilistic_audit(spark, sf_dir))
+    assert not failed, f"failed checks: {failed}"
+    assert {r["check_name"] for r in rows} == set(_DEDUP_AUDIT_CHECKS)
