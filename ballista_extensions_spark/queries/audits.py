@@ -395,7 +395,11 @@ def ann_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             name,
             hit.crossJoin(base).select(
                 (
-                    F.col("n_hit") / F.col("n_exact") >= F.lit(floor)
+                    # vacuously true on an empty baseline (a corpus with
+                    # <2 vectors has no exact top-k rows) — the 0/0
+                    # division would otherwise yield a NULL boolean
+                    (F.col("n_exact") == 0)
+                    | (F.col("n_hit") / F.col("n_exact") >= F.lit(floor))
                 ).alias("passed")
             ),
         )
