@@ -49,23 +49,30 @@ def cdc_merge(
     Returns (snap_key, *updates.keys(), op_col) with op='K' for
     untouched snapshot rows. Deletes are filtered BEFORE the projection
     so a 'D' never materializes merged values.
+
+    All change-side references are frame-QUALIFIED, so the output of
+    one merge (which carries ``op_col``) feeds directly into the next
+    merge as its snapshot — the incremental chaining lifecycle
+    (``cdc_merge(cdc_merge(snap, b1, ...), b2, ...)``) composes without
+    the caller having to drop the op column between batches.
     """
     if snap_key == change_key:
         raise ValueError(
             "snapshot and change key columns must have distinct names "
             f"(both {snap_key!r}); alias one side"
         )
+    op = changes[op_col]
     merged = snapshot.join(
         changes, snapshot[snap_key] == changes[change_key], "full_outer"
-    ).filter(F.col(op_col).isNull() | (F.col(op_col) != "D"))
+    ).filter(op.isNull() | (op != "D"))
     cols = [
-        F.coalesce(F.col(snap_key), F.col(change_key)).alias(snap_key)
+        F.coalesce(snapshot[snap_key], changes[change_key]).alias(snap_key)
     ]
     for scol, ccol in updates.items():
         cols.append(
-            F.when(F.col(op_col).isin("I", "U"), F.col(ccol))
-            .otherwise(F.col(scol))
+            F.when(op.isin("I", "U"), changes[ccol])
+            .otherwise(snapshot[scol])
             .alias(scol)
         )
-    cols.append(F.coalesce(F.col(op_col), F.lit("K")).alias(op_col))
+    cols.append(F.coalesce(op, F.lit("K")).alias(op_col))
     return merged.select(*cols)

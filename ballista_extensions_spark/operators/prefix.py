@@ -301,8 +301,9 @@ def grouped_percentile_disc(
             raise ValueError(
                 f"prob {p!r} has denominator {fr.denominator} > 1e6; "
                 "pass an exactly-representable probability (e.g. round "
-                "to 6 decimal places) — larger denominators overflow "
-                "the long target-rank arithmetic"
+                "to 6 decimal places) — a denominator like 10^16 means "
+                "the caller passed an inexact float artifact, not the "
+                "probability they intended"
             )
 
     ranked = distributed_row_number(

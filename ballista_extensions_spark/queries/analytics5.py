@@ -336,7 +336,7 @@ def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT lang, CAST(len({_DD_TOKS}) AS BIGINT) AS n_tokens, doc_id
       FROM documents),
-    n AS (SELECT lang AS n_lang, CAST(COUNT(*) AS BIGINT) AS n
+    n AS (SELECT lang AS n_lang, CAST(COUNT(n_tokens) AS BIGINT) AS n
           FROM s GROUP BY lang),
     q AS (
       SELECT lang, 0.25 AS p,
@@ -655,10 +655,12 @@ def cdc_two_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     snapshot = o.filter(~last.isin(8, 9))
+    # merges chain DIRECTLY: cdc_merge's change-side references are
+    # frame-qualified, so m1's op column needs no manual drop
     m1 = cdc_merge(
         snapshot, batch(8, 0, 1), "o_orderkey", "c_orderkey",
         {"price": "new_price"},
-    ).select("o_orderkey", "price")
+    )
     m2 = cdc_merge(
         m1, batch(9, 3, 2), "o_orderkey", "c_orderkey",
         {"price": "new_price"},
@@ -702,8 +704,12 @@ def events_user_p95_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = ev.select(
         "user_id",
         "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        # row_number() is IntegerType: cast to LONG before the 20x
+        # multiply, which would otherwise wrap (non-ANSI) for a user
+        # with >2^31/20 ~ 107M events — the same overflow class
+        # grouped_percentile_disc guards with DECIMAL
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
     )
     # smallest rn with 20*rn >= 19*n  <=>  rn = ceil(0.95*n)
     return r.filter(

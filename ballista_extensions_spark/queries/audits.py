@@ -40,6 +40,33 @@ def _agg_check(name: str, df_passed: DataFrame) -> DataFrame:
     )
 
 
+def _frames_match_check(
+    name: str,
+    a: DataFrame,
+    b: DataFrame,
+    pairs: list[tuple[str, str]],
+    expect_match: bool = True,
+) -> DataFrame:
+    """Distributed set-equality check: full-outer join ``a`` and ``b``
+    on ALL column pairs (so a value mismatch surfaces as two unmatched
+    rows, same as a missing row), then assert zero unmatched rows
+    (``expect_match=True``) or at least one (``False`` — the
+    'different seeds produce different samples' direction). One
+    shuffle; no collect."""
+    cond = None
+    for la, rb in pairs:
+        c = a[la] == b[rb]
+        cond = c if cond is None else cond & c
+    la0, rb0 = pairs[0]
+    unmatched = F.sum(
+        F.when(a[la0].isNull() | b[rb0].isNull(), 1).otherwise(0)
+    )
+    passed = (unmatched == 0) if expect_match else (unmatched > 0)
+    return _agg_check(
+        name, a.join(b, cond, "full_outer").agg(passed.alias("passed"))
+    )
+
+
 _SAMPLE_AUDIT_CHECKS = [
     "fraction_zero_rejected",
     "fraction_above_one_rejected",
@@ -114,31 +141,11 @@ def sample_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = sample(li, 0.3, 123).select(key.alias("k2"))
     s3 = sample(li, 0.3, 321).select(key.alias("k3"))
 
-    same = _agg_check(
-        "same_seed_deterministic",
-        s1.join(s2, F.col("k1") == F.col("k2"), "full_outer").agg(
-            (
-                F.sum(
-                    F.when(
-                        F.col("k1").isNull() | F.col("k2").isNull(), 1
-                    ).otherwise(0)
-                )
-                == 0
-            ).alias("passed")
-        ),
+    same = _frames_match_check(
+        "same_seed_deterministic", s1, s2, [("k1", "k2")]
     )
-    differ = _agg_check(
-        "different_seeds_differ",
-        s1.join(s3, F.col("k1") == F.col("k3"), "full_outer").agg(
-            (
-                F.sum(
-                    F.when(
-                        F.col("k1").isNull() | F.col("k3").isNull(), 1
-                    ).otherwise(0)
-                )
-                > 0
-            ).alias("passed")
-        ),
+    differ = _frames_match_check(
+        "different_seeds_differ", s1, s3, [("k1", "k3")], expect_match=False
     )
     chernoff = _agg_check(
         "chernoff_band_6sigma",
@@ -368,16 +375,30 @@ def ann_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = S.brute_force_topk(e, probes, k=10).select(
         "q_id", F.col("c_id").alias("e_id"), F.col("rn").alias("e_rn")
     )
+    # Expected rows per probe is min(k, corpus-1): a corpus below k+1
+    # vectors cannot yield k non-self candidates, and an empty baseline
+    # (corpus < 2) is vacuously well-formed — without these guards the
+    # MIN/MAX over zero rows would yield NULL, failing the all-TRUE
+    # oracle on exactly the degenerate inputs an audit must tolerate.
+    corpus_n = e.agg(F.count(F.lit(1)).alias("m"))
+    kexp = F.least(F.lit(10), F.col("m") - 1)
     well_formed = _agg_check(
         "exact_topk_well_formed",
         exact.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("q_id").alias("nq"),
+            F.min("e_rn").alias("min_rn"),
+            F.max("e_rn").alias("max_rn"),
+        )
+        .crossJoin(corpus_n)
+        .select(
             (
-                (
-                    F.count(F.lit(1))
-                    == F.lit(10) * F.countDistinct("q_id")
+                (F.col("cnt") == 0)
+                | (
+                    (F.col("cnt") == kexp * F.col("nq"))
+                    & (F.col("min_rn") == 1)
+                    & (F.col("max_rn") == kexp)
                 )
-                & (F.min("e_rn") == 1)
-                & (F.max("e_rn") == 10)
             ).alias("passed")
         ),
     )
@@ -420,25 +441,8 @@ def ann_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_id").alias("b_c"),
             F.col("rn").alias("b_rn"),
         )
-        j = a.join(
-            b,
-            (a["a_q"] == b["b_q"])
-            & (a["a_c"] == b["b_c"])
-            & (a["a_rn"] == b["b_rn"]),
-            "full_outer",
-        )
-        return _agg_check(
-            name,
-            j.agg(
-                (
-                    F.sum(
-                        F.when(
-                            F.col("a_q").isNull() | F.col("b_q").isNull(), 1
-                        ).otherwise(0)
-                    )
-                    == 0
-                ).alias("passed")
-            ),
+        return _frames_match_check(
+            name, a, b, [("a_q", "b_q"), ("a_c", "b_c"), ("a_rn", "b_rn")]
         )
 
     lsh_det = _determinism_check(
@@ -520,25 +524,11 @@ def dedup_probabilistic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").alias("l_b"),
         F.col("jaccard").alias("l_j"),
     )
-    sym = exact.join(
-        lv,
-        (exact["e_a"] == lv["l_a"])
-        & (exact["e_b"] == lv["l_b"])
-        & (exact["e_j"] == lv["l_j"]),
-        "full_outer",
-    )
-    lsh_exact = _agg_check(
+    lsh_exact = _frames_match_check(
         "lsh_verified_matches_exact",
-        sym.agg(
-            (
-                F.sum(
-                    F.when(
-                        F.col("e_a").isNull() | F.col("l_a").isNull(), 1
-                    ).otherwise(0)
-                )
-                == 0
-            ).alias("passed")
-        ),
+        exact,
+        lv,
+        [("e_a", "l_a"), ("e_b", "l_b"), ("e_j", "l_j")],
     )
 
     sig = D.simhash64(docs)
@@ -562,21 +552,14 @@ def dedup_probabilistic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = D.simhash64(docs).select(
         F.col("doc").alias("doc2"), F.col("simhash").alias("sim2")
     )
-    det = _agg_check(
+    # joining on (doc AND signature) makes a per-doc signature mismatch
+    # surface as two unmatched rows — same helper as every other
+    # set-equality audit
+    det = _frames_match_check(
         "simhash_deterministic",
-        sig.join(s2, sig["doc"] == s2["doc2"], "full_outer").agg(
-            (
-                F.sum(
-                    F.when(
-                        F.col("doc").isNull()
-                        | F.col("doc2").isNull()
-                        | (F.col("simhash") != F.col("sim2")),
-                        1,
-                    ).otherwise(0)
-                )
-                == 0
-            ).alias("passed")
-        ),
+        sig,
+        s2,
+        [("doc", "doc2"), ("simhash", "sim2")],
     )
 
     return (

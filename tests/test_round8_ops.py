@@ -35,6 +35,22 @@ def test_cdc_merge_semantics(spark):
     assert out == {1: (10.0, "K"), 2: (22.0, "U"), 4: (40.0, "I")}
 
 
+def test_cdc_merge_chains_without_column_drop(spark):
+    """The output of one merge (which carries op) is a valid snapshot
+    for the next — change-side references are frame-qualified, so
+    chaining needs no manual op drop (round-8 review finding)."""
+    snapshot, changes = _tiny_cdc_frames(spark)
+    m1 = cdc_merge(snapshot, changes, "k", "ck", {"v": "nv"})
+    b2 = spark.createDataFrame(
+        [(1, "D", None), (5, "I", 50.0)], "ck long, op string, nv double"
+    )
+    out = {
+        r["k"]: (r["v"], r["op"])
+        for r in cdc_merge(m1, b2, "k", "ck", {"v": "nv"}).collect()
+    }
+    assert out == {2: (22.0, "K"), 4: (40.0, "K"), 5: (50.0, "I")}
+
+
 def test_cdc_merge_rejects_same_key_name(spark):
     snapshot, changes = _tiny_cdc_frames(spark)
     with pytest.raises(ValueError, match="distinct names"):
