@@ -437,6 +437,58 @@ def test_grouped_percentile_disc_matches_window(spark, vals, probs):
     assert got == expect
 
 
+# ------------------------------------------------ round-8 properties
+
+@SETTINGS
+@given(
+    snap=st.dictionaries(st.integers(0, 12), st.integers(-99, 99), max_size=10),
+    batches=st.lists(
+        st.dictionaries(
+            st.integers(0, 12),
+            st.tuples(st.sampled_from("IUD"), st.integers(-99, 99)),
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_cdc_merge_chain_matches_dict_replay(spark, snap, batches):
+    """Chained cdc_merge over arbitrary I/U/D batches == a Python dict
+    replay — upsert-on-absent-key, delete-on-absent-key no-op, and the
+    output op column marking exactly the LAST batch's surviving touches
+    ('K' for rows it left alone). Chaining feeds each merge's output
+    (op column and all) straight into the next, the composability the
+    frame-qualified references exist for."""
+    from ballista_extensions_spark.operators.cdc import cdc_merge
+
+    cur = spark.createDataFrame(
+        list(snap.items()) or [(None, None)], "k long, v long"
+    )
+    if not snap:
+        cur = cur.filter(F.col("k").isNotNull())
+    state = dict(snap)
+    last_touch: dict[int, str] = {}
+    for batch in batches:
+        rows = [(k, op, val) for k, (op, val) in batch.items()]
+        ch = spark.createDataFrame(
+            rows or [(None, None, None)], "ck long, op string, nv long"
+        )
+        if not rows:
+            ch = ch.filter(F.col("ck").isNotNull())
+        cur = cdc_merge(cur, ch, "k", "ck", {"v": "nv"})
+        last_touch = {}
+        for k, (op, val) in batch.items():
+            if op == "D":
+                state.pop(k, None)
+                last_touch.pop(k, None)
+            else:
+                state[k] = val
+                last_touch[k] = op
+    got = {r["k"]: (r["v"], r["op"]) for r in cur.collect()}
+    want = {k: (v, last_touch.get(k, "K")) for k, v in state.items()}
+    assert got == want
+
+
 @SETTINGS
 @given(
     counts=st.lists(st.integers(0, 10_000), min_size=1, max_size=12),
