@@ -441,6 +441,44 @@ def test_grouped_percentile_disc_matches_window(spark, vals, probs):
 
 @SETTINGS
 @given(
+    pts=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.floats(-50, 50, allow_nan=False), st.just(float("nan"))),
+            st.one_of(st.none(), st.floats(-50, 50, allow_nan=False), st.just(float("nan"))),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_skyline_2d_matches_brute_force(spark, pts):
+    """skyline_2d == the quadratic dominance scan on random points,
+    with NULL/NaN rows excluded from dominance entirely."""
+    from ballista_extensions_spark.operators.skyline import skyline_2d
+
+    df = spark.createDataFrame(pts, "x double, y double")
+    got = sorted((r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect())
+    import math
+
+    clean = [
+        (x, y)
+        for x, y in pts
+        if x is not None and y is not None and not math.isnan(x) and not math.isnan(y)
+    ]
+    # per-x best y, then frontier = levels not dominated by any other level
+    best: dict[float, float] = {}
+    for x, y in clean:
+        best[x] = max(best.get(x, float("-inf")), y)
+    levels = sorted(best.items())
+    want = sorted(
+        (x, y)
+        for x, y in levels
+        if not any(ox < x and oy >= y or ox <= x and oy > y for ox, oy in levels)
+    )
+    assert got == want
+
+
+@SETTINGS
+@given(
     snap=st.dictionaries(st.integers(0, 12), st.integers(-99, 99), max_size=10),
     batches=st.lists(
         st.dictionaries(
