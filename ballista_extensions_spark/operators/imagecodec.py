@@ -20,11 +20,22 @@ Layout notes (the parts that bite):
 - PPM/PGM ``P6``/``P5`` headers are ASCII tokens (magic, width, height,
   maxval) separated by whitespace/comments, then a single raw sample
   block, top-down, RGB (P6) or gray (P5).
+- PNG (round 9): 8-byte signature, then length/type/data/CRC chunks;
+  IHDR holds big-endian width/height plus depth/color/interlace flags;
+  the pixel stream is the zlib-inflated concatenation of every IDAT,
+  one filter byte (0-4: None/Sub/Up/Average/Paeth) before each
+  scanline. The decoder supports the 8-bit non-interlaced color types
+  (gray 0, RGB 2, gray+alpha 4, RGBA 6) and all five filters; the
+  encoder emits filter-0 scanlines inside a hand-rolled STORED-block
+  zlib stream, so the emitted file size is pure arithmetic
+  (``png_file_size``) — which is what lets a DuckDB oracle predict
+  decode metadata byte-for-byte, exactly like the BMP path.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -71,6 +82,223 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
         h, w, _ = pixels.shape
         return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
     raise ValueError("encode_ppm expects (h, w) or (h, w, 3)")
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> channels at bit depth 8 (interlace 0 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_ZLIB_STORED_MAX = 65535  # max payload of one DEFLATE stored block
+
+
+def _deflate_stored(data: bytes) -> bytes:
+    """Hand-rolled DEFLATE stream of stored (uncompressed) blocks —
+    byte-deterministic by construction: 5-byte header (final bit,
+    LEN, ~LEN) per <=65535-byte block, data verbatim."""
+    out = bytearray()
+    n, pos = len(data), 0
+    while True:
+        chunk = data[pos : pos + _ZLIB_STORED_MAX]
+        pos += len(chunk)
+        final = 1 if pos >= n else 0
+        out += bytes([final])
+        out += struct.pack("<HH", len(chunk), 0xFFFF ^ len(chunk))
+        out += chunk
+        if final:
+            return bytes(out)
+
+
+def _zlib_stored(data: bytes) -> bytes:
+    """zlib container around _deflate_stored: CMF/FLG 0x78 0x01
+    (32K window, check bits valid, no preset dict), then the stored
+    blocks, then big-endian adler32 of the raw data."""
+    return (
+        b"\x78\x01"
+        + _deflate_stored(data)
+        + struct.pack(">I", zlib.adler32(data))
+    )
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data))
+    )
+
+
+def png_file_size(width: int, height: int, channels: int = 3) -> int:
+    """Exact file size of a PNG emitted by ``encode_png`` — pure
+    arithmetic, usable from SQL oracles. raw = height * (1 filter byte
+    + width*channels); file = 8 sig + 25 IHDR + 12 IDAT overhead
+    + (2 zlib hdr + raw + 5/stored-block + 4 adler) + 12 IEND."""
+    raw = height * (1 + width * channels)
+    n_blocks = max(1, (raw + _ZLIB_STORED_MAX - 1) // _ZLIB_STORED_MAX)
+    return 8 + 25 + 12 + (2 + raw + 5 * n_blocks + 4) + 12
+
+
+def encode_png(pixels: np.ndarray, *, filter_type: int | None = 0) -> bytes:
+    """Encode a uint8 array as an 8-bit non-interlaced PNG: (h, w) ->
+    grayscale (color 0), (h, w, 2) -> gray+alpha (4), (h, w, 3) -> RGB
+    (2), (h, w, 4) -> RGBA (6). ``filter_type`` selects the per-row
+    filter: 0 (default, size-predictable via png_file_size), 1-4 to
+    force Sub/Up/Average/Paeth, or None to cycle 0..4 by row — the
+    latter two exist so tests can prove every unfilter path against
+    the original pixels."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, np.newaxis]
+    if pixels.ndim != 3 or pixels.shape[2] not in (1, 2, 3, 4):
+        raise ValueError("encode_png expects (h, w[, 1|2|3|4]) uint8")
+    h, w, ch = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    stride = w * ch
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        line = px[y].reshape(stride)
+        ft = (y % 5) if filter_type is None else filter_type
+        raw.append(ft)
+        raw += _png_filter_row(line, prev, ch, ft).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib_stored(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_filter_row(
+    line: np.ndarray, prev: np.ndarray, bpp: int, ft: int
+) -> np.ndarray:
+    """Apply PNG filter ``ft`` to one scanline (uint8 math mod 256)."""
+    cur = line.astype(np.int16)
+    a = np.zeros_like(cur)
+    a[bpp:] = cur[:-bpp]  # left neighbor
+    b = prev.astype(np.int16)
+    c = np.zeros_like(b)
+    c[bpp:] = prev[:-bpp]
+    if ft == 0:
+        out = cur
+    elif ft == 1:
+        out = cur - a
+    elif ft == 2:
+        out = cur - b
+    elif ft == 3:
+        out = cur - ((a + b) >> 1)
+    elif ft == 4:
+        out = cur - _paeth(a, b, c)
+    else:
+        raise ValueError(f"bad PNG filter {ft}")
+    return (out & 0xFF).astype(np.uint8)
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §9.4)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _png_chunks(b: bytes):
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(b):
+        ln, typ = struct.unpack_from(">I4s", b, pos)
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        yield typ, data
+        pos += 12 + ln
+        if typ == b"IEND":
+            return
+    raise ValueError("PNG missing IEND")
+
+
+def _png_ihdr(b: bytes) -> tuple[int, int, int]:
+    """Parse + validate the IHDR -> (width, height, channels). Header
+    work only — O(33 bytes) however large the payload, which is what
+    the metadata-decode path wants at scale."""
+    if len(b) < len(_PNG_SIG) + 25:
+        raise ValueError("truncated PNG header")
+    ln, typ = struct.unpack_from(">I4s", b, len(_PNG_SIG))
+    if typ != b"IHDR" or ln != 13:
+        raise ValueError("PNG first chunk is not IHDR")
+    w, h, depth, color, comp, filt, interlace = struct.unpack_from(
+        ">IIBBBBB", b, len(_PNG_SIG) + 8
+    )
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color}")
+    if comp != 0 or filt != 0:
+        raise ValueError("bad PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension PNG")
+    return w, h, _PNG_CHANNELS[color]
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> bytes:
+    """Reverse the per-scanline PNG filters. Row-sequential by spec
+    (each row's reconstruction feeds the next); within a row the five
+    filter types run as scalar loops over at most w*ch bytes — fine
+    for the metadata/feature path where decoded images are thumbnails;
+    a corpus of large images would decode through a native codec via
+    the same set_image_decoder hook."""
+    stride = w * ch
+    if len(raw) < h * (1 + stride):
+        raise ValueError("truncated PNG pixel data")
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                b_ = prev[i]
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {ft}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return bytes(out)
+
+
+def decode_png_to_array(b: bytes) -> np.ndarray:
+    """Decode a supported PNG to an (h, w, channels) uint8 array in the
+    file's native channel count (1/2/3/4)."""
+    w, h, ch = _png_ihdr(b)
+    idat = b"".join(d for t, d in _png_chunks(b) if t == b"IDAT")
+    if not idat:
+        raise ValueError("PNG has no IDAT")
+    raw = zlib.decompress(idat)
+    flat = np.frombuffer(
+        _png_unfilter(raw, h, w, ch), dtype=np.uint8
+    )
+    return flat.reshape(h, w, ch)
 
 
 def _parse_netpbm_header(b: bytes) -> tuple[bytes, int, int, int, int]:
@@ -120,6 +348,8 @@ def decode_image(b: bytes) -> tuple[int, int, int]:
         if len(b) - off < w * h * c:
             raise ValueError("truncated netpbm data")
         return w, h, c
+    if b[: len(_PNG_SIG)] == _PNG_SIG:
+        return _png_ihdr(b)
     raise ValueError("unknown image format")
 
 
@@ -146,13 +376,24 @@ def decode_to_array(b: bytes) -> np.ndarray:
         if magic == b"P5":
             return np.repeat(flat.reshape(h, w, 1), 3, axis=2)
         return flat.reshape(h, w, 3)
+    if b[: len(_PNG_SIG)] == _PNG_SIG:
+        arr = decode_png_to_array(b)
+        ch = arr.shape[2]
+        if ch == 1:  # gray -> RGB
+            return np.repeat(arr, 3, axis=2)
+        if ch == 2:  # gray+alpha -> RGB (alpha dropped)
+            return np.repeat(arr[:, :, :1], 3, axis=2)
+        if ch == 4:  # RGBA -> RGB (alpha dropped)
+            return arr[:, :, :3]
+        return arr
     raise ValueError("unknown image format")
 
 
 def resize_nearest(b: bytes, target_w: int, target_h: int) -> bytes:
     """REAL resize: decode, nearest-neighbor sample to (target_h,
     target_w), re-encode in the input's container format (BMP in -> BMP
-    out, netpbm in -> P6 out). Suitable for set_image_resizer."""
+    out, PNG in -> PNG out, netpbm in -> P6 out). Suitable for
+    set_image_resizer."""
     src = decode_to_array(b)
     h, w = src.shape[:2]
     ys = (np.arange(target_h) * h) // target_h
@@ -160,6 +401,8 @@ def resize_nearest(b: bytes, target_w: int, target_h: int) -> bytes:
     dst = src[ys][:, xs]
     if b[:2] == b"BM":
         return encode_bmp(dst)
+    if b[: len(_PNG_SIG)] == _PNG_SIG:
+        return encode_png(dst)
     return encode_ppm(dst)
 
 

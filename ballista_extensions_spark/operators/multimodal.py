@@ -128,6 +128,41 @@ def docs_as_bmp_media(documents: DataFrame) -> DataFrame:
     )
 
 
+def docs_as_png_media(documents: DataFrame) -> DataFrame:
+    """Adapter producing REAL PNG payloads from driver data — the PNG
+    sibling of ``docs_as_bmp_media``: same arithmetic dimensions
+    (w = 4 + n%29, h = 4 + n%23, RGB pixels tiling the text bytes),
+    encoded as genuine 8-bit color-type-2 PNGs
+    (operators/imagecodec.py:encode_png — zlib container with
+    stored-block DEFLATE, filter-0 scanlines, CRC'd chunks). The
+    stored-block stream keeps the file size pure arithmetic
+    (png_file_size), so a SQL oracle can predict the decoded metadata
+    byte-for-byte while the payload is a spec-correct PNG the real
+    decoder must parse (signature, IHDR, inflate, unfilter)."""
+    import numpy as np
+
+    from ballista_extensions_spark.operators.imagecodec import encode_png
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                n = len(b)
+                w, h = 4 + n % 29, 4 + n % 23
+                need = w * h * 3
+                buf = np.frombuffer(
+                    (b * (need // max(1, n) + 1))[:need], dtype=np.uint8
+                )
+                ids.append(mid)
+                payloads.append(encode_png(buf.reshape(h, w, 3)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return documents.select("doc_id", "text").mapInPandas(
+        _encode, schema="media_id long, payload binary"
+    )
+
+
 def decode_images(
     df: DataFrame,
     *,

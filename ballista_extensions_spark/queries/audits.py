@@ -386,8 +386,17 @@ def ann_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 50)
 
-    exact = S.brute_force_topk(e, probes, k=10).select(
-        "q_id", F.col("c_id").alias("e_id"), F.col("rn").alias("e_rn")
+    # the brute-force baseline feeds FOUR checks (well-formedness and
+    # both recall floors, each referencing it twice) — lazy
+    # localCheckpoint so it is computed once and the checkpointed
+    # partitions are reused, instead of re-running the O(corpus×probes)
+    # scoring join per branch (VERDICT r8 directive #5)
+    exact = (
+        S.brute_force_topk(e, probes, k=10)
+        .select(
+            "q_id", F.col("c_id").alias("e_id"), F.col("rn").alias("e_rn")
+        )
+        .localCheckpoint(eager=False)
     )
     # Expected rows per probe is min(k, corpus-1): a corpus below k+1
     # vectors cannot yield k non-self candidates, and an empty baseline
@@ -511,10 +520,18 @@ def dedup_probabilistic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
 
-    exact = D.near_dup_pairs_exact(docs, threshold=0.35, probe_mod=1).select(
-        F.col("doc_a").alias("e_a"),
-        F.col("doc_b").alias("e_b"),
-        F.col("jaccard").alias("e_j"),
+    # the exact pair join feeds THREE branches (recall numerator,
+    # recall denominator, and both sides' anchor of the set-equality
+    # check) — lazy localCheckpoint so the inverted-index join runs
+    # once instead of per branch (VERDICT r8 directive #5)
+    exact = (
+        D.near_dup_pairs_exact(docs, threshold=0.35, probe_mod=1)
+        .select(
+            F.col("doc_a").alias("e_a"),
+            F.col("doc_b").alias("e_b"),
+            F.col("jaccard").alias("e_j"),
+        )
+        .localCheckpoint(eager=False)
     )
     mh = D.dedup_near_minhash(docs, threshold=0.35).select(
         F.col("doc_a").alias("m_a"), F.col("doc_b").alias("m_b")
@@ -545,7 +562,10 @@ def dedup_probabilistic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("e_a", "l_a"), ("e_b", "l_b"), ("e_j", "l_j")],
     )
 
-    sig = D.simhash64(docs)
+    # sig anchors both the identical-docs check and one side of the
+    # determinism check; s2 below stays a FRESH construction so the
+    # determinism check still compares two independent computations
+    sig = D.simhash64(docs).localCheckpoint(eager=False)
     fams = (
         docs.select(F.md5("text").alias("h"), F.col("doc_id"))
         .join(sig, F.col("doc_id") == sig["doc"])
