@@ -12,6 +12,12 @@ min/max so spread is auditable. Python GC runs between queries so
 lazily-checkpointed operator frames release their block-manager state
 instead of skewing later queries.
 
+Round 9+: BENCH_FULL.json also records per-query shuffle read/write
+BYTES (median across reps, from the UI REST cumulative executor totals
+— plans/metrics.py) so an exchange regression is visible even when
+sf0.1 wall-time hides it; tests/test_shuffle_bytes.py gates the
+zero-shuffle claims on the same counters.
+
 The full result (3-decimal timings + row counts) is also written to
 BENCH_FULL.json next to this script; the printed line uses 2-decimal
 timings and compact separators so it stays well inside the driver's
@@ -53,17 +59,26 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
+    from ballista_extensions_spark.plans.metrics import shuffle_totals
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
     errors: dict[str, str] = {}
+    # per-query shuffle READ/WRITE bytes (median across reps) — a plan
+    # can regress exchanges without moving sf0.1 wall-time, so bytes are
+    # first-class bench evidence (VERDICT r8 directive #4); [-1, -1]
+    # when the UI REST endpoint is unavailable
+    shuffle: dict[str, list[int]] = {}
     for name, fn in get_queries().items():
         if name in EXCLUDE:
             continue
         samples: list[float] = []
+        sh_samples: list[tuple[int, int]] = []
         n = -1
         for _ in range(reps):
+            sh0 = shuffle_totals(spark)
             t0 = time.time()
             # One broken query must not zero the whole benchmark
             # (BENCH_r03 rc=1: a testdata schema change crashed query #28
@@ -76,6 +91,9 @@ def main() -> None:
                 print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
                 break
             samples.append(time.time() - t0)
+            sh1 = shuffle_totals(spark)
+            if sh0[0] >= 0 and sh1[0] >= 0:
+                sh_samples.append((sh1[0] - sh0[0], sh1[1] - sh0[1]))
         # drop references to per-query frames and let the ContextCleaner
         # release lazily-checkpointed blocks before the next query's
         # timing window
@@ -87,9 +105,19 @@ def main() -> None:
         timings[name] = round(samples[len(samples) // 2], 3)
         spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
         rows[name] = n
+        if sh_samples:
+            reads = sorted(s[0] for s in sh_samples)
+            writes = sorted(s[1] for s in sh_samples)
+            shuffle[name] = [
+                reads[len(reads) // 2],
+                writes[len(writes) // 2],
+            ]
+        else:
+            shuffle[name] = [-1, -1]
         print(
             f"# {name}: median {timings[name]:.2f}s of {reps} "
-            f"[{samples[0]:.2f}, {samples[-1]:.2f}] ({n} rows)",
+            f"[{samples[0]:.2f}, {samples[-1]:.2f}] ({n} rows, "
+            f"shuffle r/w {shuffle[name][0]}/{shuffle[name][1]} B)",
             file=sys.stderr,
         )
 
@@ -106,6 +134,7 @@ def main() -> None:
         "queries": timings,
         "min_max": spread,
         "rows": rows,
+        "shuffle_read_write_bytes": shuffle,
         "errors": errors,
         "sf": sf_val,
     }
