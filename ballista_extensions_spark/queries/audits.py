@@ -448,13 +448,22 @@ def ann_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    lsh = S.lsh_topk(e, probes, dim=64, k=10, n_planes=3)
-    ivf = S.ivf_topk(e, probes, k=10, n_lists=16, n_probe=8)
+    # ONE construction of each approximate path feeds BOTH its recall
+    # check and side A of its determinism check (checkpointed); side B
+    # stays a fresh, independent construction — the determinism check
+    # still compares two computations, but the battery builds each path
+    # twice instead of three times (VERDICT r8 directive #5)
+    lsh = S.lsh_topk(e, probes, dim=64, k=10, n_planes=3).localCheckpoint(
+        eager=False
+    )
+    ivf = S.ivf_topk(
+        e, probes, k=10, n_lists=16, n_probe=8
+    ).localCheckpoint(eager=False)
     lsh_recall = _recall_check("lsh_recall_floor", lsh, 0.08)
     ivf_recall = _recall_check("ivf_recall_floor", ivf, 0.5)
 
-    def _determinism_check(name: str, mk) -> DataFrame:
-        a = mk().select(
+    def _determinism_check(name: str, a_df: DataFrame, mk) -> DataFrame:
+        a = a_df.select(
             F.col("q_id").alias("a_q"),
             F.col("c_id").alias("a_c"),
             F.col("rn").alias("a_rn"),
@@ -470,10 +479,12 @@ def ann_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lsh_det = _determinism_check(
         "lsh_deterministic",
+        lsh,
         lambda: S.lsh_topk(e, probes, dim=64, k=10, n_planes=3),
     )
     ivf_det = _determinism_check(
         "ivf_deterministic",
+        ivf,
         lambda: S.ivf_topk(e, probes, k=10, n_lists=16, n_probe=8),
     )
 

@@ -124,7 +124,23 @@ def main() -> None:
         "percentile_disc_distributed": lambda d, e: _pctl(d),
         # round-7 operators, measured the round they landed
         "hamming_sign_topk": lambda d, e: _hamming(e),
+        # round-9 (VERDICT r8 directive #3): token_len_quartiles_by_lang's
+        # shape — token counts into a FEW-group grouped percentile
+        "token_len_quartiles": lambda d, e: _token_quartiles(d),
     }
+
+    def _token_quartiles(d):
+        from ballista_extensions_spark.operators.prefix import (
+            grouped_percentile_disc,
+        )
+
+        s = d.select(
+            "lang", T.token_count(F.col("text")).alias("n_tokens"), "doc_id"
+        )
+        return grouped_percentile_disc(
+            s, "lang", "n_tokens", [0.25, 0.5, 0.75],
+            tiebreak_cols=("doc_id",),
+        ).count()
 
     def _heavy_hitters(d):
         from ballista_extensions_spark.operators.frequent import exact_top_k
@@ -367,19 +383,114 @@ def main() -> None:
             [0.5],
             tiebreak_cols=("event_id",),
         ).select(F.col("event_type").alias("__g2"), F.col("dev").alias("mad"))
+        # round-9 shape: ONE combined broadcast stats frame, single
+        # fact re-join (mirrors events_value_mad_anomalies at HEAD)
+        stats = med.join(
+            mad, med["__g"].eqNullSafe(mad["__g2"])
+        ).select("__g", "med", "mad")
         return (
-            withmed.join(
-                F.broadcast(mad),
-                withmed["event_type"].eqNullSafe(mad["__g2"]),
+            vals.join(
+                F.broadcast(stats),
+                vals["event_type"].eqNullSafe(stats["__g"]),
             )
             .groupBy("event_type")
             .agg(
                 F.sum(
-                    F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+                    F.when(
+                        F.abs(F.col("value") - F.col("med"))
+                        > 3 * F.col("mad"),
+                        1,
+                    ).otherwise(0)
                 ).alias("n_anomalies")
             )
             .count()
         )
+
+    def _user_p95_window(ev):
+        # events_user_p95_value's shape: HIGH-cardinality group key via
+        # PARTITION BY — parallelism grows with keys; the crossover
+        # complement of grouped_percentile_disc below.
+        from pyspark.sql.window import Window as W
+
+        w = W.partitionBy("user_id").orderBy("value", "event_id")
+        wn = W.partitionBy("user_id")
+        r = ev.select(
+            "user_id",
+            "value",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+        )
+        return r.filter(
+            (20 * F.col("rn") >= 19 * F.col("n"))
+            & (20 * (F.col("rn") - 1) < 19 * F.col("n"))
+        ).count()
+
+    def _user_p95_grouped(ev):
+        # the SAME high-cardinality task forced through
+        # grouped_percentile_disc (built for FEW groups): its global
+        # rank + per-group offset frame costs more as the group count
+        # approaches the row count — measured, not asserted, so
+        # BASELINE.md can state the crossover empirically.
+        from ballista_extensions_spark.operators.prefix import (
+            grouped_percentile_disc,
+        )
+
+        return grouped_percentile_disc(
+            ev.select("user_id", "value", "event_id"),
+            "user_id",
+            "value",
+            [0.95],
+            tiebreak_cols=("event_id",),
+        ).count()
+
+    def _interarrival(ev):
+        # orders_interarrival_median's shape: per-key LAG gap feeds the
+        # GLOBAL distributed percentile (range-partitioned rank, no
+        # single-task sort).
+        from ballista_extensions_spark.operators.prefix import (
+            distributed_percentile_disc,
+        )
+        from pyspark.sql.window import Window as W
+
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        g = ev.select(
+            "user_id",
+            "event_id",
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+            ).alias("gap"),
+        ).filter(F.col("gap").isNotNull())
+        return distributed_percentile_disc(
+            g, "gap", [0.5], tiebreak_cols=("user_id", "event_id")
+        ).count()
+
+    def _sample_audit(ev):
+        # sample_contract_audit's expensive checks (Bernoulli count +
+        # band arithmetic, determinism set-equality via full-outer join,
+        # stratified per-stratum counts) over the amplified corpus: the
+        # audit's cost model is a few narrow scans + O(1) aggregates,
+        # so its exponent should be near zero at these scales.
+        from ballista_extensions_spark.operators.sample import (
+            sample,
+            sample_by,
+        )
+
+        s1 = sample(ev, 0.3, seed=7).select("event_id")
+        s2 = sample(ev, 0.3, seed=7).select(
+            F.col("event_id").alias("e2")
+        )
+        mism = (
+            s1.join(s2, s1["event_id"] == s2["e2"], "full_outer")
+            .filter(F.col("event_id").isNull() | F.col("e2").isNull())
+            .count()
+        )
+        kept = s1.count()
+        strata = sample_by(
+            ev, "event_type", {"click": 0.5, "view": 0.25}, seed=11
+        )
+        per = strata.groupBy("event_type").count().count()
+        return mism + kept + per
 
     ev_ops = {
         "interval_sweepline": _sweep,
@@ -395,6 +506,13 @@ def main() -> None:
         "pit_scd2_join": _pit,
         "rolling_range_window": _rolling,
         "grouped_mad_anomalies": _mad,
+        # round-9 (VERDICT r8 directive #3): the round-8 shapes + the
+        # grouped-vs-window percentile cardinality crossover + one
+        # contract-audit battery
+        "user_p95_window": _user_p95_window,
+        "user_p95_grouped": _user_p95_grouped,
+        "interarrival_median": _interarrival,
+        "sample_audit_battery": _sample_audit,
     }
 
     print(f"| op | t_1x (s) | t_{factor}x (s) | exponent |")
