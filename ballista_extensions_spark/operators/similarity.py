@@ -489,3 +489,88 @@ def sign_pack64(
         F.col(id_col),
         F.when(valid, F.expr(sig)).alias("sig"),
     )
+
+
+def centroid_drift(
+    df: DataFrame,
+    batch_col: str,
+    *,
+    ref_batch=0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-distribution drift per ingest batch: the L2 distance
+    between each batch's centroid and the reference batch's centroid,
+    plus the largest single-dimension shift — the cheap monitor that a
+    new crawl slice or re-encoded corpus moved the distribution before
+    it pollutes similarity search or dedup thresholds.
+
+    Returns (batch, n_vectors, drift_l2, max_dim_shift); the reference
+    batch reports drift 0.0.
+
+    Float discipline (the property that makes the report reproducible
+    and SQL-oracle-checkable): per-(batch, dim) value lists fold in
+    ascending id order and the cross-dim square sum folds in ascending
+    dim order, so every double addition happens in a defined sequence
+    instead of shuffle arrival order. Scale: one narrow posexplode
+    (rows x dims) into a partial-aggregated (batch, dim) collect; the
+    ordered folds and the broadcast reference join run on batches x
+    dims rows only. For production-size batches switch the per-dim
+    fold to a tree aggregate and accept order-defined semantics, as
+    embedding_centroids documents.
+    """
+    expanded = df.select(
+        F.col(batch_col).alias("batch"),
+        F.col(id_col).alias("__id"),
+        F.posexplode(vec_col).alias("pos", "val"),
+    ).select(
+        "batch",
+        (F.col("pos") + 1).alias("dim"),
+        "__id",
+        F.col("val").cast("double").alias("val"),
+    )
+    cent = (
+        expanded.groupBy("batch", "dim")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__id", "val"))
+            ).alias("pairs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "batch",
+            "dim",
+            (
+                F.aggregate(
+                    F.transform(F.col("pairs"), lambda x: x["val"]),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / F.col("n")
+            ).alias("c"),
+            "n",
+        )
+    )
+    ref = cent.filter(F.col("batch") == ref_batch).select(
+        F.col("dim").alias("rdim"), F.col("c").alias("rc")
+    )
+    diff = cent.join(
+        F.broadcast(ref), F.col("dim") == F.col("rdim")
+    ).select("batch", "dim", (F.col("c") - F.col("rc")).alias("d"), "n")
+    per = diff.groupBy("batch").agg(
+        F.sort_array(F.collect_list(F.struct("dim", "d"))).alias("dd"),
+        F.max(F.abs(F.col("d"))).alias("max_dim_shift"),
+        F.max("n").alias("n"),
+    )
+    return per.select(
+        F.col("batch").cast("long").alias("batch"),
+        F.col("n").cast("long").alias("n_vectors"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("dd"), lambda x: x["d"] * x["d"]),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ).alias("drift_l2"),
+        "max_dim_shift",
+    )

@@ -124,3 +124,38 @@ def test_ivf_layout_independent(embeddings):
     assert sorted((r.q_id, r.c_id, r.rn) for r in a) == sorted(
         (r.q_id, r.c_id, r.rn) for r in b
     )
+
+
+def test_centroid_drift_matches_numpy(spark):
+    """centroid_drift equals a numpy reference on a crafted corpus:
+    reference batch reports exactly 0.0; a batch shifted by +delta in
+    one dimension reports |delta| as both L2 drift and max shift."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ballista_extensions_spark.operators.similarity import (
+        centroid_drift,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 8)).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, 0, [float(x) for x in v]))  # batch 0
+        shifted = v.copy()
+        shifted[3] += 2.5
+        rows.append((i * 2 + 1, 1, [float(x) for x in shifted]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, batch int, embedding array<double>"
+    )
+    out = {
+        r.batch: r
+        for r in centroid_drift(df, "batch", ref_batch=0).collect()
+    }
+    assert out[0].drift_l2 == 0.0 and out[0].max_dim_shift == 0.0
+    assert out[0].n_vectors == 40 and out[1].n_vectors == 40
+    # centroids of batch 1 differ from batch 0 by exactly +2.5 in dim 4
+    # (same underlying vectors otherwise), so drift == max shift == 2.5
+    # up to float32-storage + fold error
+    assert abs(out[1].drift_l2 - 2.5) < 1e-7
+    assert abs(out[1].max_dim_shift - 2.5) < 1e-7
