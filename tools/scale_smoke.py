@@ -127,7 +127,19 @@ def main() -> None:
         # round-9 (VERDICT r8 directive #3): token_len_quartiles_by_lang's
         # shape — token counts into a FEW-group grouped percentile
         "token_len_quartiles": lambda d, e: _token_quartiles(d),
+        # round-9 (directive #8): per-batch centroid drift
+        "centroid_drift": lambda d, e: _drift(e),
     }
+
+    def _drift(em):
+        from ballista_extensions_spark.operators.similarity import (
+            centroid_drift,
+        )
+
+        return centroid_drift(
+            em.withColumn("batch", F.col("vec_id") % 5), "batch",
+            ref_batch=0,
+        ).count()
 
     def _token_quartiles(d):
         from ballista_extensions_spark.operators.prefix import (
