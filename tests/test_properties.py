@@ -587,3 +587,102 @@ def test_largest_remainder_allocation_properties(spark, counts, budget):
     by_count = sorted(out.values())
     for (c1, a1), (c2, a2) in zip(by_count, by_count[1:]):
         assert a2 >= a1 - 1, (c1, a1, c2, a2)
+
+
+@SETTINGS
+@given(
+    arrs=st.lists(
+        st.lists(st.integers(0, 255), min_size=1, max_size=6),
+        min_size=1,
+        max_size=6,
+    ),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    filter_type=st.sampled_from([0, 1, 2, 3, 4, None]),
+)
+def test_png_roundtrip_property(arrs, channels, filter_type):
+    """encode_png/decode_png_to_array round-trip bit-exactly for every
+    channel count and filter type over generated pixel grids, and the
+    filter-0 size formula holds exactly."""
+    import numpy as np
+
+    from ballista_extensions_spark.operators import imagecodec as C
+
+    h = len(arrs)
+    w = len(arrs[0])
+    px = np.zeros((h, w, channels), dtype=np.uint8)
+    for y, row in enumerate(arrs):
+        for x in range(w):
+            v = row[x % len(row)]
+            for c in range(channels):
+                px[y, x, c] = (v + 37 * c + 11 * y + 5 * x) % 256
+    b = C.encode_png(px, filter_type=filter_type)
+    assert (C.decode_png_to_array(b) == px).all()
+    if filter_type == 0:
+        assert len(b) == C.png_file_size(w, h, channels)
+    gw, gh, gc = C.decode_image(b)
+    assert (gw, gh, gc) == (w, h, channels)
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd ef", min_size=0, max_size=60),
+        min_size=2,
+        max_size=10,
+    ),
+    split=st.integers(1, 3),
+)
+def test_sigstore_ingest_equals_direct_pairs(spark, texts, split):
+    """Signature-store ingest reproduces the direct frozen-cap pair
+    computation on generated corpora for any store/batch split — the
+    same equivalence the SQL oracle asserts, here over adversarial
+    whitespace/short-token inputs."""
+    from ballista_extensions_spark.operators import sigstore as SS
+    from ballista_extensions_spark.operators.dedup import (
+        _capped_word_postings,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    stored = df.filter(F.col("doc_id") % (split + 1) != 0)
+    batch = df.filter(F.col("doc_id") % (split + 1) == 0)
+    store = SS.build_signature_store(stored, max_df=3)
+    sig = SS.batch_signatures(store, batch)
+    got = {
+        (r.doc_stored, r.doc_new, round(r.jaccard, 12))
+        for r in SS.ingest_against_store(
+            store, sig, threshold=0.3
+        ).collect()
+    }
+    # direct reference under the same frozen cap
+    big = 1 << 62
+    a_post = _capped_word_postings(stored, "text", "doc_id", 3, big)
+    b_post = _capped_word_postings(batch, "text", "doc_id", 3, big)
+    stop = (
+        a_post.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 3)
+        .select("s")
+    )
+    a_cap = {
+        (r.doc, r.s)
+        for r in a_post.join(stop, "s", "left_anti").collect()
+    }
+    b_cap = {
+        (r.doc, r.s)
+        for r in b_post.join(stop, "s", "left_anti").collect()
+    }
+    from collections import defaultdict
+
+    sa, sb = defaultdict(set), defaultdict(set)
+    for doc, s in a_cap:
+        sa[doc].add(s)
+    for doc, s in b_cap:
+        sb[doc].add(s)
+    want = set()
+    for da, ssa in sa.items():
+        for db, ssb in sb.items():
+            i = len(ssa & ssb)
+            u = len(ssa | ssb)
+            if u and i / u >= 0.3:
+                want.add((da, db, round(i / u, 12)))
+    assert got == want

@@ -1,0 +1,86 @@
+"""Shuffle-byte regression diff between two bench runs.
+
+Wall-time can hide an exchange regression (an extra shuffle of a small
+frame moves sf0.1 timings by noise); the per-query
+``shuffle_read_write_bytes`` recorded in BENCH_FULL.json (round 9+)
+cannot. This tool diffs two BENCH_FULL-shaped files and flags queries
+whose shuffle READ bytes grew beyond a ratio+absolute floor — the
+mechanical complement of tests/test_shuffle_bytes.py's zero-claims.
+
+Usage:
+  python tools/shuffle_diff.py OLD.json [NEW.json] [--ratio 1.5] [--min-bytes 65536]
+  python tools/shuffle_diff.py git:HEAD~1 BENCH_FULL.json
+
+``git:REF`` reads BENCH_FULL.json from that git revision, so a round's
+sweep can be compared against the previous round's committed one.
+Exit code 1 if any regression is flagged (gate-friendly).
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+
+def _load(spec: str) -> dict:
+    if spec.startswith("git:"):
+        out = subprocess.run(
+            ["git", "show", f"{spec[4:]}:BENCH_FULL.json"],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd="/root/repo",
+        ).stdout
+        return json.loads(out)
+    with open(spec) as f:
+        return json.load(f)
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+
+    def _opt(name: str, default: float) -> float:
+        for a in sys.argv[1:]:
+            if a.startswith(f"--{name}"):
+                parts = a.split("=", 1)
+                if len(parts) == 2:
+                    return float(parts[1])
+                i = sys.argv.index(a)
+                return float(sys.argv[i + 1])
+        return default
+
+    if not args:
+        print(__doc__)
+        return 2
+    old = _load(args[0])
+    new = _load(args[1] if len(args) > 1 else "/root/repo/BENCH_FULL.json")
+    ratio = _opt("ratio", 1.5)
+    min_bytes = _opt("min-bytes", 65536)
+
+    o = old.get("shuffle_read_write_bytes", {})
+    nw = new.get("shuffle_read_write_bytes", {})
+    flagged = []
+    for name in sorted(set(o) & set(nw)):
+        orb, nrb = o[name][0], nw[name][0]
+        if orb < 0 or nrb < 0:
+            continue  # UI unavailable in one of the runs
+        grew = nrb - orb
+        if nrb > max(orb * ratio, orb + min_bytes) and grew > min_bytes:
+            flagged.append((name, orb, nrb))
+        # a zero-shuffle query growing ANY bytes is always a flag
+        elif orb == 0 and nrb > 0:
+            flagged.append((name, orb, nrb))
+    if flagged:
+        print(f"{len(flagged)} shuffle-byte regressions "
+              f"(ratio>{ratio} and +{int(min_bytes)}B, or 0 -> >0):")
+        for name, a, b in flagged:
+            print(f"  {name}: {a} -> {b} read bytes")
+        return 1
+    print(f"no shuffle regressions across "
+          f"{len(set(o) & set(nw))} common queries")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
