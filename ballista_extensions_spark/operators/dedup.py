@@ -271,15 +271,15 @@ def near_dup_pairs_lsh_verified(
     )
 
 
-def _capped_word_postings(
-    df: DataFrame, text_col: str, id_col: str, n: int, max_df: int
+def _word_postings(
+    df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    """(doc, shingle) postings with the stop-shingle df cap applied —
-    the shared front of the exact, LSH and incremental near-dup paths.
-    Postings explode token POSITIONS (codegen'd int sequence) with the
-    shingle built in the post-Generate projection; see
-    near_dup_pairs_exact for why (the lambda-built alternative runs
-    interpreted, ~7x slower)."""
+    """Raw distinct (doc, shingle) postings — the cap-free posting
+    front (sigstore builds on this directly; the near-dup paths apply
+    the df cap on top). Postings explode token POSITIONS (codegen'd
+    int sequence) with the shingle built in the post-Generate
+    projection; see near_dup_pairs_exact for why (the lambda-built
+    alternative runs interpreted, ~7x slower)."""
     tok_sql = TOKENS_SQL.format(col=text_col)
     base = (
         ensure_parallelism(df)
@@ -291,9 +291,17 @@ def _capped_word_postings(
         "toks",
         F.explode(F.expr(f"sequence(1, size(toks) - {n - 1})")).alias("i"),
     )
-    posting = pos.select(
+    return pos.select(
         "doc", F.expr(f"array_join(slice(toks, i, {n}), ' ')").alias("s")
     ).distinct()
+
+
+def _capped_word_postings(
+    df: DataFrame, text_col: str, id_col: str, n: int, max_df: int
+) -> DataFrame:
+    """(doc, shingle) postings with the stop-shingle df cap applied —
+    the shared front of the exact, LSH and incremental near-dup paths."""
+    posting = _word_postings(df, text_col, id_col, n)
     heavy = (
         posting.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df_s"))

@@ -95,18 +95,16 @@ def docs_as_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def docs_as_bmp_media(documents: DataFrame) -> DataFrame:
-    """Adapter producing REAL encoded image payloads from driver data:
-    each document becomes a 24-bit BMP (operators/imagecodec.py encoder)
-    whose dimensions derive arithmetically from ``n_chars``
-    (w = 4 + n%29, h = 4 + n%23) and whose pixels tile the text bytes —
-    deterministic, so a SQL oracle can predict the decoded metadata
-    (byte_len = 54 + rowpad(3w)*h) while the payload is a genuine BMP
-    the real decoder must parse. Encoding runs in mapInPandas
-    (Arrow-batched, distributed), same shape as the decode side."""
+def _docs_as_encoded_media(documents: DataFrame, encoder) -> DataFrame:
+    """Shared mapInPandas body of the BMP/PNG media adapters: each
+    document becomes an (h, w, 3) uint8 image whose dimensions derive
+    arithmetically from the utf-8 byte length (w = 4 + n%29,
+    h = 4 + n%23) and whose pixels tile the text bytes (zero-padded
+    for empty text — n == 0 must yield a valid 4x4 image, matching the
+    SQL oracles, not a reshape crash). ``encoder`` maps the pixel
+    array to container bytes; encoding runs Arrow-batched and
+    distributed, same shape as the decode side."""
     import numpy as np
-
-    from ballista_extensions_spark.operators.imagecodec import encode_bmp
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -116,51 +114,42 @@ def docs_as_bmp_media(documents: DataFrame) -> DataFrame:
                 n = len(b)
                 w, h = 4 + n % 29, 4 + n % 23
                 need = w * h * 3
-                buf = np.frombuffer(
-                    (b * (need // max(1, n) + 1))[:need], dtype=np.uint8
-                )
+                tiled = (b * (need // n + 1))[:need] if n else b"\x00" * need
+                buf = np.frombuffer(tiled, dtype=np.uint8)
                 ids.append(mid)
-                payloads.append(encode_bmp(buf.reshape(h, w, 3)))
+                payloads.append(encoder(buf.reshape(h, w, 3)))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return documents.select("doc_id", "text").mapInPandas(
         _encode, schema="media_id long, payload binary"
     )
+
+
+def docs_as_bmp_media(documents: DataFrame) -> DataFrame:
+    """Adapter producing REAL encoded image payloads from driver data:
+    each document becomes a 24-bit BMP (operators/imagecodec.py encoder)
+    via the shared arithmetic-dimension tiling body
+    (``_docs_as_encoded_media``) — deterministic, so a SQL oracle can
+    predict the decoded metadata (byte_len = 54 + rowpad(3w)*h) while
+    the payload is a genuine BMP the real decoder must parse."""
+    from ballista_extensions_spark.operators.imagecodec import encode_bmp
+
+    return _docs_as_encoded_media(documents, encode_bmp)
 
 
 def docs_as_png_media(documents: DataFrame) -> DataFrame:
     """Adapter producing REAL PNG payloads from driver data — the PNG
-    sibling of ``docs_as_bmp_media``: same arithmetic dimensions
-    (w = 4 + n%29, h = 4 + n%23, RGB pixels tiling the text bytes),
-    encoded as genuine 8-bit color-type-2 PNGs
-    (operators/imagecodec.py:encode_png — zlib container with
-    stored-block DEFLATE, filter-0 scanlines, CRC'd chunks). The
-    stored-block stream keeps the file size pure arithmetic
-    (png_file_size), so a SQL oracle can predict the decoded metadata
-    byte-for-byte while the payload is a spec-correct PNG the real
-    decoder must parse (signature, IHDR, inflate, unfilter)."""
-    import numpy as np
-
+    sibling of ``docs_as_bmp_media`` (same shared body): genuine 8-bit
+    color-type-2 PNGs (operators/imagecodec.py:encode_png — zlib
+    container with stored-block DEFLATE, filter-0 scanlines, CRC'd
+    chunks). The stored-block stream keeps the file size pure
+    arithmetic (png_file_size), so a SQL oracle can predict the
+    decoded metadata byte-for-byte while the payload is a spec-correct
+    PNG the real decoder must parse (signature, IHDR, inflate,
+    unfilter)."""
     from ballista_extensions_spark.operators.imagecodec import encode_png
 
-    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, payloads = [], []
-            for mid, text in zip(pdf["doc_id"], pdf["text"]):
-                b = text.encode("utf-8")
-                n = len(b)
-                w, h = 4 + n % 29, 4 + n % 23
-                need = w * h * 3
-                buf = np.frombuffer(
-                    (b * (need // max(1, n) + 1))[:need], dtype=np.uint8
-                )
-                ids.append(mid)
-                payloads.append(encode_png(buf.reshape(h, w, 3)))
-            yield pd.DataFrame({"media_id": ids, "payload": payloads})
-
-    return documents.select("doc_id", "text").mapInPandas(
-        _encode, schema="media_id long, payload binary"
-    )
+    return _docs_as_encoded_media(documents, encode_png)
 
 
 def decode_images(

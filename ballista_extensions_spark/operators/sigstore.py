@@ -42,12 +42,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ballista_extensions_spark.operators.dedup import (
-    _capped_word_postings,
     _minhash_band_buckets,
     _verify_capped_jaccard,
+    _word_postings,
 )
-
-_NO_CAP = 1 << 62  # df cap that never triggers (raw postings)
 
 
 @dataclass(frozen=True)
@@ -63,9 +61,9 @@ class SignatureStore:
 def _postings(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    """Raw distinct (doc, s) shingle postings — the shared dedup front
-    with the df cap disabled (the store applies its own frozen cap)."""
-    return _capped_word_postings(df, text_col, id_col, n, _NO_CAP)
+    """Raw distinct (doc, s) shingle postings — the shared cap-free
+    posting front (the store applies its own frozen cap on top)."""
+    return _word_postings(df, text_col, id_col, n)
 
 
 def build_signature_store(
@@ -110,9 +108,17 @@ def _persist(
 ) -> SignatureStore:
     from ballista_extensions_spark.io import write_bucketed
 
-    write_bucketed(store.bands, f"{prefix}_bands", "bkey", buckets=buckets)
-    write_bucketed(store.sets, f"{prefix}_sets", "doc", buckets=buckets)
-    store.stop.write.mode("overwrite").format("parquet").saveAsTable(
+    # Compaction rewrites the very tables its input frames read
+    # (store.bands scans {prefix}_bands); Spark rejects overwriting a
+    # table that appears in the write's own plan. localCheckpoint
+    # materializes each frame first, replacing the table scan with an
+    # RDD scan — the read completes before the overwrite starts.
+    bands = store.bands.localCheckpoint()
+    sets = store.sets.localCheckpoint()
+    stop = store.stop.localCheckpoint()
+    write_bucketed(bands, f"{prefix}_bands", "bkey", buckets=buckets)
+    write_bucketed(sets, f"{prefix}_sets", "doc", buckets=buckets)
+    stop.write.mode("overwrite").format("parquet").saveAsTable(
         f"{prefix}_stop"
     )
     return SignatureStore(

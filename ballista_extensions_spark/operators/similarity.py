@@ -554,8 +554,12 @@ def centroid_drift(
     ref = cent.filter(F.col("batch") == ref_batch).select(
         F.col("dim").alias("rdim"), F.col("c").alias("rc")
     )
+    # LEFT join: if the reference batch is empty/missing (caller
+    # misconfiguration), every batch reports NULL drift — visibly
+    # broken, instead of an empty report indistinguishable from "no
+    # data" (a monitor must not silently vanish)
     diff = cent.join(
-        F.broadcast(ref), F.col("dim") == F.col("rdim")
+        F.broadcast(ref), F.col("dim") == F.col("rdim"), "left"
     ).select("batch", "dim", (F.col("c") - F.col("rc")).alias("d"), "n")
     per = diff.groupBy("batch").agg(
         F.sort_array(F.collect_list(F.struct("dim", "d"))).alias("dd"),

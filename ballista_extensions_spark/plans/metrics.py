@@ -28,24 +28,43 @@ from collections.abc import Callable
 from pyspark.sql import SparkSession
 
 
+def _drain_listener_bus(spark: SparkSession) -> None:
+    """Wait for the async listener bus to finish posting task-end
+    events into AppStatusStore — the REST counters lag execution by
+    however deep that queue is, so without the drain a query's bytes
+    can be attributed to the NEXT measurement window (bench medians
+    and the zero-shuffle gates would both flake). Same call Spark's
+    own test suites use; best-effort because the py4j surface is
+    internal."""
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+    except Exception:  # noqa: BLE001 — internal API; degrade silently
+        pass
+
+
 def shuffle_totals(spark: SparkSession) -> tuple[int, int]:
     """Cumulative (shuffle_read_bytes, shuffle_write_bytes) across all
     executors since application start. Returns (-1, -1) if the UI is
-    disabled (spark.ui.enabled=false) so callers can degrade to
-    wall-time-only instead of crashing the sweep."""
+    disabled (spark.ui.enabled=false) or returns anything other than
+    the expected JSON, so callers degrade to wall-time-only instead of
+    crashing the sweep."""
     sc = spark.sparkContext
     if not sc.uiWebUrl:
         return (-1, -1)
+    _drain_listener_bus(spark)
     url = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/allexecutors"
     try:
         with urllib.request.urlopen(url, timeout=10) as resp:
             data = json.load(resp)
-    except OSError:
+        return (
+            sum(e.get("totalShuffleRead", 0) for e in data),
+            sum(e.get("totalShuffleWrite", 0) for e in data),
+        )
+    except (OSError, ValueError, TypeError, AttributeError):
+        # OSError: socket/HTTP transport; ValueError: non-JSON body
+        # (proxy error page, truncation); Type/AttributeError: JSON of
+        # an unexpected shape
         return (-1, -1)
-    return (
-        sum(e.get("totalShuffleRead", 0) for e in data),
-        sum(e.get("totalShuffleWrite", 0) for e in data),
-    )
 
 
 def measure_shuffle(
@@ -58,4 +77,6 @@ def measure_shuffle(
     if r0 < 0:
         return (-1, -1)
     r1, w1 = shuffle_totals(spark)
+    if r1 < 0:
+        return (-1, -1)
     return (r1 - r0, w1 - w0)

@@ -107,7 +107,7 @@ def signature_store_incremental(
     ref AS (SELECT dim AS rdim, c AS rc FROM cent WHERE batch = 0),
     diff AS (
       SELECT batch, dim, c - rc AS d, n
-      FROM cent JOIN ref ON dim = rdim),
+      FROM cent LEFT JOIN ref ON dim = rdim),
     per AS (
       SELECT batch, list(d * d ORDER BY dim) AS sq,
              MAX(abs(d)) AS max_dim_shift, MAX(n) AS n

@@ -639,7 +639,7 @@ def test_sigstore_ingest_equals_direct_pairs(spark, texts, split):
     whitespace/short-token inputs."""
     from ballista_extensions_spark.operators import sigstore as SS
     from ballista_extensions_spark.operators.dedup import (
-        _capped_word_postings,
+        _word_postings,
     )
 
     df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
@@ -654,9 +654,8 @@ def test_sigstore_ingest_equals_direct_pairs(spark, texts, split):
         ).collect()
     }
     # direct reference under the same frozen cap
-    big = 1 << 62
-    a_post = _capped_word_postings(stored, "text", "doc_id", 3, big)
-    b_post = _capped_word_postings(batch, "text", "doc_id", 3, big)
+    a_post = _word_postings(stored, "text", "doc_id", 3)
+    b_post = _word_postings(batch, "text", "doc_id", 3)
     stop = (
         a_post.groupBy("s")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -685,4 +684,12 @@ def test_sigstore_ingest_equals_direct_pairs(spark, texts, split):
             u = len(ssa | ssb)
             if u and i / u >= 0.3:
                 want.add((da, db, round(i / u, 12)))
-    assert got == want
+    # Precision is EXACT (every emitted pair is verified), so got is
+    # always a subset of the true pair set. Recall is the banding
+    # collision probability: a just-above-threshold pair can miss with
+    # p = (1 - s^2)^64 (~0.2% at s=0.3), so exact equality would flake
+    # on generated corpora — instead require every pair with strong
+    # similarity (s >= 0.6: miss probability < 1e-13) to be found.
+    assert got <= want
+    strong = {t for t in want if t[2] >= 0.6}
+    assert strong <= got

@@ -22,12 +22,11 @@ def _direct_frozen_cap_pairs(spark, stored, batch, threshold, max_df):
     frozen cap (stop shingles from the STORED corpus only), computed
     with plain DataFrame ops — no banding, no sigstore code."""
     from ballista_extensions_spark.operators.dedup import (
-        _capped_word_postings,
+        _word_postings,
     )
 
-    big = 1 << 62
-    a_post = _capped_word_postings(stored, "text", "doc_id", 3, big)
-    b_post = _capped_word_postings(batch, "text", "doc_id", 3, big)
+    a_post = _word_postings(stored, "text", "doc_id", 3)
+    b_post = _word_postings(batch, "text", "doc_id", 3)
     stop = (
         a_post.groupBy("s")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -197,3 +196,37 @@ def test_batch_signature_param_mismatch_is_callers_burden(spark):
     sig = SS.batch_signatures(store, batch, bands=32, rows_per_band=4)
     # bkeys disagree -> zero candidates -> zero pairs despite jaccard 1
     assert SS.ingest_against_store(store, sig, threshold=0.5).count() == 0
+
+
+def test_persisted_compaction_rewrites_tables(spark, documents):
+    """compact_into_store with a table_prefix REWRITES the bucketed
+    tables it reads from (regression: Spark forbids overwriting a
+    table present in the write's own plan; _persist breaks the cycle
+    by materializing first). The rewritten store serves a subsequent
+    ingest correctly."""
+    d = documents.limit(300)
+    stored = d.filter(F.col("doc_id") % 3 == 1)
+    b1 = d.filter(F.col("doc_id") % 3 == 2)
+    prefix = "sig_test_compact"
+    try:
+        store = SS.build_signature_store(
+            stored, max_df=100, table_prefix=prefix, buckets=4
+        )
+        before_sets = store.sets.count()
+        sig1 = SS.batch_signatures(store, b1)
+        pairs1 = SS.ingest_against_store(store, sig1, threshold=0.35)
+        reject = pairs1.select(F.col("doc_new").alias("doc")).distinct()
+        accepted = sig1.sets.join(reject, "doc", "left_anti").count()
+        # the regression: this OVERWRITES {prefix}_bands/_sets/_stop
+        # while the merged frames read them
+        merged = SS.compact_into_store(
+            store, sig1, reject, table_prefix=prefix, buckets=4
+        )
+        assert merged.sets.count() == before_sets + accepted
+        # compacted table-backed store still ingests correctly
+        b2 = d.filter(F.col("doc_id") % 3 == 0).limit(40)
+        sig2 = SS.batch_signatures(merged, b2)
+        SS.ingest_against_store(merged, sig2, threshold=0.35).count()
+    finally:
+        for t in (f"{prefix}_bands", f"{prefix}_sets", f"{prefix}_stop"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

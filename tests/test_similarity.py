@@ -159,3 +159,19 @@ def test_centroid_drift_matches_numpy(spark):
     # up to float32-storage + fold error
     assert abs(out[1].drift_l2 - 2.5) < 1e-7
     assert abs(out[1].max_dim_shift - 2.5) < 1e-7
+
+
+def test_centroid_drift_missing_reference_is_visible(spark):
+    """A missing reference batch yields NULL drift rows (monitor
+    visibly broken), never an empty report."""
+    from ballista_extensions_spark.operators.similarity import (
+        centroid_drift,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, [1.0, 2.0]), (2, 2, [3.0, 4.0])],
+        "vec_id long, batch int, embedding array<double>",
+    )
+    rows = centroid_drift(df, "batch", ref_batch=0).collect()
+    assert len(rows) == 2
+    assert all(r.drift_l2 is None for r in rows)

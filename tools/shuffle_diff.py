@@ -38,17 +38,23 @@ def _load(spec: str) -> dict:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # split positionals from options, supporting both --name=value and
+    # --name value (the latter's value must NOT leak into positionals)
+    args: list[str] = []
+    opts: dict[str, str] = {}
+    it = iter(sys.argv[1:])
+    for a in it:
+        if a.startswith("--"):
+            if "=" in a:
+                k, v = a[2:].split("=", 1)
+                opts[k] = v
+            else:
+                opts[a[2:]] = next(it, "")
+        else:
+            args.append(a)
 
     def _opt(name: str, default: float) -> float:
-        for a in sys.argv[1:]:
-            if a.startswith(f"--{name}"):
-                parts = a.split("=", 1)
-                if len(parts) == 2:
-                    return float(parts[1])
-                i = sys.argv.index(a)
-                return float(sys.argv[i + 1])
-        return default
+        return float(opts[name]) if name in opts else default
 
     if not args:
         print(__doc__)
