@@ -116,8 +116,14 @@ def _persist(
     bands = store.bands.localCheckpoint()
     sets = store.sets.localCheckpoint()
     stop = store.stop.localCheckpoint()
-    write_bucketed(bands, f"{prefix}_bands", "bkey", buckets=buckets)
-    write_bucketed(sets, f"{prefix}_sets", "doc", buckets=buckets)
+    # sort within buckets by the join key: the ingest SMJ then reads
+    # both store tables pre-sorted — no per-ingest Sort over the store
+    write_bucketed(
+        bands, f"{prefix}_bands", "bkey", buckets=buckets, sort_by="bkey"
+    )
+    write_bucketed(
+        sets, f"{prefix}_sets", "doc", buckets=buckets, sort_by="doc"
+    )
     stop.write.mode("overwrite").format("parquet").saveAsTable(
         f"{prefix}_stop"
     )
