@@ -141,3 +141,107 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     batched = e.withColumn("batch", F.col("vec_id") % 5)
     return centroid_drift(batched, "batch", ref_batch=0)
+
+
+@register(
+    "corpus_shift_by_source",
+    oracle="""
+    WITH b AS (
+      SELECT source,
+             CAST(least(9, octet_length(encode(text)) // 200) AS BIGINT)
+               AS bin
+      FROM documents),
+    per_sb AS (
+      SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS c
+      FROM b GROUP BY source, bin),
+    per_s AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS cs FROM per_sb
+      GROUP BY source),
+    per_b AS (
+      SELECT bin, CAST(SUM(c) AS BIGINT) AS cb FROM per_sb GROUP BY bin),
+    tot AS (SELECT CAST(SUM(cb) AS BIGINT) AS n FROM per_b),
+    spine AS (
+      SELECT s.source, s.cs, bb.bin, bb.cb, tot.n
+      FROM per_s s CROSS JOIN per_b bb CROSS JOIN tot),
+    terms AS (
+      SELECT source, cs, bin,
+             CAST(COALESCE(p.c, 0) AS DOUBLE) / cs AS pa,
+             CAST(cb AS DOUBLE) / n AS pe
+      FROM spine
+      LEFT JOIN per_sb p USING (source, bin)),
+    folded AS (
+      SELECT source, CAST(MAX(cs) AS BIGINT) AS n_docs,
+             list((pa - pe) * (pa - pe) / pe ORDER BY bin) AS ts
+      FROM terms GROUP BY source)
+    SELECT source, n_docs,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), ts),
+                       (acc, v) -> acc + v) AS chi2
+    FROM folded
+    """,
+)
+def corpus_shift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift monitor: per source, the chi-square
+    divergence of its document-length histogram (10 fixed 200-byte
+    bins, top bin open) from the whole-corpus reference — the
+    drift/quality gate that flags a source whose crawl suddenly
+    returns stubs or megapages before it skews training mixes.
+    Chi-square instead of PSI/KL deliberately: no transcendentals, so
+    every term is exact IEEE arithmetic on ratios of integer counts
+    and the cross-engine hash matches bit-for-bit (terms fold in bin
+    order; missing (source, bin) cells enter as pa = 0 via the dense
+    source × bin spine, contributing pe — absent bins are signal, not
+    noise). Scale: counts-only aggregation — one groupBy over the
+    corpus into a (sources × 10)-row frame; the spine cross-join and
+    ordered fold run on that tiny frame."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        "source",
+        F.least(
+            F.lit(9), F.floor(F.length(F.col("text").cast("binary")) / 200)
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    per_sb = b.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_s = per_sb.groupBy("source").agg(F.sum("c").alias("cs"))
+    per_b = per_sb.groupBy("bin").agg(F.sum("c").alias("cb"))
+    tot = per_b.agg(F.sum("cb").alias("n"))
+    spine = per_s.crossJoin(F.broadcast(per_b)).crossJoin(
+        F.broadcast(tot)
+    )
+    terms = spine.join(per_sb, ["source", "bin"], "left").select(
+        "source",
+        "cs",
+        "bin",
+        (
+            F.coalesce(F.col("c"), F.lit(0)).cast("double")
+            / F.col("cs")
+        ).alias("pa"),
+        (F.col("cb").cast("double") / F.col("n")).alias("pe"),
+    )
+    folded = terms.groupBy("source").agg(
+        F.max("cs").cast("long").alias("n_docs"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "bin",
+                    (
+                        (F.col("pa") - F.col("pe"))
+                        * (F.col("pa") - F.col("pe"))
+                        / F.col("pe")
+                    ).alias("t"),
+                )
+            )
+        ).alias("ts"),
+    )
+    return folded.select(
+        "source",
+        "n_docs",
+        F.aggregate(
+            F.transform(F.col("ts"), lambda x: x["t"]),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("chi2"),
+    )
