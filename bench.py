@@ -44,6 +44,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 EXCLUDE: set[str] = set()
 
 
+def _report_shuffle_gate(new_full: dict) -> None:
+    """Diff this sweep's shuffle bytes against the BENCH_FULL.json
+    committed at git HEAD (tools/shuffle_diff.py) and print the result
+    to stderr — non-fatal here (VERDICT r9 directive #5: the gate runs
+    with EVERY sweep, so an exchange regression surfaces the round it
+    lands); tests/test_shuffle_bytes.py makes the same diff fatal."""
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from shuffle_diff import _load, diff
+
+        old = _load("git:HEAD")
+        flagged, n_common = diff(old, new_full)
+        if flagged:
+            print(f"# SHUFFLE GATE: {len(flagged)} regression(s) vs "
+                  f"git:HEAD BENCH_FULL.json:", file=sys.stderr)
+            for name, a, b in flagged:
+                print(f"#   {name}: {a} -> {b} read bytes",
+                      file=sys.stderr)
+        else:
+            print(f"# shuffle gate: no regressions vs git:HEAD across "
+                  f"{n_common} common queries", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — gate is advisory in bench
+        print(f"# shuffle gate unavailable: {e}", file=sys.stderr)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from ballista_extensions_spark.session import get_session
@@ -142,6 +168,7 @@ def main() -> None:
                              "BENCH_FULL.json")
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
+    _report_shuffle_gate(full)
     # Printed line: slowest queries only, hard-capped at ~1800 bytes so
     # the driver's stdout window can never truncate it mid-JSON; the
     # complete per-query map is in BENCH_FULL.json.

@@ -145,3 +145,43 @@ def test_bucketed_join_zero_shuffle_bytes(spark, sf_dir, _ui_available):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS sbx_join_a")
         spark.sql("DROP TABLE IF EXISTS sbx_join_b")
+
+
+def test_shuffle_diff_flags_synthetic_regressions():
+    """tools/shuffle_diff.diff is the round-over-round gate bench.py now
+    reports after every sweep (VERDICT r9 directive #5): a zero-shuffle
+    query growing ANY bytes is always flagged; growth must clear BOTH
+    the ratio and the absolute floor; shrinkage and sub-floor jitter
+    pass; [-1, -1] (UI unavailable) entries are skipped."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "shuffle_diff",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "shuffle_diff.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    old = {"shuffle_read_write_bytes": {
+        "was_zero": [0, 0],
+        "big_growth": [100_000, 100_000],
+        "jitter": [100_000, 100_000],
+        "shrank": [500_000, 500_000],
+        "ui_down": [-1, -1],
+    }}
+    new = {"shuffle_read_write_bytes": {
+        "was_zero": [8, 8],                  # 0 -> anything: flagged
+        "big_growth": [1_000_000, 1_000_000],  # 10x and +900KB: flagged
+        "jitter": [120_000, 120_000],        # 1.2x, +20KB: below floors
+        "shrank": [100_000, 100_000],        # improvement: never flagged
+        "ui_down": [123, 123],               # old run had no UI: skipped
+    }}
+    flagged, n_common = mod.diff(old, new, ratio=1.5, min_bytes=65536)
+    assert n_common == 5
+    assert [f[0] for f in flagged] == ["big_growth", "was_zero"]
+    assert ("was_zero", 0, 8) in flagged

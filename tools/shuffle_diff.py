@@ -37,6 +37,30 @@ def _load(spec: str) -> dict:
         return json.load(f)
 
 
+def diff(
+    old: dict, new: dict, ratio: float = 1.5, min_bytes: float = 65536
+) -> tuple[list[tuple[str, int, int]], int]:
+    """Flag queries whose shuffle READ bytes grew beyond the
+    ratio+absolute floor (or from 0 to anything) between two
+    BENCH_FULL-shaped dicts. Returns (flagged, n_common) — importable
+    so bench.py can report the gate at the end of every sweep."""
+    o = old.get("shuffle_read_write_bytes", {})
+    nw = new.get("shuffle_read_write_bytes", {})
+    flagged = []
+    common = set(o) & set(nw)
+    for name in sorted(common):
+        orb, nrb = o[name][0], nw[name][0]
+        if orb < 0 or nrb < 0:
+            continue  # UI unavailable in one of the runs
+        grew = nrb - orb
+        if nrb > max(orb * ratio, orb + min_bytes) and grew > min_bytes:
+            flagged.append((name, orb, nrb))
+        # a zero-shuffle query growing ANY bytes is always a flag
+        elif orb == 0 and nrb > 0:
+            flagged.append((name, orb, nrb))
+    return flagged, len(common)
+
+
 def main() -> int:
     # split positionals from options, supporting both --name=value and
     # --name value (the latter's value must NOT leak into positionals)
@@ -64,27 +88,14 @@ def main() -> int:
     ratio = _opt("ratio", 1.5)
     min_bytes = _opt("min-bytes", 65536)
 
-    o = old.get("shuffle_read_write_bytes", {})
-    nw = new.get("shuffle_read_write_bytes", {})
-    flagged = []
-    for name in sorted(set(o) & set(nw)):
-        orb, nrb = o[name][0], nw[name][0]
-        if orb < 0 or nrb < 0:
-            continue  # UI unavailable in one of the runs
-        grew = nrb - orb
-        if nrb > max(orb * ratio, orb + min_bytes) and grew > min_bytes:
-            flagged.append((name, orb, nrb))
-        # a zero-shuffle query growing ANY bytes is always a flag
-        elif orb == 0 and nrb > 0:
-            flagged.append((name, orb, nrb))
+    flagged, n_common = diff(old, new, ratio, min_bytes)
     if flagged:
         print(f"{len(flagged)} shuffle-byte regressions "
               f"(ratio>{ratio} and +{int(min_bytes)}B, or 0 -> >0):")
         for name, a, b in flagged:
             print(f"  {name}: {a} -> {b} read bytes")
         return 1
-    print(f"no shuffle regressions across "
-          f"{len(set(o) & set(nw))} common queries")
+    print(f"no shuffle regressions across {n_common} common queries")
     return 0
 
 
