@@ -426,6 +426,56 @@ def grid_features(b: bytes, grid: int = 4) -> list[float]:
     return out
 
 
+def dhash64(b: bytes) -> int:
+    """64-bit difference hash of an encoded image (any supported
+    container): decode, nearest-neighbor sample to a 9×8 grayscale
+    grid (gray = (r+g+b)//3, integer), set bit y*8+x iff the right
+    neighbor is strictly brighter. All-integer arithmetic on exact
+    sampled pixels — deterministic, container-independent (the hash
+    sees decoded pixels, so the same image as BMP/PPM/PNG hashes
+    identically), and replayable in ANSI SQL for fixture corpora whose
+    pixels are arithmetic functions of source bytes.
+
+    Nearest sampling instead of the classical box-downsample is
+    deliberate: it is total for ANY source size (the classical 8×8
+    block mean has empty blocks below 8 px) and exactly invariant
+    under integer-factor nearest upscaling (src row of sampled row y
+    at size k*h is ((y*k*h)//8)//k == (y*h)//8) — the property
+    tests/test_imagedup.py proves. Returned as a SIGNED 64-bit int so
+    it lands in a Spark LongType column unchanged."""
+    arr = decode_to_array(b).astype(np.int32)
+    h, w = arr.shape[:2]
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    g = arr[ys][:, xs].sum(axis=2) // 3  # 8 rows × 9 cols grayscale
+    bits = 0
+    for y in range(8):
+        for x in range(8):
+            if g[y, x + 1] > g[y, x]:
+                bits |= 1 << (y * 8 + x)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def ahash64(b: bytes) -> int:
+    """64-bit average hash: nearest-sample to 8×8 grayscale, set bit
+    y*8+x iff the cell is strictly brighter than the integer mean of
+    the 64 samples. Same sampling/arithmetic discipline as
+    :func:`dhash64` (dHash is the near-dup default — aHash is the
+    second opinion a report can cross-check)."""
+    arr = decode_to_array(b).astype(np.int32)
+    h, w = arr.shape[:2]
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    g = arr[ys][:, xs].sum(axis=2) // 3
+    mean = int(g.sum()) // 64
+    bits = 0
+    for y in range(8):
+        for x in range(8):
+            if g[y, x] > mean:
+                bits |= 1 << (y * 8 + x)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
 def install() -> None:
     """Install the real codec into the multimodal hooks — after this,
     decode_images/resize_images/extract_features run REAL decode on

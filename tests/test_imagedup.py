@@ -1,0 +1,116 @@
+"""Perceptual-hash image near-dup (operators/imagedup.py +
+imagecodec.dhash64/ahash64): hash properties (container independence,
+exact invariance under integer nearest upscaling), the pigeonhole
+recall guarantee of the banded Hamming join, and the undecodable-row
+contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ballista_extensions_spark.operators import imagecodec as C
+from ballista_extensions_spark.operators.imagedup import (
+    image_dhash,
+    phash_near_dup_pairs,
+)
+
+
+def _img(seed: int, h: int = 13, w: int = 17) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_dhash_container_independent():
+    """The hash sees decoded pixels: the same image as BMP, PPM and
+    PNG (all five PNG filters) hashes identically."""
+    px = _img(7)
+    hs = {
+        C.dhash64(C.encode_bmp(px)),
+        C.dhash64(C.encode_ppm(px)),
+        C.dhash64(C.encode_png(px)),
+        C.dhash64(C.encode_png(px, filter_type=4)),
+        C.dhash64(C.encode_png(px, filter_type=None)),
+    }
+    assert len(hs) == 1
+
+
+def test_dhash_exact_under_integer_nearest_upscale():
+    """dHash's nearest 9×8 sampling is EXACTLY invariant under
+    integer-factor nearest upscaling: ((y*k*h)//8)//k == (y*h)//8."""
+    px = _img(11, h=9, w=14)
+    base = C.dhash64(C.encode_png(px))
+    for k in (2, 3):
+        up = px.repeat(k, axis=0).repeat(k, axis=1)
+        assert C.dhash64(C.encode_png(up)) == base
+
+
+def test_dhash_differs_across_images_and_is_signed_long():
+    a = C.dhash64(C.encode_png(_img(1)))
+    b = C.dhash64(C.encode_png(_img(2)))
+    assert a != b
+    for v in (a, b):
+        assert -(1 << 63) <= v < (1 << 63)
+
+
+def test_ahash_flat_image_is_zero_and_deterministic():
+    flat = np.full((8, 8, 3), 77, dtype=np.uint8)
+    assert C.ahash64(C.encode_png(flat)) == 0
+    px = _img(3)
+    assert C.ahash64(C.encode_png(px)) == C.ahash64(C.encode_png(px))
+
+
+def test_banded_pairs_equal_bruteforce(spark):
+    """Pigeonhole recall: banded candidates + exact verification must
+    equal the corpus² brute force for every threshold < bands."""
+    rng = np.random.default_rng(42)
+    base = rng.integers(-(1 << 62), 1 << 62, size=40, dtype=np.int64)
+    # plant near-dups at controlled distances 0..7
+    rows = [(i, int(h)) for i, h in enumerate(base)]
+    for d in range(8):
+        h = int(base[d])
+        for bit in rng.choice(64, size=d, replace=False):
+            h ^= 1 << int(bit)
+            if h >= 1 << 63:
+                h -= 1 << 64
+        rows.append((100 + d, int(h)))
+    df = spark.createDataFrame(rows, "id long, dhash long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash_near_dup_pairs(df, threshold=6, bands=8).collect()
+    }
+    want = set()
+    by_id = dict(rows)
+    ids = sorted(by_id)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin((by_id[a] ^ by_id[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 6:
+                want.add((a, b, d))
+    assert got == want
+    # the planted distance-0..6 pairs are all present
+    assert all((d, 100 + d, d) in want or d > 6 for d in range(8))
+
+
+def test_threshold_must_stay_below_bands():
+    import pandas as pd  # noqa: F401
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash_near_dup_pairs(None, threshold=8, bands=8)
+    with pytest.raises(ValueError, match="divide"):
+        phash_near_dup_pairs(None, threshold=3, bands=7)
+
+
+def test_undecodable_payload_yields_null_and_never_pairs(spark):
+    good = C.encode_png(_img(5))
+    rows = [(1, bytearray(good)), (2, bytearray(b"not an image")),
+            (3, bytearray(good))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashed = image_dhash(media)
+    got = {r["id"]: r["dhash"] for r in hashed.collect()}
+    assert got[2] is None and got[1] == got[3] and got[1] is not None
+    pairs = phash_near_dup_pairs(hashed, threshold=6, bands=8).collect()
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs} == {
+        (1, 3, 0)
+    }
