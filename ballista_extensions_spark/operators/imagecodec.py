@@ -350,6 +350,12 @@ def decode_image(b: bytes) -> tuple[int, int, int]:
         return w, h, c
     if b[: len(_PNG_SIG)] == _PNG_SIG:
         return _png_ihdr(b)
+    if b[:2] == b"\xff\xd8":
+        from ballista_extensions_spark.operators.jpegcodec import (
+            decode_jpeg_meta,
+        )
+
+        return decode_jpeg_meta(b)
     raise ValueError("unknown image format")
 
 
@@ -386,6 +392,15 @@ def decode_to_array(b: bytes) -> np.ndarray:
         if ch == 4:  # RGBA -> RGB (alpha dropped)
             return arr[:, :, :3]
         return arr
+    if b[:2] == b"\xff\xd8":
+        from ballista_extensions_spark.operators.jpegcodec import (
+            decode_jpeg_to_array,
+        )
+
+        arr = decode_jpeg_to_array(b)
+        if arr.shape[2] == 1:  # gray -> RGB
+            return np.repeat(arr, 3, axis=2)
+        return arr
     raise ValueError("unknown image format")
 
 
@@ -403,6 +418,12 @@ def resize_nearest(b: bytes, target_w: int, target_h: int) -> bytes:
         return encode_bmp(dst)
     if b[: len(_PNG_SIG)] == _PNG_SIG:
         return encode_png(dst)
+    if b[:2] == b"\xff\xd8":
+        from ballista_extensions_spark.operators.jpegcodec import (
+            encode_jpeg,
+        )
+
+        return encode_jpeg(dst, quality=90)
     return encode_ppm(dst)
 
 

@@ -152,6 +152,96 @@ def docs_as_png_media(documents: DataFrame) -> DataFrame:
     return _docs_as_encoded_media(documents, encode_png)
 
 
+def docs_as_jpeg_media(documents: DataFrame) -> DataFrame:
+    """Adapter producing REAL baseline-JPEG payloads from driver data
+    (operators/jpegcodec.py): each document becomes a grayscale image
+    of FLAT 8×8 blocks — bw = 1 + n%6 by bh = 1 + n%5 blocks, block
+    (by, bx) holding text byte (by*bw + bx) mod n — encoded with an
+    ALL-ONES quantization table. Flat blocks are DC-only, and DC
+    quantizes losslessly at step 1, so decode returns the block
+    values EXACTLY (jpegcodec module docstring derivation) — which is
+    what lets a SQL oracle predict decoded pixel sums arithmetically
+    while the decoder does the full real work: marker parse, Huffman
+    decode, dequantize, IDCT. The lossy general path is
+    pytest-bounded instead (tests/test_jpegcodec.py)."""
+    import numpy as np
+
+    from ballista_extensions_spark.operators.jpegcodec import encode_jpeg
+
+    ones = np.ones((8, 8), dtype=np.int32)
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                n = len(b)
+                bw, bh = 1 + n % 6, 1 + n % 5
+                need = bw * bh
+                tiled = (b * (need // n + 1))[:need] if n else b"\x00" * need
+                vals = np.frombuffer(tiled, dtype=np.uint8).reshape(bh, bw)
+                img = vals.repeat(8, axis=0).repeat(8, axis=1)
+                ids.append(mid)
+                payloads.append(encode_jpeg(img, quant_tables=(ones, ones)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return documents.select("doc_id", "text").mapInPandas(
+        _encode, schema="media_id long, payload binary"
+    )
+
+
+def decode_pixel_stats(
+    df: DataFrame,
+    to_array: Callable[[bytes], "object"],
+) -> DataFrame:
+    """Pixel-LEVEL decode statistics: (media_id, width, height,
+    channels, pixel_sum, decode_error) where pixel_sum is the integer
+    sum of every decoded sample — the cheap whole-image checksum that
+    proves a decoder reconstructed actual pixels, not just headers
+    (the metadata path ``decode_images`` never inflates payloads).
+    Arrow-batched mapInPandas, no shuffle; failures surface per-row in
+    the error column, same contract as decode_images."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list[Any]] = {
+                "media_id": [],
+                "width": [],
+                "height": [],
+                "channels": [],
+                "pixel_sum": [],
+                "decode_error": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                if payload is None:
+                    for k in ("width", "height", "channels", "pixel_sum"):
+                        out[k].append(None)
+                    out["decode_error"].append("null payload")
+                    continue
+                try:
+                    arr = to_array(bytes(payload))
+                    h, w, c = arr.shape
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["channels"].append(c)
+                    out["pixel_sum"].append(int(arr.astype("int64").sum()))
+                    out["decode_error"].append(None)
+                except Exception as e:  # noqa: BLE001 — per-row error column
+                    for k in ("width", "height", "channels", "pixel_sum"):
+                        out[k].append(None)
+                    out["decode_error"].append(str(e)[:200])
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(
+        _stats,
+        schema=(
+            "media_id long, width int, height int, channels int, "
+            "pixel_sum long, decode_error string"
+        ),
+    )
+
+
 def decode_images(
     df: DataFrame,
     *,
