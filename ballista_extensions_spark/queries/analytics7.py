@@ -126,6 +126,59 @@ def image_near_dup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "image_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_DHASH_CTE},
+    edges AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 6),
+    sym AS (SELECT da AS u, db AS v FROM edges
+            UNION SELECT db, da FROM edges),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.v, r.label FROM reach r JOIN sym s ON s.u = r.node)
+    SELECT node AS doc_id,
+           CAST(MIN(label) AS BIGINT) AS component,
+           MIN(label) = node AS is_representative
+    FROM reach GROUP BY node
+    """,
+)
+def image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full image-dedup closure: real PNG payloads → codec decode →
+    dHash → banded Hamming pairs (≤ 6) → connected components → one
+    representative per transitive cluster — the image twin of
+    dedup_components, composing operators/imagedup.py with the
+    large-star/small-star closure (operators/components.py). The
+    oracle recomputes the same fixpoint with a DuckDB recursive CTE
+    over the brute-force pair set, so a hash match proves the banded
+    candidate recall AND the closure semantics bit-for-bit. Scale:
+    per-round shuffles sized by the (sparse) edge list; isolated
+    images attach via one narrow anti-join; everything upstream is
+    the 8-B-per-image hash pipeline."""
+    from ballista_extensions_spark.operators.components import (
+        dedup_by_components,
+    )
+    from ballista_extensions_spark.operators.imagedup import (
+        image_dhash,
+        phash_near_dup_pairs,
+    )
+    from ballista_extensions_spark.operators.multimodal import (
+        docs_as_png_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    media = docs_as_png_media(ensure_parallelism(d))
+    pairs = phash_near_dup_pairs(
+        image_dhash(media), threshold=6, bands=8
+    ).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return dedup_by_components(d, pairs)
+
+
+@register(
     "multimodal_decode_jpeg",
     oracle="""
     WITH d AS (
