@@ -190,6 +190,44 @@ def docs_as_jpeg_media(documents: DataFrame) -> DataFrame:
     )
 
 
+def docs_as_wav_media(documents: DataFrame) -> DataFrame:
+    """Adapter producing REAL audio payloads from driver data — the
+    WAV sibling of ``docs_as_png_media``: each document becomes a
+    genuine 16-bit PCM RIFF/WAVE file (operators/audiocodec.py:
+    encode_wav) whose geometry derives arithmetically from the utf-8
+    byte length (rate = 8000 + n%5 * 2000, channels = 1 + n%2,
+    frames = 130 + n%391 — ≥130 frames so every one of the 65
+    fingerprint windows is nonempty) and whose interleaved samples map
+    the text bytes through the fixed affine (byte - 128) * 256 — the
+    exact unsigned→int16 widening the 8-bit decode path uses, and
+    pure integer arithmetic a SQL oracle replays per sample. Empty
+    text yields silence, matching the oracles' n = 0 branch."""
+    import numpy as np
+
+    from ballista_extensions_spark.operators.audiocodec import encode_wav
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                n = len(b)
+                rate = 8000 + (n % 5) * 2000
+                channels = 1 + n % 2
+                frames = 130 + n % 391
+                need = frames * channels
+                tiled = (b * (need // n + 1))[:need] if n else b"\x00" * need
+                flat = np.frombuffer(tiled, dtype=np.uint8).astype(np.int16)
+                samples = ((flat - 128) << 8).reshape(frames, channels)
+                ids.append(mid)
+                payloads.append(encode_wav(samples, rate))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return documents.select("doc_id", "text").mapInPandas(
+        _encode, schema="media_id long, payload binary"
+    )
+
+
 def decode_pixel_stats(
     df: DataFrame,
     to_array: Callable[[bytes], "object"],
