@@ -228,6 +228,44 @@ def docs_as_wav_media(documents: DataFrame) -> DataFrame:
     )
 
 
+def docs_as_avi_media(documents: DataFrame) -> DataFrame:
+    """Adapter producing REAL video payloads from driver data — the
+    AVI sibling of ``docs_as_wav_media``: each document becomes a
+    genuine single-stream uncompressed AVI
+    (operators/videocodec.py:encode_avi) whose geometry derives
+    arithmetically from the utf-8 byte length (w = 4 + n%9,
+    h = 4 + n%7, n_frames = 3 + n%6, us_per_frame = 40000 + n%3 *
+    20000) and whose pixels tile the text bytes in (frame, y, x,
+    channel) row-major order — pure integer arithmetic a SQL oracle
+    replays per pixel. Empty text yields black frames, matching the
+    oracles' n = 0 branch."""
+    import numpy as np
+
+    from ballista_extensions_spark.operators.videocodec import encode_avi
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                n = len(b)
+                w, h = 4 + n % 9, 4 + n % 7
+                nf = 3 + n % 6
+                uspf = 40000 + (n % 3) * 20000
+                need = nf * h * w * 3
+                tiled = (b * (need // n + 1))[:need] if n else b"\x00" * need
+                frames = np.frombuffer(tiled, dtype=np.uint8).reshape(
+                    nf, h, w, 3
+                )
+                ids.append(mid)
+                payloads.append(encode_avi(frames, uspf))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return documents.select("doc_id", "text").mapInPandas(
+        _encode, schema="media_id long, payload binary"
+    )
+
+
 def decode_pixel_stats(
     df: DataFrame,
     to_array: Callable[[bytes], "object"],

@@ -1,0 +1,241 @@
+"""Round-10 video-modality queries: the REAL pure-stdlib AVI codec
+(operators/videocodec.py) extends the decode→features→dedup loop to a
+FOURTH modality — container decode metadata, real frame-stride
+sampling, keyframe perceptual fingerprints, and banded Hamming
+near-dup over video, each with a bit-exact SQL oracle replaying the
+fixture arithmetic (operators/multimodal.py:docs_as_avi_media).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ballista_extensions_spark.io import ensure_parallelism, load_table
+from ballista_extensions_spark.queries.registry import register
+
+#: Shared oracle preamble: the AVI fixture geometry (w/h/frames/timing
+#: from the utf-8 byte length). Pixel (f, y, x, c) of the fixture video
+#: is text byte ((f*h + y)*w + x)*3 + c mod n — the exact tiling
+#: docs_as_avi_media encodes and decode_avi recovers losslessly
+#: (uncompressed 24-bit DIB frames roundtrip exactly).
+_AVI_DIMS = """
+    d AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n,
+             4 + octet_length(encode(text)) % 9 AS w,
+             4 + octet_length(encode(text)) % 7 AS h,
+             3 + octet_length(encode(text)) % 6 AS nf,
+             40000 + (octet_length(encode(text)) % 3) * 20000 AS uspf
+      FROM documents)
+"""
+
+#: Keyframe-dHash CTE on top of _AVI_DIMS: the keyframe is the middle
+#: frame (nf // 2), whose flat pixel base offset is (nf//2)*h*w*3;
+#: dHash samples a 9×8 nearest-neighbor grayscale grid
+#: ((r+g+b)//3, integer) of that frame and sets bit y*8+x iff the
+#: right neighbor is strictly brighter — the
+#: videocodec.video_dhash64 convention, with bit 63 entering as the
+#: signed minimum so the SUM lands exactly in a BIGINT.
+_VDHASH_CTE = f"""
+    {_AVI_DIMS},
+    g AS (
+      SELECT doc_id, y, x,
+        CASE WHEN n = 0 THEN 0 ELSE
+          (ascii(substring(text, ((nf // 2) * h * w * 3
+              + (((y*h)//8)*w + (x*w)//9)*3 + 0) % n + 1, 1))
+         + ascii(substring(text, ((nf // 2) * h * w * 3
+              + (((y*h)//8)*w + (x*w)//9)*3 + 1) % n + 1, 1))
+         + ascii(substring(text, ((nf // 2) * h * w * 3
+              + (((y*h)//8)*w + (x*w)//9)*3 + 2) % n + 1, 1))
+          ) // 3
+        END AS gray
+      FROM d, generate_series(0, 7) t1(y), generate_series(0, 8) t2(x)),
+    bits AS (
+      SELECT l.doc_id, l.y, l.x,
+             CASE WHEN r.gray > l.gray THEN 1 ELSE 0 END AS bit
+      FROM g l JOIN g r ON r.doc_id = l.doc_id AND r.y = l.y
+                       AND r.x = l.x + 1
+      WHERE l.x <= 7),
+    vh AS (
+      SELECT doc_id, CAST(SUM(CASE WHEN bit = 1 THEN
+          CASE WHEN y*8 + x = 63 THEN -9223372036854775808
+               ELSE (CAST(1 AS BIGINT) << (y*8 + x)) END
+          ELSE 0 END) AS BIGINT) AS vhash
+      FROM bits GROUP BY doc_id)
+"""
+
+
+@register(
+    "video_decode_meta",
+    oracle=f"""
+    WITH {_AVI_DIMS},
+    px AS (
+      -- constant series bound (fixture max nf*h*w*3 = 8*10*12*3 =
+      -- 2880) + WHERE filter: DuckDB's table-function generate_series
+      -- rejects lateral column bounds
+      SELECT doc_id,
+             CASE WHEN n = 0 THEN 0 ELSE
+               ascii(substring(text, (i % n) + 1, 1))
+             END AS v
+      FROM d, generate_series(0, 2879) t(i) WHERE i < nf * h * w * 3)
+    SELECT d.doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(nf AS INT) AS n_frames,
+           CAST(uspf AS BIGINT) AS us_per_frame,
+           CAST(nf * uspf // 1000 AS BIGINT) AS duration_ms,
+           s.pixel_sum
+    FROM d JOIN (SELECT doc_id, SUM(CAST(v AS BIGINT)) AS pixel_sum
+                 FROM px GROUP BY doc_id) s ON s.doc_id = d.doc_id
+    """,
+)
+def video_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end: documents become genuine
+    single-stream uncompressed AVIs (multimodal.docs_as_avi_media —
+    RIFF form with hdrl/strl headers, movi frame chunks, idx1 index),
+    the shipped pure-stdlib codec parses them back (nested LIST walk,
+    avih/strf validation, bottom-up BGR DIB frame unpack —
+    operators/videocodec.py:decode_avi), and every reported feature is
+    integer arithmetic the oracle replays per pixel: geometry, frame
+    count, timing, floor-ms duration and the full pixel checksum. A
+    hash match proves the container roundtrip AND the frame
+    reconstruction pixel-exactly on every row. Scale: one
+    Arrow-batched mapInPandas pass, no shuffle, no driver state."""
+    from ballista_extensions_spark.operators.multimodal import (
+        docs_as_avi_media,
+    )
+    from ballista_extensions_spark.operators.videocodec import (
+        video_meta_stats,
+    )
+
+    media = docs_as_avi_media(
+        ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    )
+    return video_meta_stats(media).select(
+        "media_id", "width", "height", "n_frames",
+        "us_per_frame", "duration_ms", "pixel_sum",
+    )
+
+
+@register(
+    "video_frame_sample",
+    oracle=f"""
+    WITH {_AVI_DIMS},
+    fx AS (
+      SELECT doc_id, f, n, h, w,
+             CASE WHEN n = 0 THEN 0 ELSE
+               ascii(substring(text, ((f * h * w * 3 + j) % n) + 1, 1))
+             END AS v
+      FROM d,
+           generate_series(0, 7) t(f),
+           generate_series(0, 359) u(j)
+      WHERE f < nf AND f % 2 = 0 AND j < h * w * 3)
+    SELECT doc_id AS media_id,
+           CAST(f AS INT) AS frame_idx,
+           SUM(CAST(v AS BIGINT)) AS frame_sum
+    FROM fx GROUP BY doc_id, f
+    """,
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling — the decode-backed upgrade of the
+    byte-offset stub (operators/multimodal.py:sample_frames): each AVI
+    is decoded and every 2nd frame is extracted, one output row per
+    sampled frame with that frame's integer pixel checksum
+    (operators/videocodec.py:frame_stride_checksums). The bounded
+    explode — one video row becoming ceil(n_frames/2) frame rows — is
+    the frame-extraction stage of a video curation pipeline; the
+    per-frame checksum proves each sampled frame individually against
+    the oracle's per-pixel replay, so frame ORDER and frame CONTENT
+    are both verified, not just counts. Scale: Arrow-batched, output
+    co-partitioned with the input, fan-out bounded by
+    n_frames/stride ≤ 4, no shuffle."""
+    from ballista_extensions_spark.operators.multimodal import (
+        docs_as_avi_media,
+    )
+    from ballista_extensions_spark.operators.videocodec import (
+        video_frame_samples,
+    )
+
+    media = docs_as_avi_media(
+        ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    )
+    return video_frame_samples(media, stride=2)
+
+
+@register(
+    "video_keyframe_fingerprints",
+    oracle=f"""
+    WITH {_VDHASH_CTE}
+    SELECT doc_id AS media_id, vhash AS keyframe_hash FROM vh
+    """,
+)
+def video_keyframe_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-video 64-bit keyframe perceptual fingerprint over REAL AVI
+    payloads: container decode, middle-frame keyframe selection, and
+    the image dHash discipline on that frame's pixels (9×8 nearest
+    grid, integer grayscale, strictly-brighter comparisons —
+    operators/videocodec.py:video_dhash64), computed by the SAME
+    Arrow-batched hashing operator the image and audio paths use
+    (operators/imagedup.py:image_dhash with a pluggable hasher). The
+    oracle recomputes every video's hash from the fixture arithmetic,
+    so a match proves decode → keyframe → grayscale → sample → bit
+    assembly bit-for-bit on every row — the full-coverage complement
+    of video_near_dup_keyframe (whose output only shows pair
+    survivors). Scale: narrow pass, 8 B of state per video, no
+    shuffle."""
+    from ballista_extensions_spark.operators.imagedup import image_dhash
+    from ballista_extensions_spark.operators.multimodal import (
+        docs_as_avi_media,
+    )
+    from ballista_extensions_spark.operators.videocodec import (
+        video_dhash64,
+    )
+
+    media = docs_as_avi_media(
+        ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    )
+    return image_dhash(media, hasher=video_dhash64).select(
+        F.col("id").alias("media_id"),
+        F.col("dhash").alias("keyframe_hash"),
+    )
+
+
+@register(
+    "video_near_dup_keyframe",
+    oracle=f"""
+    WITH {_VDHASH_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.vhash, b.vhash)) AS BIGINT) AS hamming
+    FROM vh a JOIN vh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.vhash, b.vhash)) <= 6
+    """,
+)
+def video_near_dup_keyframe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs by keyframe perceptual hash — the
+    FOURTH modality through the SAME banded multi-index Hamming join
+    the image and audio paths proved
+    (operators/imagedup.py:phash_near_dup_pairs, pigeonhole recall
+    exactly 1.0 for threshold < bands): real AVI payloads → container
+    decode → middle-frame dHash → all pairs within Hamming distance 6.
+    The oracle runs the corpus² brute force; the Spark plan never
+    builds it. Scale: 8 B hash state per video, candidates ∝
+    per-(band, slice) collisions — same posting-cap discipline as the
+    image, audio and MinHash families."""
+    from ballista_extensions_spark.operators.imagedup import (
+        image_dhash,
+        phash_near_dup_pairs,
+    )
+    from ballista_extensions_spark.operators.multimodal import (
+        docs_as_avi_media,
+    )
+    from ballista_extensions_spark.operators.videocodec import (
+        video_dhash64,
+    )
+
+    media = docs_as_avi_media(
+        ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    )
+    hashes = image_dhash(media, hasher=video_dhash64)
+    return phash_near_dup_pairs(hashes, threshold=6, bands=8)

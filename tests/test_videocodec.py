@@ -1,0 +1,206 @@
+"""AVI codec + video operator tests: container roundtrip, nested-LIST
+RIFF walk tolerance, DIB row padding, fail-loud rejection contracts,
+integer feature replays, keyframe-dHash properties, and the Spark-side
+decode/frame-sample/near-dup composition."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from ballista_extensions_spark.operators.videocodec import (
+    _dib_row_size,
+    avi_meta,
+    decode_avi,
+    encode_avi,
+    frame_stride_checksums,
+    video_dhash64,
+    video_frame_samples,
+    video_meta_stats,
+)
+
+
+def _vid(seed: int, nf: int = 4, h: int = 6, w: int = 5) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(nf, h, w, 3)).astype(np.uint8)
+
+
+def test_roundtrip_exact_across_shapes():
+    # w values hit every row-padding residue (3w % 4 in {0,1,2,3})
+    for nf, h, w in [(1, 4, 4), (3, 7, 5), (8, 10, 6), (5, 4, 7), (2, 5, 12)]:
+        fr = _vid(nf * h * w, nf, h, w)
+        out, uspf = decode_avi(encode_avi(fr, 40000))
+        assert uspf == 40000
+        assert out.shape == fr.shape
+        assert np.array_equal(out, fr)
+
+
+def test_zero_frames_roundtrip():
+    fr = np.zeros((0, 4, 4, 3), dtype=np.uint8)
+    out, uspf = decode_avi(encode_avi(fr, 50000))
+    assert out.shape == (0, 4, 4, 3) and uspf == 50000
+    m = avi_meta(encode_avi(fr, 50000))
+    assert m["n_frames"] == 0 and m["pixel_sum"] == 0
+    assert m["duration_ms"] == 0
+
+
+def test_unknown_chunks_skipped_with_pad():
+    fr = _vid(3, 2, 4, 4)
+    p = encode_avi(fr, 40000)
+    # splice a 3-byte JUNK chunk (odd size -> 1 pad byte) right after
+    # the 'AVI ' form type, before LIST hdrl
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc\x00"
+    body = p[12:]
+    spliced = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(junk) + len(body))
+        + b"AVI "
+        + junk
+        + body
+    )
+    out, _ = decode_avi(spliced)
+    assert np.array_equal(out, fr)
+
+
+@pytest.mark.parametrize(
+    "payload,msg",
+    [
+        (b"", "not a RIFF"),
+        (b"RIFX" + b"\x00" * 40, "not a RIFF"),
+        (b"RIFF" + struct.pack("<I", 4) + b"WAVE", "not AVI"),
+        (b"RIFF" + struct.pack("<I", 4) + b"AVI ", "no avih"),
+    ],
+)
+def test_malformed_payloads_fail_loud(payload, msg):
+    with pytest.raises(ValueError, match=msg):
+        decode_avi(payload)
+
+
+def test_compressed_and_wrong_depth_rejected():
+    fr = _vid(5, 2, 4, 4)
+    p = bytearray(encode_avi(fr, 40000))
+    # strf BITMAPINFOHEADER fields: locate the strf chunk body
+    i = bytes(p).index(b"strf") + 8
+    comp_off = i + 16  # biSize,biWidth,biHeight,biPlanes+biBitCount
+    p2 = bytearray(p)
+    p2[comp_off : comp_off + 4] = struct.pack("<I", 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="biCompression=1"):
+        decode_avi(bytes(p2))
+    p3 = bytearray(p)
+    p3[i + 14 : i + 16] = struct.pack("<H", 8)  # biBitCount
+    with pytest.raises(ValueError, match="biBitCount=8"):
+        decode_avi(bytes(p3))
+
+
+def test_frame_chunk_size_mismatch_rejected():
+    fr = _vid(7, 1, 4, 4)
+    p = bytearray(encode_avi(fr, 40000))
+    # shrink the single 00db chunk's declared size by one row: the
+    # unpack must notice rows*rowsize disagrees
+    i = bytes(p).index(b"00db") + 4
+    (size,) = struct.unpack("<I", p[i : i + 4])
+    assert size == _dib_row_size(4) * 4
+    # craft a payload whose frame chunk holds the wrong byte count by
+    # re-declaring a smaller movi frame (truncate data + fix sizes is
+    # involved; easier: decode a hand-built frame with bad length)
+    from ballista_extensions_spark.operators.videocodec import (
+        _unpack_frame_dib,
+    )
+
+    with pytest.raises(ValueError, match="frame chunk size"):
+        _unpack_frame_dib(b"\x00" * 10, 4, 4)
+
+
+def test_avi_meta_matches_numpy_replay():
+    fr = _vid(11, 5, 7, 9)
+    m = avi_meta(encode_avi(fr, 60000))
+    assert m["width"] == 9 and m["height"] == 7 and m["n_frames"] == 5
+    assert m["us_per_frame"] == 60000
+    assert m["duration_ms"] == 5 * 60000 // 1000
+    assert m["pixel_sum"] == int(fr.astype(np.int64).sum())
+
+
+def test_frame_stride_checksums_replay():
+    fr = _vid(13, 7, 4, 6)
+    p = encode_avi(fr, 40000)
+    got = frame_stride_checksums(p, 2)
+    assert [f for f, _ in got] == [0, 2, 4, 6]
+    for f, s in got:
+        assert s == int(fr[f].astype(np.int64).sum())
+    assert [f for f, _ in frame_stride_checksums(p, 3)] == [0, 3, 6]
+    with pytest.raises(ValueError, match="stride"):
+        frame_stride_checksums(p, 0)
+
+
+def test_video_dhash_keyframe_selection_and_signed():
+    # two videos sharing the middle frame hash identically even when
+    # every other frame differs
+    rng = np.random.RandomState(17)
+    key = rng.randint(0, 256, size=(6, 8, 3)).astype(np.uint8)
+    a = _vid(19, 5, 6, 8)
+    b = _vid(23, 5, 6, 8)
+    a[2] = key
+    b[2] = key
+    ha = video_dhash64(encode_avi(a, 40000))
+    hb = video_dhash64(encode_avi(b, 40000))
+    assert ha == hb
+    assert -(1 << 63) <= ha < (1 << 63)
+    with pytest.raises(ValueError, match="zero-frame"):
+        video_dhash64(encode_avi(np.zeros((0, 4, 4, 3), np.uint8), 40000))
+
+
+def test_video_dhash_matches_image_dhash_on_same_pixels():
+    # single-frame video of frame F hashes exactly like the BMP of F:
+    # the keyframe discipline IS imagecodec.dhash64 on decoded pixels
+    from ballista_extensions_spark.operators.imagecodec import (
+        dhash64,
+        encode_bmp,
+    )
+
+    f = _vid(29, 1, 9, 11)[0]
+    assert video_dhash64(
+        encode_avi(f[None, :, :, :], 40000)
+    ) == dhash64(encode_bmp(f))
+
+
+def test_spark_decode_frame_sample_near_dup_composition(spark):
+    from ballista_extensions_spark.operators.imagedup import (
+        image_dhash,
+        phash_near_dup_pairs,
+    )
+
+    base = _vid(31, 5, 6, 8)
+    near = base.copy()
+    near[0, 0, 0, 0] ^= 1  # perturb a non-keyframe pixel: hash unmoved
+    far = _vid(37, 5, 6, 8)
+    rows = [
+        (1, bytearray(encode_avi(base, 40000))),
+        (2, bytearray(encode_avi(near, 40000))),
+        (3, bytearray(encode_avi(far, 40000))),
+        (4, None),  # undecodable: must not pair
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    meta = {r["media_id"]: r for r in video_meta_stats(media).collect()}
+    assert meta[1]["n_frames"] == 5 and meta[1]["decode_error"] is None
+    assert meta[4]["decode_error"] is not None
+    frames = video_frame_samples(media, stride=2).collect()
+    by_vid = {}
+    for r in frames:
+        by_vid.setdefault(r["media_id"], []).append(
+            (r["frame_idx"], r["frame_sum"])
+        )
+    assert sorted(f for f, _ in by_vid[1]) == [0, 2, 4]
+    for f, s in by_vid[1]:
+        assert s == int(base[f].astype(np.int64).sum())
+    assert 4 not in by_vid  # null payload produced no frame rows...
+    hashes = image_dhash(media, hasher=video_dhash64)
+    got = {(r["id_a"], r["id_b"]) for r in
+           phash_near_dup_pairs(hashes, threshold=6, bands=8).collect()}
+    assert (1, 2) in got  # same keyframe -> hamming 0
+    hv = {r["id"]: r["dhash"] for r in hashes.collect()
+          if r["dhash"] is not None}
+    want = {(a, b) for a in hv for b in hv if a < b
+            and bin((hv[a] ^ hv[b]) & ((1 << 64) - 1)).count("1") <= 6}
+    assert got == want

@@ -88,6 +88,75 @@ def main() -> None:
     def _pairs_lsh(d):
         return D.near_dup_pairs_lsh_verified(d, threshold=0.35)
 
+    def _media_near_dup(adapter, hasher, threshold):
+        # the full round-10 multimodal loop: encode fixture payloads ->
+        # REAL codec decode -> 64-bit perceptual hash -> banded
+        # multi-index Hamming pairs. Linear-by-construction up to the
+        # per-(band, slice) collision join; the amplified corpus has
+        # REAL cross-copy duplicates every band must bucket together.
+        from ballista_extensions_spark.operators.imagedup import (
+            image_dhash,
+            phash_near_dup_pairs,
+        )
+
+        def run(d, e):
+            hashes = image_dhash(adapter(d), hasher=hasher)
+            return phash_near_dup_pairs(
+                hashes, threshold=threshold, bands=8
+            ).count()
+
+        return run
+
+    def _jpeg_decode(d, e):
+        from ballista_extensions_spark.operators.jpegcodec import (
+            decode_jpeg_to_array,
+        )
+        from ballista_extensions_spark.operators.multimodal import (
+            decode_pixel_stats,
+            docs_as_jpeg_media,
+        )
+
+        return decode_pixel_stats(
+            docs_as_jpeg_media(d), decode_jpeg_to_array
+        ).count()
+
+    def _video_frames(d, e):
+        from ballista_extensions_spark.operators.multimodal import (
+            docs_as_avi_media,
+        )
+        from ballista_extensions_spark.operators.videocodec import (
+            video_frame_samples,
+        )
+
+        return video_frame_samples(docs_as_avi_media(d), stride=2).count()
+
+    def _media_ops():
+        from ballista_extensions_spark.operators.audiocodec import (
+            audio_dhash64,
+        )
+        from ballista_extensions_spark.operators.multimodal import (
+            docs_as_avi_media,
+            docs_as_png_media,
+            docs_as_wav_media,
+        )
+        from ballista_extensions_spark.operators.videocodec import (
+            video_dhash64,
+        )
+
+        return {
+            "image_phash_near_dup": _media_near_dup(
+                docs_as_png_media, None, 6
+            ),
+            "audio_energy_near_dup": _media_near_dup(
+                docs_as_wav_media, audio_dhash64, 5
+            ),
+            "video_keyframe_near_dup": _media_near_dup(
+                docs_as_avi_media, video_dhash64, 6
+            ),
+            "jpeg_decode_checksum": _jpeg_decode,
+            "video_frame_sample": _video_frames,
+        }
+
     # NOTE: PageRank-over-near-dup-pairs is intentionally absent: its
     # cost profile is dedup_components' (pair generation dominates; the
     # rank loop adds O(iterations) cheap stages).
@@ -551,6 +620,7 @@ def main() -> None:
         return min(ts)
 
     only = set(sys.argv[3:])
+    ops.update(_media_ops())
     runs = [(name, fn, (docs1, emb1), (docs10, emb10))
             for name, fn in ops.items()]
     runs += [(name, fn, (ev1,), (ev10,)) for name, fn in ev_ops.items()]
