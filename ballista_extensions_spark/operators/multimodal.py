@@ -266,6 +266,176 @@ def docs_as_avi_media(documents: DataFrame) -> DataFrame:
     )
 
 
+def docs_as_mixed_media(documents: DataFrame) -> DataFrame:
+    """Adapter producing a MIXED-FORMAT corpus from driver data — what
+    a real 100 TB multimodal table looks like: one binary column whose
+    rows are different container formats. Document n%4 picks the
+    format — 0 → PNG, 1 → baseline JPEG, 2 → WAV, 3 → AVI — and each
+    row uses EXACTLY its single-format sibling's fixture arithmetic
+    (docs_as_png_media / docs_as_jpeg_media / docs_as_wav_media /
+    docs_as_avi_media), so every single-format oracle CTE reapplies
+    unchanged under a CASE on n%4."""
+    import numpy as np
+
+    from ballista_extensions_spark.operators.audiocodec import encode_wav
+    from ballista_extensions_spark.operators.imagecodec import encode_png
+    from ballista_extensions_spark.operators.jpegcodec import encode_jpeg
+    from ballista_extensions_spark.operators.videocodec import encode_avi
+
+    ones = np.ones((8, 8), dtype=np.int32)
+
+    def _tile(b: bytes, need: int) -> bytes:
+        n = len(b)
+        return (b * (need // n + 1))[:need] if n else b"\x00" * need
+
+    def _one(b: bytes) -> bytes:
+        n = len(b)
+        k = n % 4
+        if k == 0:
+            w, h = 4 + n % 29, 4 + n % 23
+            px = np.frombuffer(_tile(b, w * h * 3), dtype=np.uint8)
+            return encode_png(px.reshape(h, w, 3))
+        if k == 1:
+            bw, bh = 1 + n % 6, 1 + n % 5
+            vals = np.frombuffer(_tile(b, bw * bh), dtype=np.uint8)
+            img = vals.reshape(bh, bw).repeat(8, axis=0).repeat(8, axis=1)
+            return encode_jpeg(img, quant_tables=(ones, ones))
+        if k == 2:
+            rate = 8000 + (n % 5) * 2000
+            channels = 1 + n % 2
+            frames = 130 + n % 391
+            flat = np.frombuffer(
+                _tile(b, frames * channels), dtype=np.uint8
+            ).astype(np.int16)
+            return encode_wav(
+                ((flat - 128) << 8).reshape(frames, channels), rate
+            )
+        w, h, nf = 4 + n % 9, 4 + n % 7, 3 + n % 6
+        uspf = 40000 + (n % 3) * 20000
+        frames = np.frombuffer(
+            _tile(b, nf * h * w * 3), dtype=np.uint8
+        ).reshape(nf, h, w, 3)
+        return encode_avi(frames, uspf)
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = list(pdf["doc_id"])
+            payloads = [
+                _one(text.encode("utf-8")) for text in pdf["text"]
+            ]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return documents.select("doc_id", "text").mapInPandas(
+        _encode, schema="media_id long, payload binary"
+    )
+
+
+def detect_media_kind(payload_col: str = "payload"):
+    """Column expression classifying a binary payload's container
+    format by MAGIC BYTES — entirely JVM-side built-ins
+    (substring-on-binary + hex inside whole-stage codegen), so a
+    100 TB mixed corpus is routed to per-format decoders WITHOUT a
+    byte of Python in the detection path. Recognizes the in-repo codec
+    family (png / jpeg / wav / avi / bmp / ppm); anything else is
+    'unknown' — quarantine, don't guess."""
+    p = payload_col
+
+    def _hex(pos: int, length: int):
+        return F.hex(F.expr(f"substring({p}, {pos}, {length})"))
+
+    riff = _hex(1, 4) == "52494646"
+    return (
+        F.when(_hex(1, 4) == "89504E47", "png")
+        .when(_hex(1, 2) == "FFD8", "jpeg")
+        .when(riff & (_hex(9, 4) == "57415645"), "wav")
+        .when(riff & (_hex(9, 4) == "41564920"), "avi")
+        .when(_hex(1, 2) == "424D", "bmp")
+        .when(_hex(1, 2) == "5036", "ppm")
+        .otherwise("unknown")
+    )
+
+
+def mixed_decode_checksum(media: DataFrame) -> DataFrame:
+    """Dispatch-decode a mixed-format corpus: sniff each payload's
+    magic bytes, decode with the matching in-repo codec, and emit
+    (media_id, kind, checksum, decode_error) — checksum is the
+    modality's natural integer content proof (pixel sum for
+    png/jpeg/bmp/ppm images and avi video; sum of squared samples for
+    wav audio, whose signed samples would cancel in a plain sum). One
+    Arrow-batched mapInPandas pass with per-row error isolation — the
+    decode stage that follows :func:`detect_media_kind` routing in a
+    production pipeline. No shuffle, no driver state."""
+    import numpy as np
+    import pandas as pd
+
+    def _one(payload: bytes) -> tuple[str, int]:
+        if payload[:4] == b"\x89PNG" or payload[:2] in (b"BM", b"P6"):
+            from ballista_extensions_spark.operators.imagecodec import (
+                decode_to_array,
+            )
+
+            kind = (
+                "png" if payload[:4] == b"\x89PNG"
+                else "bmp" if payload[:2] == b"BM" else "ppm"
+            )
+            return kind, int(decode_to_array(payload).astype(np.int64).sum())
+        if payload[:2] == b"\xff\xd8":
+            from ballista_extensions_spark.operators.jpegcodec import (
+                decode_jpeg_to_array,
+            )
+
+            return "jpeg", int(
+                decode_jpeg_to_array(payload).astype(np.int64).sum()
+            )
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            from ballista_extensions_spark.operators.audiocodec import (
+                decode_wav,
+            )
+
+            s = decode_wav(payload)[0].astype(np.int64)
+            return "wav", int((s * s).sum())
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            from ballista_extensions_spark.operators.videocodec import (
+                decode_avi,
+            )
+
+            return "avi", int(decode_avi(payload)[0].astype(np.int64).sum())
+        raise ValueError("unknown container format")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, sums, errs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    kind, cs = _one(bytes(payload))
+                    kinds.append(kind)
+                    sums.append(cs)
+                    errs.append(None)
+                except ValueError as e:
+                    kinds.append(None)
+                    sums.append(None)
+                    errs.append(str(e)[:200])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": kinds,
+                    "checksum": sums,
+                    "decode_error": errs,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _decode,
+        schema=(
+            "media_id long, kind string, checksum long, "
+            "decode_error string"
+        ),
+    )
+
+
 def decode_pixel_stats(
     df: DataFrame,
     to_array: Callable[[bytes], "object"],

@@ -239,3 +239,123 @@ def video_near_dup_keyframe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashes = image_dhash(media, hasher=video_dhash64)
     return phash_near_dup_pairs(hashes, threshold=6, bands=8)
+
+
+@register(
+    "media_kind_routing",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE octet_length(encode(text)) % 4
+             WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+             WHEN 2 THEN 'wav' ELSE 'avi' END AS kind
+    FROM documents
+    """,
+)
+def media_kind_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format sniffing over a MIXED-format corpus with ZERO Python in
+    the detection path: documents become a realistic multimodal table
+    (one binary column, four container formats chosen by n%4 —
+    multimodal.docs_as_mixed_media), and the kind column is computed
+    entirely by JVM built-ins on the payload's magic bytes
+    (substring-on-binary + hex inside whole-stage codegen —
+    multimodal.detect_media_kind): PNG signature, JPEG SOI, RIFF/WAVE,
+    RIFF/AVI. The oracle derives each row's expected format from the
+    fixture arithmetic, so a hash match proves the real encoded bytes
+    carry the right magic AND the sniffer reads them right on every
+    row. Scale: this is the routing stage of a 100 TB multimodal
+    pipeline — pure codegen'd expressions, no UDF, no shuffle; the
+    downstream per-format decoders see only their own rows."""
+    from ballista_extensions_spark.operators.multimodal import (
+        detect_media_kind,
+        docs_as_mixed_media,
+    )
+
+    media = docs_as_mixed_media(
+        ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    )
+    return media.select(
+        "media_id", detect_media_kind("payload").alias("kind")
+    )
+
+
+@register(
+    "media_mixed_decode",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n
+      FROM documents),
+    png AS (
+      SELECT doc_id, 'png' AS kind,
+             SUM(CASE WHEN n = 0 THEN 0 ELSE
+               CAST(ascii(substring(text, (i % n) + 1, 1)) AS BIGINT)
+             END) AS checksum
+      FROM (SELECT doc_id, text, n,
+                   4 + n % 29 AS w, 4 + n % 23 AS h
+            FROM d WHERE n % 4 = 0),
+           generate_series(0, 2495) t(i)
+      WHERE i < w * h * 3
+      GROUP BY doc_id),
+    jpg AS (
+      SELECT doc_id, 'jpeg' AS kind,
+             64 * SUM(
+               CAST(ascii(substring(text, (i % n) + 1, 1)) AS BIGINT)
+             ) AS checksum
+      FROM (SELECT doc_id, text, n,
+                   1 + n % 6 AS bw, 1 + n % 5 AS bh
+            FROM d WHERE n % 4 = 1),
+           generate_series(0, 29) t(i)
+      WHERE i < bw * bh
+      GROUP BY doc_id),
+    wav AS (
+      SELECT doc_id, 'wav' AS kind,
+             SUM(CAST((ascii(substring(text, (i % n) + 1, 1)) - 128)
+                      * 256 AS BIGINT)
+                 * ((ascii(substring(text, (i % n) + 1, 1)) - 128)
+                    * 256)) AS checksum
+      FROM (SELECT doc_id, text, n,
+                   130 + n % 391 AS fr, 1 + n % 2 AS ch
+            FROM d WHERE n % 4 = 2),
+           generate_series(0, 1039) t(i)
+      WHERE i < fr * ch
+      GROUP BY doc_id),
+    avi AS (
+      SELECT doc_id, 'avi' AS kind,
+             SUM(CAST(ascii(substring(text, (i % n) + 1, 1)) AS BIGINT)
+             ) AS checksum
+      FROM (SELECT doc_id, text, n,
+                   4 + n % 9 AS w, 4 + n % 7 AS h, 3 + n % 6 AS nf
+            FROM d WHERE n % 4 = 3),
+           generate_series(0, 2879) t(i)
+      WHERE i < nf * h * w * 3
+      GROUP BY doc_id)
+    SELECT doc_id AS media_id, kind, checksum FROM png
+    UNION ALL SELECT doc_id, kind, checksum FROM jpg
+    UNION ALL SELECT doc_id, kind, checksum FROM wav
+    UNION ALL SELECT doc_id, kind, checksum FROM avi
+    """,
+)
+def media_mixed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispatch-decode over the mixed-format corpus — the stage after
+    media_kind_routing: every payload is sniffed and decoded by the
+    MATCHING in-repo codec (PNG inflate+unfilter, JPEG Huffman+IDCT,
+    WAV chunk walk, AVI frame unpack) in one Arrow-batched pass
+    (multimodal.mixed_decode_checksum), emitting the modality's
+    natural integer content proof: pixel sums for image/video, sum of
+    squared samples for audio. The oracle replays all four decode
+    arithmetics under the n%4 routing, so a hash match proves the
+    dispatch AND every decoder's output content-exactly across a
+    heterogeneous corpus — the end-to-end shape of a real multimodal
+    ingest. Scale: no shuffle, no driver state; per-row error
+    isolation quarantines unknown formats instead of failing the
+    batch."""
+    from ballista_extensions_spark.operators.multimodal import (
+        docs_as_mixed_media,
+        mixed_decode_checksum,
+    )
+
+    media = docs_as_mixed_media(
+        ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    )
+    return mixed_decode_checksum(media).select(
+        "media_id", "kind", "checksum"
+    )

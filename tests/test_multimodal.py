@@ -453,3 +453,114 @@ def test_png_resize_and_features_through_hooks(spark):
         M._image_decoder = None
         M._image_resizer = None
         M._feature_extractor = None
+
+
+def test_detect_media_kind_jvm_side(spark):
+    """Magic-byte sniffing classifies every in-repo container format
+    plus unknowns, entirely with built-in expressions (no UDF node in
+    the plan)."""
+    import numpy as np
+
+    from ballista_extensions_spark.operators.audiocodec import encode_wav
+    from ballista_extensions_spark.operators.imagecodec import (
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+    )
+    from ballista_extensions_spark.operators.jpegcodec import encode_jpeg
+    from ballista_extensions_spark.operators.multimodal import (
+        detect_media_kind,
+    )
+    from ballista_extensions_spark.operators.videocodec import encode_avi
+
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    rows = [
+        (1, bytearray(encode_png(px))),
+        (2, bytearray(encode_jpeg(px[:, :, 0].repeat(2, 0).repeat(2, 1)))),
+        (3, bytearray(encode_wav(np.zeros((10, 1), np.int16), 8000))),
+        (4, bytearray(encode_avi(px[None, :, :, :], 40000))),
+        (5, bytearray(encode_bmp(px))),
+        (6, bytearray(encode_ppm(px))),
+        (7, bytearray(b"GIF89a-not-supported")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = df.select(
+        "media_id", detect_media_kind("payload").alias("kind")
+    )
+    got = {r["media_id"]: r["kind"] for r in out.collect()}
+    assert got == {1: "png", 2: "jpeg", 3: "wav", 4: "avi",
+                   5: "bmp", 6: "ppm", 7: "unknown"}
+    # detection is JVM-only: no Python evaluation node in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_mixed_decode_checksum_dispatch_and_errors(spark):
+    """Every format routes to its own decoder with the right content
+    checksum; unknown/null payloads land in decode_error, never crash
+    the batch."""
+    import numpy as np
+
+    from ballista_extensions_spark.operators.audiocodec import encode_wav
+    from ballista_extensions_spark.operators.imagecodec import encode_png
+    from ballista_extensions_spark.operators.jpegcodec import encode_jpeg
+    from ballista_extensions_spark.operators.multimodal import (
+        mixed_decode_checksum,
+    )
+    from ballista_extensions_spark.operators.videocodec import encode_avi
+
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    gray = np.full((8, 8), 7, dtype=np.uint8)
+    ones = np.ones((8, 8), dtype=np.int32)
+    samples = np.array([[256], [-512]], dtype=np.int16)
+    vid = np.stack([px, px + 100])
+    rows = [
+        (1, bytearray(encode_png(px))),
+        (2, bytearray(encode_jpeg(gray, quant_tables=(ones, ones)))),
+        (3, bytearray(encode_wav(samples, 8000))),
+        (4, bytearray(encode_avi(vid, 40000))),
+        (5, bytearray(b"GIF89a-nope")),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in mixed_decode_checksum(df).collect()}
+    assert (got[1]["kind"], got[1]["checksum"]) == ("png", int(px.sum()))
+    assert (got[2]["kind"], got[2]["checksum"]) == ("jpeg", 64 * 7)
+    assert (got[3]["kind"], got[3]["checksum"]) == (
+        "wav", 256 * 256 + 512 * 512
+    )
+    assert (got[4]["kind"], got[4]["checksum"]) == (
+        "avi", int(vid.astype(np.int64).sum())
+    )
+    for bad in (5, 6):
+        assert got[bad]["kind"] is None
+        assert got[bad]["decode_error"] is not None
+
+
+def test_docs_as_mixed_media_matches_single_format_adapters(spark, documents):
+    """Row n%4 == k of the mixed corpus is byte-identical to what the
+    k-th single-format adapter would emit for the same document — the
+    invariant that lets the single-format oracle CTEs replay under a
+    CASE."""
+    from ballista_extensions_spark.operators.multimodal import (
+        docs_as_avi_media,
+        docs_as_jpeg_media,
+        docs_as_mixed_media,
+        docs_as_png_media,
+        docs_as_wav_media,
+    )
+    from pyspark.sql import functions as F
+
+    docs = documents.limit(40).cache()
+    mixed = {r["media_id"]: bytes(r["payload"])
+             for r in docs_as_mixed_media(docs).collect()}
+    singles = {}
+    for k, adapter in enumerate(
+        (docs_as_png_media, docs_as_jpeg_media,
+         docs_as_wav_media, docs_as_avi_media)
+    ):
+        sub = docs.filter(F.length(F.encode("text", "UTF-8")) % 4 == k)
+        for r in adapter(sub).collect():
+            singles[r["media_id"]] = bytes(r["payload"])
+    assert set(mixed) == set(singles)
+    assert all(mixed[m] == singles[m] for m in mixed)
