@@ -288,3 +288,104 @@ def streaming_heavy_hitters_replay(
         .orderBy(F.desc("cnt"), F.asc("item"))
         .limit(50)
     )
+
+
+@register(
+    "streaming_media_dedup_replay",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n,
+             4 + octet_length(encode(text)) % 29 AS w,
+             4 + octet_length(encode(text)) % 23 AS h
+      FROM documents),
+    g AS (
+      SELECT doc_id, y, x,
+        CASE WHEN n = 0 THEN 0 ELSE
+          (ascii(substring(text, ((((y*h)//8)*w + (x*w)//9)*3 + 0) % n + 1, 1))
+         + ascii(substring(text, ((((y*h)//8)*w + (x*w)//9)*3 + 1) % n + 1, 1))
+         + ascii(substring(text, ((((y*h)//8)*w + (x*w)//9)*3 + 2) % n + 1, 1))
+          ) // 3
+        END AS gray
+      FROM d, generate_series(0, 7) t1(y), generate_series(0, 8) t2(x)),
+    bits AS (
+      SELECT l.doc_id, l.y, l.x,
+             CASE WHEN r.gray > l.gray THEN 1 ELSE 0 END AS bit
+      FROM g l JOIN g r ON r.doc_id = l.doc_id AND r.y = l.y
+                       AND r.x = l.x + 1
+      WHERE l.x <= 7),
+    dh AS (
+      SELECT doc_id, CAST(SUM(CASE WHEN bit = 1 THEN
+          CASE WHEN y*8 + x = 63 THEN -9223372036854775808
+               ELSE (CAST(1 AS BIGINT) << (y*8 + x)) END
+          ELSE 0 END) AS BIGINT) AS dhash
+      FROM bits GROUP BY doc_id)
+    SELECT media_id, dhash FROM (
+      SELECT doc_id AS media_id, dhash,
+             ROW_NUMBER() OVER (PARTITION BY dhash
+                                ORDER BY doc_id % 3, doc_id) AS rn
+      FROM dh) WHERE rn = 1
+    """,
+)
+def streaming_media_dedup_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-batch streaming MEDIA dedup-at-ingest, oracle-checked: the
+    documents stream replays in three micro-batches with CROSS-BATCH
+    duplicates injected (batch 2 re-ships batch 1's rows, batch 3
+    batch 2's — the streaming_dedup_replay protocol), and each batch
+    runs the full multimodal chain INSIDE the stream: PNG encode
+    (multimodal.docs_as_png_media), real codec decode + 64-bit dHash
+    (operators/imagedup.py:image_dhash), then
+    streaming/stateful.py:stream_first_occurrence keyed on the
+    PERCEPTUAL hash — 8 B of state per distinct fingerprint holding the
+    min doc_id seen. Only first occurrences survive; a payload whose
+    fingerprint was seen in an EARLIER micro-batch must be suppressed
+    from state or the sink holds ~2x rows and the hash comparison
+    fails — cross-batch state carry is exactly what the oracle
+    verifies. The oracle recomputes every document's dHash from the
+    PNG fixture arithmetic (the image_dhash_fingerprints CTE) and
+    keeps one survivor per fingerprint in STREAM order — argmin by
+    (doc_id % 3, doc_id), i.e. earliest batch then the operator's
+    within-batch min-id tiebreak — so real perceptual collisions
+    (present at sf0.1) resolve identically in both engines and the
+    in-stream decode->hash chain is verified bit-for-bit too. Scale:
+    this is dedup-at-ingest for a multimodal crawl — mapInPandas
+    stages are narrow per-batch passes; state is one long per
+    fingerprint; repeats route out of the pipeline at the earliest
+    possible stage instead of costing downstream decode/storage."""
+    from ballista_extensions_spark.operators.imagedup import image_dhash
+    from ballista_extensions_spark.operators.multimodal import (
+        docs_as_png_media,
+    )
+    from ballista_extensions_spark.streaming.stateful import (
+        stream_first_occurrence,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    s0 = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    s1 = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 1)
+    s2 = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 2)
+    stage = _stage_dir("media_dedup", sf_dir)
+    in_dir = os.path.join(stage, "in")
+    os.makedirs(in_dir)
+    _write_ordered_slices(
+        [s0, s1.unionAll(s0), s2.unionAll(s1)],  # dupes cross batches
+        in_dir,
+    )
+
+    def transform(stream: DataFrame) -> DataFrame:
+        hashes = image_dhash(docs_as_png_media(stream)).select(
+            F.col("id").alias("doc_id"), "dhash"
+        )
+        return stream_first_occurrence(hashes, "dhash", "doc_id")
+
+    sink = _replay(
+        spark,
+        in_dir,
+        "doc_id long, text string",
+        os.path.join(stage, "out"),
+        transform,
+    )
+    return sink.filter(F.col("is_first")).select(
+        F.col("doc_id").alias("media_id"), "dhash"
+    )

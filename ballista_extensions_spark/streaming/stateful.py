@@ -114,3 +114,53 @@ def funnel_stages_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_first_occurrence(
+    df: DataFrame, key_col: str, id_col: str
+) -> DataFrame:
+    """First-occurrence flagging with cross-batch state — the streaming
+    dedup-routing primitive: for every row, ``is_first`` is true iff no
+    row with the same ``key_col`` value appeared EARLIER in the stream
+    (earlier micro-batch, or smaller ``id_col`` within the same batch —
+    the deterministic tiebreak an id-ordered replay pins down).
+
+    State per key is ONE long (the minimum id seen), so a billion-key
+    corpus costs 8 B/key in the state store — the streaming analogue of
+    the batch ``MIN(id) OVER (PARTITION BY key)`` and the decision
+    point of a dedup-at-ingest pipeline (first occurrence flows on,
+    repeats route to the duplicate sink). Emits every input row exactly
+    once (append semantics)."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        # concat the group's batch chunks: the first-occurrence flag
+        # belongs to the min id across the WHOLE batch, which a
+        # chunk-at-a-time pass could hand to the wrong chunk's min
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        seen = state.get[0] if state.exists else None
+        ids = pdf[id_col]
+        batch_min = int(ids.min())
+        first_id = batch_min if seen is None else None
+        state.update((batch_min if seen is None else min(seen, batch_min),))
+        yield pd.DataFrame(
+            {
+                id_col: ids,
+                key_col: pdf[key_col],
+                "is_first": [
+                    first_id is not None and int(i) == first_id
+                    for i in ids
+                ],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{id_col} long, {key_col} long, is_first boolean",
+        stateStructType="min_id long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -499,3 +499,57 @@ def test_locf_gapfill_stream_matches_batch_twin(spark, events_dir, tmp_path_fact
         for r in want_df.collect()
     }
     assert got == want
+
+
+def test_stream_first_occurrence_cross_batch_state(spark, tmp_path_factory):
+    """Keys seen in an earlier micro-batch must be flagged not-first
+    from STATE; within a batch the min id takes the flag; each input
+    row is emitted exactly once."""
+    import os
+    import time
+
+    from ballista_extensions_spark.streaming.stateful import (
+        stream_first_occurrence,
+    )
+
+    base = tmp_path_factory.mktemp("firstocc")
+    d = str(base / "in")
+    # batch 1: key 10 (ids 3, 1 — min 1 is first), key 20 (id 2)
+    spark.createDataFrame(
+        [(3, 10), (1, 10), (2, 20)], "id long, k long"
+    ).coalesce(1).write.parquet(d)
+    first = [os.path.join(d, f) for f in os.listdir(d)
+             if f.endswith(".parquet")]
+    # batch 2: key 10 again (id 7 — suppressed by state), key 30 (id 5)
+    spark.createDataFrame(
+        [(7, 10), (5, 30)], "id long, k long"
+    ).coalesce(1).write.mode("append").parquet(d)
+    # strictly increasing mtimes pin micro-batch order
+    now = time.time()
+    for f in first:
+        os.utime(f, (now - 100, now - 100))
+    stream = (
+        spark.readStream.schema("id long, k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        stream_first_occurrence(stream, "k", "id")
+        .writeStream.format("memory")
+        .queryName("firstocc_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["id"]: (r["k"], r["is_first"])
+        for r in spark.sql("SELECT * FROM firstocc_sink").collect()
+    }
+    assert got == {
+        1: (10, True),    # batch-min of key 10
+        3: (10, False),   # same batch, larger id
+        2: (20, True),
+        7: (10, False),   # later batch: suppressed by STATE
+        5: (30, True),
+    }

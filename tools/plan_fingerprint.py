@@ -49,6 +49,7 @@ EAGER_EXCLUDED = frozenset({
     "streaming_dedup_replay",
     "streaming_gapfill_replay",
     "streaming_heavy_hitters_replay",
+    "streaming_media_dedup_replay",
 })
 
 #: Sentinel recorded for plans Catalyst's RewriteDistinctAggregates has
