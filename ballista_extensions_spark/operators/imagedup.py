@@ -133,3 +133,71 @@ def phash_near_dup_pairs(
         )
         .filter(F.col("hamming") <= threshold)
     )
+
+
+def phash_cross_dup_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: int = 6,
+    bands: int = 8,
+    id_col: str = "id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """All CROSS-corpus pairs (left_id, right_id) with
+    Hamming(hash_left, hash_right) <= threshold — the two-corpus
+    variant of :func:`phash_near_dup_pairs`, which is the shape of
+    benchmark decontamination: left = evaluation/benchmark media,
+    right = training corpus, and every surviving pair is a
+    contamination edge. Same pigeonhole guarantee (recall exactly 1.0
+    for threshold < bands), same exact xor+bit_count verification; no
+    id ordering constraint because the two sides are distinct corpora
+    (an item appearing in both IS a finding, not a self-pair).
+    Scale: candidates come from equi-joins on (band, slice) between
+    the two hash tables — cost ∝ cross-bucket collisions, never
+    |left| × |right|; both sides carry 8 B of hash state per item."""
+    if threshold >= bands:
+        raise ValueError(
+            f"threshold {threshold} >= bands {bands}: the pigeonhole "
+            "recall guarantee needs threshold < bands"
+        )
+    if 64 % bands != 0:
+        raise ValueError(f"bands {bands} must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    def _sliced(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.filter(F.col(hash_col).isNotNull())
+            .localCheckpoint(eager=False)
+            .select(
+                F.col(id_col).alias(f"{side}_id"),
+                F.col(hash_col).alias(f"{side}_h"),
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, {bands - 1}), b -> "
+                        f"struct(b AS band, shiftrightunsigned({hash_col}, "
+                        f"b * {width}) & {mask}L AS slice))"
+                    )
+                ).alias("bs"),
+            )
+            .select(
+                f"{side}_id",
+                f"{side}_h",
+                F.col("bs.band").alias("band"),
+                F.col("bs.slice").alias("slice"),
+            )
+        )
+
+    cands = (
+        _sliced(left, "left")
+        .join(_sliced(right, "right"), ["band", "slice"])
+        .select("left_id", "left_h", "right_id", "right_h")
+        .distinct()
+    )
+    return cands.select(
+        "left_id",
+        "right_id",
+        F.bit_count(F.col("left_h").bitwiseXOR(F.col("right_h")))
+        .cast("long")
+        .alias("hamming"),
+    ).filter(F.col("hamming") <= threshold)

@@ -359,3 +359,106 @@ def media_mixed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed_decode_checksum(media).select(
         "media_id", "kind", "checksum"
     )
+
+
+@register(
+    "image_contamination_check",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n,
+             4 + octet_length(encode(text)) % 29 AS w,
+             4 + octet_length(encode(text)) % 23 AS h
+      FROM documents),
+    g AS (
+      SELECT doc_id, y, x,
+        CASE WHEN n = 0 THEN 0 ELSE
+          (ascii(substring(text, ((((y*h)//8)*w + (x*w)//9)*3 + 0) % n + 1, 1))
+         + ascii(substring(text, ((((y*h)//8)*w + (x*w)//9)*3 + 1) % n + 1, 1))
+         + ascii(substring(text, ((((y*h)//8)*w + (x*w)//9)*3 + 2) % n + 1, 1))
+          ) // 3
+        END AS gray
+      FROM d, generate_series(0, 7) t1(y), generate_series(0, 8) t2(x)),
+    bits AS (
+      SELECT l.doc_id, l.y, l.x,
+             CASE WHEN r.gray > l.gray THEN 1 ELSE 0 END AS bit
+      FROM g l JOIN g r ON r.doc_id = l.doc_id AND r.y = l.y
+                       AND r.x = l.x + 1
+      WHERE l.x <= 7),
+    dh AS (
+      SELECT doc_id, CAST(SUM(CASE WHEN bit = 1 THEN
+          CASE WHEN y*8 + x = 63 THEN -9223372036854775808
+               ELSE (CAST(1 AS BIGINT) << (y*8 + x)) END
+          ELSE 0 END) AS BIGINT) AS dhash
+      FROM bits GROUP BY doc_id),
+    bench AS (SELECT doc_id, dhash FROM dh WHERE doc_id % 10 = 0),
+    train AS (SELECT doc_id, dhash FROM dh WHERE doc_id % 10 <> 0),
+    hits AS (
+      SELECT b.doc_id,
+             t.doc_id AS t_id,
+             bit_count(xor(b.dhash, t.dhash)) AS hm
+      FROM bench b JOIN train t
+        ON bit_count(xor(b.dhash, t.dhash)) <= 6)
+    SELECT b.doc_id AS bench_id,
+           COALESCE(s.n_contaminating, 0) AS n_contaminating,
+           s.min_hamming,
+           s.nearest_train_id
+    FROM bench b LEFT JOIN (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_contaminating,
+             CAST(MIN(hm) AS BIGINT) AS min_hamming,
+             CAST(MIN(t_id) FILTER (WHERE hm = (
+               SELECT MIN(h2.hm) FROM hits h2
+               WHERE h2.doc_id = hits.doc_id)) AS BIGINT)
+               AS nearest_train_id
+      FROM hits GROUP BY doc_id) s ON s.doc_id = b.doc_id
+    """,
+)
+def image_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination for media — the multimodal twin of the
+    text contamination_check: the corpus splits into a benchmark set
+    (doc_id % 10 = 0) and a training set (the rest), both are encoded
+    as real PNGs and perceptually hashed (codec decode → dHash), and
+    the CROSS-corpus banded Hamming join
+    (operators/imagedup.py:phash_cross_dup_pairs — pigeonhole recall
+    exactly 1.0 for threshold < bands) finds every benchmark image
+    within Hamming distance 6 of ANY training image. The report keeps
+    EVERY benchmark row — clean ones show n_contaminating = 0 with
+    NULL distance — plus the min distance and the lowest-id nearest
+    training doc, so 'nothing leaked' is a positive verified claim,
+    not an absence of output. The oracle runs the bench × train brute
+    force; the Spark plan never builds it. Scale: cross-bucket
+    collision joins on 8 B hashes; the benchmark side is typically
+    tiny, so at corpus scale the sliced benchmark table broadcasts
+    and the train corpus streams through map-side."""
+    from ballista_extensions_spark.operators.imagedup import (
+        image_dhash,
+        phash_cross_dup_pairs,
+    )
+    from ballista_extensions_spark.operators.multimodal import (
+        docs_as_png_media,
+    )
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    media = docs_as_png_media(d)
+    hashes = image_dhash(media).localCheckpoint(eager=False)
+    bench = hashes.filter(F.col("id") % 10 == 0)
+    train = hashes.filter(F.col("id") % 10 != 0)
+    pairs = phash_cross_dup_pairs(bench, train, threshold=6, bands=8)
+    agg = pairs.groupBy("left_id").agg(
+        F.count("*").cast("long").alias("n_contaminating"),
+        F.min("hamming").alias("min_hamming"),
+        F.min_by("right_id", F.struct("hamming", "right_id"))
+        .cast("long")
+        .alias("nearest_train_id"),
+    )
+    return (
+        bench.select(F.col("id").alias("bench_id"))
+        .join(agg, F.col("bench_id") == F.col("left_id"), "left")
+        .select(
+            "bench_id",
+            F.coalesce(F.col("n_contaminating"), F.lit(0).cast("long"))
+            .alias("n_contaminating"),
+            "min_hamming",
+            "nearest_train_id",
+        )
+    )

@@ -114,3 +114,40 @@ def test_undecodable_payload_yields_null_and_never_pairs(spark):
     assert {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs} == {
         (1, 3, 0)
     }
+
+
+def test_phash_cross_dup_pairs_matches_brute_force(spark):
+    """Cross-corpus banded join equals the |L|x|R| brute force at
+    recall 1.0; shared items pair (not self-suppressed); NULL hashes
+    and invalid banding are rejected."""
+    import pytest
+
+    from ballista_extensions_spark.operators.imagedup import (
+        phash_cross_dup_pairs,
+    )
+
+    lh = [(1, 0), (2, 0b111), (3, -1), (4, None)]
+    rh = [(10, 0), (11, 0b1111111), (12, -1), (13, 1 << 40)]
+    left = spark.createDataFrame(lh, "id long, dhash long")
+    right = spark.createDataFrame(rh, "id long, dhash long")
+    got = {
+        (r["left_id"], r["right_id"]): r["hamming"]
+        for r in phash_cross_dup_pairs(
+            left, right, threshold=6, bands=8
+        ).collect()
+    }
+    want = {}
+    for li, lv in lh:
+        for ri, rv in rh:
+            if lv is None or rv is None:
+                continue
+            hm = bin((lv ^ rv) & ((1 << 64) - 1)).count("1")
+            if hm <= 6:
+                want[(li, ri)] = hm
+    assert got == want
+    assert (1, 10) in got and got[(1, 10)] == 0  # same hash across corpora
+    assert all(k[0] != 4 and k[1] != 13 or k in want for k in got)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash_cross_dup_pairs(left, right, threshold=8, bands=8)
+    with pytest.raises(ValueError, match="divide"):
+        phash_cross_dup_pairs(left, right, threshold=3, bands=7)
