@@ -266,6 +266,51 @@ def docs_as_avi_media(documents: DataFrame) -> DataFrame:
     )
 
 
+def docs_as_av_media(documents: DataFrame) -> DataFrame:
+    """Adapter producing TRUE A/V containers from driver data: each
+    document becomes a two-stream interleaved AVI
+    (operators/videocodec.py:encode_avi_av) whose video track uses the
+    AVI fixture geometry (w = 4 + n%9, h = 4 + n%7, frames = 3 + n%6,
+    us/frame = 40000 + n%3 * 20000; pixels tile text bytes) and whose
+    audio track appends AFTER the video bytes in the same tiling —
+    sample i (interleaved, ch = 1 + n%2, rate = 8000 + n%5 * 2000,
+    n_samples = 130 + n%211) is (byte((V + i) % n) - 128) * 256 with
+    V = frames*h*w*3 — so one generate_series oracle replays BOTH
+    demuxed tracks. Empty text yields black frames + silence."""
+    import numpy as np
+
+    from ballista_extensions_spark.operators.videocodec import encode_avi_av
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                n = len(b)
+                w, h, nf = 4 + n % 9, 4 + n % 7, 3 + n % 6
+                uspf = 40000 + (n % 3) * 20000
+                ch = 1 + n % 2
+                rate = 8000 + (n % 5) * 2000
+                ns = 130 + n % 211
+                vneed = nf * h * w * 3
+                need = vneed + ns * ch
+                tiled = (b * (need // n + 1))[:need] if n else b"\x00" * need
+                frames = np.frombuffer(
+                    tiled[:vneed], dtype=np.uint8
+                ).reshape(nf, h, w, 3)
+                flat = np.frombuffer(
+                    tiled[vneed:], dtype=np.uint8
+                ).astype(np.int16)
+                audio = ((flat - 128) << 8).reshape(ns, ch)
+                ids.append(mid)
+                payloads.append(encode_avi_av(frames, uspf, audio, rate))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return documents.select("doc_id", "text").mapInPandas(
+        _encode, schema="media_id long, payload binary"
+    )
+
+
 def docs_as_mixed_media(documents: DataFrame) -> DataFrame:
     """Adapter producing a MIXED-FORMAT corpus from driver data — what
     a real 100 TB multimodal table looks like: one binary column whose

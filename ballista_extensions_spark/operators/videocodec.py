@@ -383,3 +383,264 @@ def video_frame_samples(media, stride: int = 2) -> "object":
     return media.select("media_id", "payload").mapInPandas(
         _frames, schema="media_id long, frame_idx int, frame_sum long"
     )
+
+
+def encode_avi_av(
+    frames: np.ndarray,
+    us_per_frame: int,
+    samples: np.ndarray,
+    rate: int,
+) -> bytes:
+    """Encode a TRUE A/V container: the uncompressed video stream of
+    :func:`encode_avi` plus an interleaved 16-bit PCM audio stream —
+    RIFF('AVI ') with TWO strl lists (stream 00 'vids'/DIB, stream 01
+    'auds'/PCM WAVEFORMATEX) and a movi list that interleaves each
+    video frame chunk ('00db') with the audio chunk ('01wb') covering
+    that frame's time slice: frame f carries samples
+    [f*ns//nf, (f+1)*ns//nf) — the floor partition, so the interleave
+    boundaries are pure integer arithmetic. idx1 indexes both streams."""
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError(f"frames must be (n, h, w, 3), got {frames.shape}")
+    if frames.dtype != np.uint8:
+        raise ValueError(f"frames must be uint8, got {frames.dtype}")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.ndim != 2 or samples.dtype != np.int16:
+        raise ValueError(
+            f"samples must be (n, ch) int16, got "
+            f"{samples.shape} {samples.dtype}"
+        )
+    if us_per_frame <= 0 or rate <= 0:
+        raise ValueError("us_per_frame and rate must be positive")
+    nf, h, w = frames.shape[:3]
+    ns, ch = samples.shape
+    if nf == 0:
+        raise ValueError("A/V interleave needs at least one frame")
+    frame_size = _dib_row_size(w) * h
+    block_align = ch * 2
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            cid + struct.pack("<I", len(body)) + body
+            + (b"\x00" if len(body) % 2 else b"")
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<14I",
+        us_per_frame,
+        frame_size * 1_000_000 // us_per_frame + rate * block_align,
+        0, 0x10, nf, 0,
+        2,              # dwStreams: video + audio
+        frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh_v = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        us_per_frame, 1_000_000, 0, nf,
+        frame_size, 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf_v = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0
+    )
+    strh_a = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0,
+        1, rate,        # dwScale=1, dwRate=rate -> samples/sec
+        0, ns,
+        block_align * max(ns, 1), 0xFFFFFFFF,
+        block_align,    # dwSampleSize: bytes per sample frame
+        0, 0, 0, 0,
+    )
+    strf_a = struct.pack(
+        "<HHIIHH", 1, ch, rate, rate * block_align, block_align, 16
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v))
+        + lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a)),
+    )
+    s16 = samples.astype("<i2")
+    movi_parts, idx_parts = [], []
+    offset = 4
+    for f in range(nf):
+        vdata = _pack_frame_dib(frames[f])
+        adata = s16[f * ns // nf : (f + 1) * ns // nf].tobytes()
+        for cid, data in ((b"00db", vdata), (b"01wb", adata)):
+            movi_parts.append(chunk(cid, data))
+            idx_parts.append(
+                struct.pack(
+                    "<4sIII", cid, _AVIIF_KEYFRAME, offset, len(data)
+                )
+            )
+            offset += 8 + len(data) + (len(data) % 2)
+    movi = lst(b"movi", b"".join(movi_parts))
+    idx1 = chunk(b"idx1", b"".join(idx_parts))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def decode_avi_av(
+    payload: bytes,
+) -> tuple[np.ndarray, int, np.ndarray, int]:
+    """Demux a two-stream A/V AVI into ((n_frames, h, w, 3) uint8 RGB,
+    us_per_frame, (n_samples, ch) int16, sample_rate) — the demux
+    stage of a video ingest pipeline, splitting one container into its
+    modality tracks so each flows into its own feature path (frames →
+    imagecodec/dHash, audio → audiocodec fingerprints).
+
+    Parses BOTH strl lists (stream 00 must be 'vids' 24-bit BI_RGB,
+    stream 01 'auds' 16-bit PCM), concatenates '00db'/'00dc' chunks
+    into the video track and '01wb' chunks into the audio track in
+    movi order, and fail-louds on anything else — same contract as the
+    single-stream decoders. Single-stream files raise (use
+    :func:`decode_avi`); interleave layout is NOT assumed, only chunk
+    order within each stream."""
+    if len(payload) < 12 or payload[:4] != b"RIFF":
+        raise ValueError("not a RIFF file")
+    if payload[8:12] != b"AVI ":
+        raise ValueError("RIFF file is not AVI")
+    end = min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    avih = None
+    stream_types: list[bytes] = []
+    strf_v = None
+    strf_a = None
+    vparts: list[bytes] = []
+    aparts: list[bytes] = []
+    for cid, body, size in _walk_chunks(payload, 12, end):
+        if cid != b"LIST":
+            continue
+        ltype = payload[body : body + 4]
+        if ltype == b"hdrl":
+            for c2, b2, s2 in _walk_chunks(payload, body + 4, body + size):
+                if c2 == b"avih":
+                    if s2 < 56:
+                        raise ValueError(f"avih chunk too small: {s2}")
+                    avih = struct.unpack("<14I", payload[b2 : b2 + 56])
+                elif c2 == b"LIST" and payload[b2 : b2 + 4] == b"strl":
+                    stype = None
+                    for c3, b3, s3 in _walk_chunks(
+                        payload, b2 + 4, b2 + s2
+                    ):
+                        if c3 == b"strh":
+                            stype = payload[b3 : b3 + 4]
+                        elif c3 == b"strf":
+                            if stype == b"vids" and strf_v is None:
+                                if s3 < 40:
+                                    raise ValueError(
+                                        f"video strf too small: {s3}"
+                                    )
+                                strf_v = struct.unpack(
+                                    "<IiiHHIIiiII", payload[b3 : b3 + 40]
+                                )
+                            elif stype == b"auds" and strf_a is None:
+                                if s3 < 16:
+                                    raise ValueError(
+                                        f"audio strf too small: {s3}"
+                                    )
+                                strf_a = struct.unpack(
+                                    "<HHIIHH", payload[b3 : b3 + 16]
+                                )
+                    if stype is not None:
+                        stream_types.append(stype)
+        elif ltype == b"movi":
+            for c2, b2, s2 in _walk_chunks(payload, body + 4, body + size):
+                if c2[:2] == b"00" and c2[2:4] in (b"db", b"dc"):
+                    vparts.append(payload[b2 : b2 + s2])
+                elif c2 == b"01wb":
+                    aparts.append(payload[b2 : b2 + s2])
+    if avih is None:
+        raise ValueError("no avih header chunk")
+    if avih[6] != 2:
+        raise ValueError(
+            f"expected 2 streams for A/V demux, got {avih[6]}"
+        )
+    if stream_types[:2] != [b"vids", b"auds"]:
+        raise ValueError(
+            f"expected streams [vids, auds], got {stream_types[:2]}"
+        )
+    if strf_v is None or strf_a is None:
+        raise ValueError("missing video or audio strf chunk")
+    us_per_frame, w, h = avih[0], avih[8], avih[9]
+    if strf_v[5] != 0 or strf_v[4] != 24:
+        raise ValueError(
+            f"unsupported video format bits={strf_v[4]} "
+            f"compression={strf_v[5]}"
+        )
+    audio_format, ch, rate, _, block_align, bits = strf_a
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported audio format={audio_format} bits={bits}"
+        )
+    if block_align != ch * 2:
+        raise ValueError(
+            f"block_align {block_align} != channels*2 {ch * 2}"
+        )
+    frames = np.zeros((len(vparts), h, w, 3), dtype=np.uint8)
+    for f, data in enumerate(vparts):
+        frames[f] = _unpack_frame_dib(data, w, h)
+    araw = b"".join(aparts)
+    n_samples = len(araw) // block_align
+    audio = (
+        np.frombuffer(araw[: n_samples * block_align], dtype="<i2")
+        .astype(np.int16)
+        .reshape(n_samples, ch)
+    )
+    return frames, int(us_per_frame), audio, int(rate)
+
+
+def av_demux_stats(media) -> "object":
+    """One row per container with BOTH demuxed tracks' integer proofs:
+    (media_id, width, height, n_frames, pixel_sum, channels,
+    sample_rate, n_samples, audio_sumsq, decode_error) — the demux
+    stage of a video ingest pipeline as a single Arrow-batched
+    mapInPandas pass, per-row error isolation, no shuffle."""
+    import pandas as pd
+
+    cols = (
+        "width", "height", "n_frames", "pixel_sum",
+        "channels", "sample_rate", "n_samples", "audio_sumsq",
+    )
+
+    def _stats(batches):
+        for pdf in batches:
+            out = {"media_id": []}
+            for c in cols:
+                out[c] = []
+            out["decode_error"] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    fr, _, au, rate = decode_avi_av(bytes(payload))
+                    a64 = au.astype(np.int64)
+                    vals = {
+                        "width": fr.shape[2],
+                        "height": fr.shape[1],
+                        "n_frames": fr.shape[0],
+                        "pixel_sum": int(fr.astype(np.int64).sum()),
+                        "channels": au.shape[1],
+                        "sample_rate": rate,
+                        "n_samples": au.shape[0],
+                        "audio_sumsq": int((a64 * a64).sum()),
+                    }
+                    for c in cols:
+                        out[c].append(vals[c])
+                    out["decode_error"].append(None)
+                except ValueError as e:
+                    for c in cols:
+                        out[c].append(None)
+                    out["decode_error"].append(str(e)[:200])
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        _stats,
+        schema=(
+            "media_id long, width int, height int, n_frames int, "
+            "pixel_sum long, channels int, sample_rate int, "
+            "n_samples int, audio_sumsq long, decode_error string"
+        ),
+    )

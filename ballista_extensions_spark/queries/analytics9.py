@@ -462,3 +462,76 @@ def image_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nearest_train_id",
         )
     )
+
+
+@register(
+    "av_demux_meta",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n,
+             4 + octet_length(encode(text)) % 9 AS w,
+             4 + octet_length(encode(text)) % 7 AS h,
+             3 + octet_length(encode(text)) % 6 AS nf,
+             1 + octet_length(encode(text)) % 2 AS ach,
+             8000 + (octet_length(encode(text)) % 5) * 2000 AS arate,
+             130 + octet_length(encode(text)) % 211 AS ns
+      FROM documents),
+    px AS (
+      SELECT doc_id,
+             CASE WHEN n = 0 THEN 0 ELSE
+               ascii(substring(text, (i % n) + 1, 1))
+             END AS v
+      FROM d, generate_series(0, 2879) t(i) WHERE i < nf * h * w * 3),
+    au AS (
+      SELECT doc_id,
+             CASE WHEN n = 0 THEN 0 ELSE
+               (ascii(substring(text,
+                  ((nf * h * w * 3 + i) % n) + 1, 1)) - 128) * 256
+             END AS v
+      FROM d, generate_series(0, 680) t(i) WHERE i < ns * ach)
+    SELECT d.doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(nf AS INT) AS n_frames,
+           vp.pixel_sum,
+           CAST(ach AS INT) AS channels,
+           CAST(arate AS INT) AS sample_rate,
+           CAST(ns AS INT) AS n_samples,
+           ap.audio_sumsq
+    FROM d
+    JOIN (SELECT doc_id, SUM(CAST(v AS BIGINT)) AS pixel_sum
+          FROM px GROUP BY doc_id) vp ON vp.doc_id = d.doc_id
+    JOIN (SELECT doc_id, SUM(CAST(v AS BIGINT) * v) AS audio_sumsq
+          FROM au GROUP BY doc_id) ap ON ap.doc_id = d.doc_id
+    """,
+)
+def av_demux_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE A/V container demux, end-to-end: documents become genuine
+    two-stream interleaved AVIs (multimodal.docs_as_av_media — one
+    'vids' DIB stream and one 'auds' 16-bit PCM stream, per-frame
+    interleaved '00db'/'01wb' chunks, both indexed in idx1), and the
+    shipped demuxer (operators/videocodec.py:decode_avi_av) splits
+    each container back into its modality tracks: frames reassembled
+    from the video chunks, the PCM stream concatenated from the audio
+    chunks. The output proves BOTH tracks integer-exactly — video by
+    full pixel sum, audio by sum of squared samples — against an
+    oracle that replays the shared byte tiling (audio bytes start
+    where video bytes end, so one arithmetic covers the whole
+    container). This is the demux stage of a video ingest pipeline:
+    after it, frames flow into the image feature path and audio into
+    the audio fingerprint path. Scale: one Arrow-batched mapInPandas
+    pass, per-row error isolation, no shuffle, no driver state."""
+    from ballista_extensions_spark.operators.multimodal import (
+        docs_as_av_media,
+    )
+    from ballista_extensions_spark.operators.videocodec import (
+        av_demux_stats,
+    )
+
+    media = docs_as_av_media(
+        ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    )
+    return av_demux_stats(media).select(
+        "media_id", "width", "height", "n_frames", "pixel_sum",
+        "channels", "sample_rate", "n_samples", "audio_sumsq",
+    )

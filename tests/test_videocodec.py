@@ -204,3 +204,101 @@ def test_spark_decode_frame_sample_near_dup_composition(spark):
     want = {(a, b) for a in hv for b in hv if a < b
             and bin((hv[a] ^ hv[b]) & ((1 << 64) - 1)).count("1") <= 6}
     assert got == want
+
+
+def test_av_roundtrip_exact_and_single_stream_rejects():
+    from ballista_extensions_spark.operators.videocodec import (
+        decode_avi_av,
+        encode_avi_av,
+    )
+
+    rng = np.random.RandomState(41)
+    for nf, h, w, ns, ch, rate in [
+        (3, 4, 4, 130, 1, 8000),
+        (8, 10, 12, 520, 2, 16000),
+        (1, 5, 9, 7, 2, 44100),
+        (4, 6, 5, 0, 1, 8000),  # empty audio track
+    ]:
+        fr = rng.randint(0, 256, size=(nf, h, w, 3)).astype(np.uint8)
+        au = rng.randint(-32768, 32768, size=(ns, ch)).astype(np.int16)
+        b = encode_avi_av(fr, 40000, au, rate)
+        f2, uspf, a2, r2 = decode_avi_av(b)
+        assert uspf == 40000 and r2 == rate
+        assert np.array_equal(f2, fr)
+        assert a2.shape == (ns, ch) and np.array_equal(a2, au)
+        # the single-stream decoder fail-louds on the 2-stream file...
+        with pytest.raises(ValueError, match="stream count 2"):
+            decode_avi(b)
+    # ...and the demuxer fail-louds on a single-stream file
+    solo = encode_avi(rng.randint(0, 256, size=(2, 4, 4, 3)).astype(
+        np.uint8), 40000)
+    with pytest.raises(ValueError, match="expected 2 streams"):
+        decode_avi_av(solo)
+
+
+def test_av_interleave_slices_are_floor_partition():
+    """Frame f's audio chunk must carry samples [f*ns//nf,
+    (f+1)*ns//nf) — verified by demuxing a payload whose audio is the
+    sample index itself."""
+    import struct as _s
+
+    from ballista_extensions_spark.operators.videocodec import (
+        decode_avi_av,
+        encode_avi_av,
+    )
+
+    nf, ns = 4, 10
+    fr = np.zeros((nf, 4, 4, 3), dtype=np.uint8)
+    au = np.arange(ns, dtype=np.int16)[:, None]
+    b = encode_avi_av(fr, 40000, au, 8000)
+    # walk the raw movi chunks: '01wb' k carries indices in the floor
+    # partition of frame k
+    pos, chunks = 12, []
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = _s.unpack("<I", b[pos + 4 : pos + 8])
+        if cid == b"LIST" and b[pos + 8 : pos + 12] == b"movi":
+            inner = pos + 12
+            endl = pos + 8 + size
+            while inner + 8 <= endl:
+                c2 = b[inner : inner + 4]
+                (s2,) = _s.unpack("<I", b[inner + 4 : inner + 8])
+                if c2 == b"01wb":
+                    vals = np.frombuffer(
+                        b[inner + 8 : inner + 8 + s2], dtype="<i2"
+                    )
+                    chunks.append(list(vals))
+                inner += 8 + s2 + (s2 % 2)
+        pos += 8 + size + (size % 2)
+    assert chunks == [
+        list(range(f * ns // nf, (f + 1) * ns // nf)) for f in range(nf)
+    ]
+    _, _, a2, _ = decode_avi_av(b)
+    assert np.array_equal(a2, au)
+
+
+def test_av_demux_stats_through_spark(spark):
+    from ballista_extensions_spark.operators.videocodec import (
+        av_demux_stats,
+        encode_avi_av,
+    )
+
+    rng = np.random.RandomState(43)
+    fr = rng.randint(0, 256, size=(3, 5, 6, 3)).astype(np.uint8)
+    au = rng.randint(-32768, 32768, size=(40, 2)).astype(np.int16)
+    rows = [
+        (1, bytearray(encode_avi_av(fr, 40000, au, 12000))),
+        (2, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in av_demux_stats(media).collect()}
+    a64 = au.astype(np.int64)
+    r1 = got[1]
+    assert (r1["width"], r1["height"], r1["n_frames"]) == (6, 5, 3)
+    assert r1["pixel_sum"] == int(fr.astype(np.int64).sum())
+    assert (r1["channels"], r1["sample_rate"], r1["n_samples"]) == (
+        2, 12000, 40,
+    )
+    assert r1["audio_sumsq"] == int((a64 * a64).sum())
+    assert r1["decode_error"] is None
+    assert got[2]["decode_error"] is not None
