@@ -373,9 +373,15 @@ def maybe_recluster(
             ingest_into_index(index, batch, id_col=id_col, vec_col=vec_col),
             False,
         )
+    # Materialize the merged corpus BEFORE rebuilding: on a persisted
+    # index the rebuild overwrite-saves into the same table `merged`
+    # reads from, which Spark rejects ("Cannot overwrite a path that is
+    # also being read from"); the checkpoint cuts that lineage so the
+    # write sees only materialized blocks. In-memory indexes are
+    # unaffected but harmless to checkpoint (assignment rows only).
     merged = index.assignments.select(id_col, vec_col).unionByName(
         batch.select(id_col, vec_col)
-    )
+    ).localCheckpoint()
     k = n_lists if n_lists is not None else len(index.centroids)
     cents = train_centroids(
         merged, k, seed=seed, id_col=id_col, vec_col=vec_col

@@ -80,6 +80,12 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= end:
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if pos + 8 + size > end:
+            # fail in ValueError, not a downstream struct.error on a
+            # silently-truncated body — same contract as the AVI walk
+            raise ValueError(
+                f"chunk {cid!r} size {size} overruns container"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             if size < 16:
@@ -217,7 +223,10 @@ def audio_meta_stats(media) -> "object":
                     for c in cols:
                         out[c].append(m[c])
                     out["decode_error"].append(None)
-                except ValueError as e:
+                except Exception as e:  # noqa: BLE001 — per-row
+                    # isolation: codec internals can raise beyond
+                    # ValueError (struct.error on truncation); one bad
+                    # clip must surface in the column, not kill the job
                     for c in cols:
                         out[c].append(None)
                     out["decode_error"].append(str(e)[:200])
@@ -239,30 +248,46 @@ def audio_resample_stats(media, dst_rate: int = 4000) -> "object":
     out_sumsq). Proves the resampler moved the samples the contract
     says (the oracle replays the two floor divisions per output
     sample); decimation like this is the cheap first stage of any
-    audio feature pipeline. Arrow-batched, no shuffle."""
+    audio feature pipeline. Undecodable payloads surface as NULL
+    frames/checksum with decode_error set — the same per-row
+    isolation contract as every sibling media operator. Arrow-batched,
+    no shuffle."""
     import pandas as pd
 
     def _rs(batches):
         for pdf in batches:
-            ids, out_frames, out_sumsq = [], [], []
+            ids, out_frames, out_sumsq, errs = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 ids.append(mid)
-                samples, rate = decode_wav(bytes(payload))
-                r = resample_nearest(samples, rate, dst_rate).astype(
-                    np.int64
-                )
-                out_frames.append(r.shape[0])
-                out_sumsq.append(int((r * r).sum()))
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    samples, rate = decode_wav(bytes(payload))
+                    r = resample_nearest(
+                        samples, rate, dst_rate
+                    ).astype(np.int64)
+                    out_frames.append(r.shape[0])
+                    out_sumsq.append(int((r * r).sum()))
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    out_frames.append(None)
+                    out_sumsq.append(None)
+                    errs.append(str(e)[:200])
             yield pd.DataFrame(
                 {
                     "media_id": ids,
                     "out_frames": out_frames,
                     "out_sumsq": out_sumsq,
+                    "decode_error": errs,
                 }
             )
 
     return media.select("media_id", "payload").mapInPandas(
-        _rs, schema="media_id long, out_frames int, out_sumsq long"
+        _rs,
+        schema=(
+            "media_id long, out_frames int, out_sumsq long, "
+            "decode_error string"
+        ),
     )
 
 

@@ -366,12 +366,17 @@ def decode_to_array(b: bytes) -> np.ndarray:
         if c != 3:
             raise ValueError("only 24-bit BMP pixel decode supported")
         off = struct.unpack_from("<I", b, 10)[0]
+        # biHeight's SIGN carries row order: positive = bottom-up (the
+        # common case and what encode_bmp writes), negative = top-down
+        # — decode_image returns abs(h), so re-read the sign here or a
+        # top-down BMP would silently decode vertically mirrored.
+        raw_h = struct.unpack_from("<i", b, 22)[0]
         row = _bmp_row_size(w)
         arr = np.empty((h, w, 3), dtype=np.uint8)
         for y in range(h):
             line = b[off + y * row : off + y * row + 3 * w]
-            # bottom-up, BGR -> top-down, RGB
-            arr[h - 1 - y] = np.frombuffer(line, dtype=np.uint8).reshape(
+            dst = y if raw_h < 0 else h - 1 - y  # BGR -> RGB below
+            arr[dst] = np.frombuffer(line, dtype=np.uint8).reshape(
                 w, 3
             )[:, ::-1]
         return arr
@@ -447,6 +452,34 @@ def grid_features(b: bytes, grid: int = 4) -> list[float]:
     return out
 
 
+def _gray_grid(arr: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Nearest-neighbor sample an (h, w, 3) pixel array to a
+    rows × cols integer grayscale grid (gray = (r+g+b)//3) — the ONE
+    sampling discipline every perceptual hash in the repo shares
+    (image dHash/aHash and the video keyframe hash), so a change here
+    changes them all together and they stay joinable in the banded
+    Hamming join."""
+    a = arr.astype(np.int32)
+    h, w = a.shape[:2]
+    ys = (np.arange(rows) * h) // rows
+    xs = (np.arange(cols) * w) // cols
+    return a[ys][:, xs].sum(axis=2) // 3
+
+
+def dhash64_from_array(arr: np.ndarray) -> int:
+    """dHash of decoded pixels: 9×8 nearest grayscale grid, bit y*8+x
+    set iff the right neighbor is strictly brighter, returned SIGNED
+    64-bit. Shared by :func:`dhash64` (encoded images) and
+    operators/videocodec.py:video_dhash64 (keyframes)."""
+    g = _gray_grid(arr, 8, 9)
+    bits = 0
+    for y in range(8):
+        for x in range(8):
+            if g[y, x + 1] > g[y, x]:
+                bits |= 1 << (y * 8 + x)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
 def dhash64(b: bytes) -> int:
     """64-bit difference hash of an encoded image (any supported
     container): decode, nearest-neighbor sample to a 9×8 grayscale
@@ -464,17 +497,7 @@ def dhash64(b: bytes) -> int:
     at size k*h is ((y*k*h)//8)//k == (y*h)//8) — the property
     tests/test_imagedup.py proves. Returned as a SIGNED 64-bit int so
     it lands in a Spark LongType column unchanged."""
-    arr = decode_to_array(b).astype(np.int32)
-    h, w = arr.shape[:2]
-    ys = (np.arange(8) * h) // 8
-    xs = (np.arange(9) * w) // 9
-    g = arr[ys][:, xs].sum(axis=2) // 3  # 8 rows × 9 cols grayscale
-    bits = 0
-    for y in range(8):
-        for x in range(8):
-            if g[y, x + 1] > g[y, x]:
-                bits |= 1 << (y * 8 + x)
-    return bits - (1 << 64) if bits >= (1 << 63) else bits
+    return dhash64_from_array(decode_to_array(b))
 
 
 def ahash64(b: bytes) -> int:
@@ -483,11 +506,7 @@ def ahash64(b: bytes) -> int:
     the 64 samples. Same sampling/arithmetic discipline as
     :func:`dhash64` (dHash is the near-dup default — aHash is the
     second opinion a report can cross-check)."""
-    arr = decode_to_array(b).astype(np.int32)
-    h, w = arr.shape[:2]
-    ys = (np.arange(8) * h) // 8
-    xs = (np.arange(8) * w) // 8
-    g = arr[ys][:, xs].sum(axis=2) // 3
+    g = _gray_grid(decode_to_array(b), 8, 8)
     mean = int(g.sum()) // 64
     bits = 0
     for y in range(8):

@@ -56,7 +56,10 @@ def image_dhash(
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     hv = hasher(bytes(payload))
-                except (ValueError, TypeError):
+                except Exception:  # noqa: BLE001 — quarantine, don't
+                    # crash: corrupt payloads raise zlib.error /
+                    # struct.error from inside the codecs, not just
+                    # ValueError, and one bad row must not kill the job
                     hv = None
                 ids.append(mid)
                 hashes.append(hv)
@@ -64,6 +67,59 @@ def image_dhash(
 
     return media.select(id_col, payload_col).mapInPandas(
         _hash, schema="id long, dhash long"
+    )
+
+
+def _validate_banding(threshold: int, bands: int) -> tuple[int, int]:
+    """Shared banding contract: threshold < bands (pigeonhole recall
+    1.0) and bands | 64. Returns (slice width, slice mask)."""
+    if threshold >= bands:
+        raise ValueError(
+            f"threshold {threshold} >= bands {bands}: the pigeonhole "
+            "recall guarantee needs threshold < bands"
+        )
+    if 64 % bands != 0:
+        raise ValueError(f"bands {bands} must divide 64")
+    width = 64 // bands
+    return width, (1 << width) - 1
+
+
+def _band_slices(
+    df: "DataFrame",
+    id_alias: str,
+    hash_alias: str,
+    bands: int,
+    id_col: str,
+    hash_col: str,
+) -> "DataFrame":
+    """ONE slicing implementation for every banded Hamming join (self
+    and cross): drop NULL hashes, cut recomputation of the upstream
+    decode+hash with a lazy localCheckpoint (measured 31 s vs 12 s at
+    sf0.1 on the self-join — the checkpointed state is 8 B of hash per
+    item, not the payloads), then explode the hash into (band, slice)
+    keys via shiftrightunsigned + mask."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return (
+        df.filter(F.col(hash_col).isNotNull())
+        .localCheckpoint(eager=False)
+        .select(
+            F.col(id_col).alias(id_alias),
+            F.col(hash_col).alias(hash_alias),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}), b -> "
+                    f"struct(b AS band, shiftrightunsigned({hash_col}, "
+                    f"b * {width}) & {mask}L AS slice))"
+                )
+            ).alias("bs"),
+        )
+        .select(
+            id_alias,
+            hash_alias,
+            F.col("bs.band").alias("band"),
+            F.col("bs.slice").alias("slice"),
+        )
     )
 
 
@@ -79,33 +135,8 @@ def phash_near_dup_pairs(
     enforced so the pigeonhole guarantee holds and the banded
     candidate join has recall 1.0; verification recomputes exact
     Hamming. NULL hashes (undecodable images) cannot pair."""
-    if threshold >= bands:
-        raise ValueError(
-            f"threshold {threshold} >= bands {bands}: the pigeonhole "
-            "recall guarantee needs threshold < bands"
-        )
-    if 64 % bands != 0:
-        raise ValueError(f"bands {bands} must divide 64")
-    width = 64 // bands
-    mask = (1 << width) - 1
-    # lazy localCheckpoint: both sides of the banded self-join read this
-    # frame — without the cut Spark recomputes the upstream decode+hash
-    # mapInPandas for each side (measured 31 s vs 12 s at sf0.1). The
-    # checkpointed state is 8 B of hash per image, not the payloads.
-    hashes = hashes.filter(F.col(hash_col).isNotNull()).localCheckpoint(
-        eager=False
-    )
-    sliced = hashes.select(
-        F.col(id_col).alias("id"),
-        F.col(hash_col).alias("h"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> "
-                f"struct(b AS band, shiftrightunsigned({hash_col}, "
-                f"b * {width}) & {mask}L AS slice))"
-            )
-        ).alias("bs"),
-    ).select("id", "h", F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice"))
+    _validate_banding(threshold, bands)
+    sliced = _band_slices(hashes, "id", "h", bands, id_col, hash_col)
     a = sliced.alias("a")
     b = sliced.alias("b")
     cands = (
@@ -155,42 +186,15 @@ def phash_cross_dup_pairs(
     Scale: candidates come from equi-joins on (band, slice) between
     the two hash tables — cost ∝ cross-bucket collisions, never
     |left| × |right|; both sides carry 8 B of hash state per item."""
-    if threshold >= bands:
-        raise ValueError(
-            f"threshold {threshold} >= bands {bands}: the pigeonhole "
-            "recall guarantee needs threshold < bands"
-        )
-    if 64 % bands != 0:
-        raise ValueError(f"bands {bands} must divide 64")
-    width = 64 // bands
-    mask = (1 << width) - 1
-
-    def _sliced(df: DataFrame, side: str) -> DataFrame:
-        return (
-            df.filter(F.col(hash_col).isNotNull())
-            .localCheckpoint(eager=False)
-            .select(
-                F.col(id_col).alias(f"{side}_id"),
-                F.col(hash_col).alias(f"{side}_h"),
-                F.explode(
-                    F.expr(
-                        f"transform(sequence(0, {bands - 1}), b -> "
-                        f"struct(b AS band, shiftrightunsigned({hash_col}, "
-                        f"b * {width}) & {mask}L AS slice))"
-                    )
-                ).alias("bs"),
-            )
-            .select(
-                f"{side}_id",
-                f"{side}_h",
-                F.col("bs.band").alias("band"),
-                F.col("bs.slice").alias("slice"),
-            )
-        )
-
+    _validate_banding(threshold, bands)
     cands = (
-        _sliced(left, "left")
-        .join(_sliced(right, "right"), ["band", "slice"])
+        _band_slices(left, "left_id", "left_h", bands, id_col, hash_col)
+        .join(
+            _band_slices(
+                right, "right_id", "right_h", bands, id_col, hash_col
+            ),
+            ["band", "slice"],
+        )
         .select("left_id", "left_h", "right_id", "right_h")
         .distinct()
     )

@@ -216,7 +216,11 @@ def docs_as_wav_media(documents: DataFrame) -> DataFrame:
                 channels = 1 + n % 2
                 frames = 130 + n % 391
                 need = frames * channels
-                tiled = (b * (need // n + 1))[:need] if n else b"\x00" * need
+                # empty text -> byte 0x80, which the (byte-128)*256
+                # affine maps to sample 0: TRUE silence, matching the
+                # oracles' n = 0 branch (0x00 would be -32768 —
+                # full-scale DC, not silence)
+                tiled = (b * (need // n + 1))[:need] if n else b"\x80" * need
                 flat = np.frombuffer(tiled, dtype=np.uint8).astype(np.int16)
                 samples = ((flat - 128) << 8).reshape(frames, channels)
                 ids.append(mid)
@@ -294,7 +298,14 @@ def docs_as_av_media(documents: DataFrame) -> DataFrame:
                 ns = 130 + n % 211
                 vneed = nf * h * w * 3
                 need = vneed + ns * ch
-                tiled = (b * (need // n + 1))[:need] if n else b"\x00" * need
+                # empty text: black frames (0x00) + TRUE silence (0x80
+                # -> sample 0 under the affine), matching the oracles'
+                # n = 0 branches for each track
+                tiled = (
+                    (b * (need // n + 1))[:need]
+                    if n
+                    else b"\x00" * vneed + b"\x80" * (ns * ch)
+                )
                 frames = np.frombuffer(
                     tiled[:vneed], dtype=np.uint8
                 ).reshape(nf, h, w, 3)
@@ -459,7 +470,10 @@ def mixed_decode_checksum(media: DataFrame) -> DataFrame:
                     kinds.append(kind)
                     sums.append(cs)
                     errs.append(None)
-                except ValueError as e:
+                except Exception as e:  # noqa: BLE001 — quarantine:
+                    # codec internals raise zlib.error/struct.error on
+                    # corrupt bytes, not only ValueError; the contract
+                    # is per-row isolation, never a dead batch
                     kinds.append(None)
                     sums.append(None)
                     errs.append(str(e)[:200])

@@ -288,22 +288,18 @@ def video_dhash64(payload: bytes) -> int:
     Spark/DuckDB BIGINT exactly, and the banded Hamming join
     (operators/imagedup.py:phash_near_dup_pairs) consumes it
     unchanged — the same 8 B/item state as the image and audio
-    fingerprints."""
+    fingerprints. The hash itself is imagecodec.dhash64_from_array on
+    the keyframe's pixels — ONE shared implementation, so image and
+    video fingerprints cannot drift apart."""
+    from ballista_extensions_spark.operators.imagecodec import (
+        dhash64_from_array,
+    )
+
     frames, _ = decode_avi(payload)
     nf = frames.shape[0]
     if nf == 0:
         raise ValueError("cannot hash a zero-frame video")
-    arr = frames[nf // 2].astype(np.int32)
-    h, w = arr.shape[:2]
-    ys = (np.arange(8) * h) // 8
-    xs = (np.arange(9) * w) // 9
-    g = arr[ys][:, xs].sum(axis=2) // 3
-    bits = 0
-    for y in range(8):
-        for x in range(8):
-            if g[y, x + 1] > g[y, x]:
-                bits |= 1 << (y * 8 + x)
-    return bits - (1 << 64) if bits >= (1 << 63) else bits
+    return dhash64_from_array(frames[nf // 2])
 
 
 def video_meta_stats(media) -> "object":

@@ -236,4 +236,6 @@ def audio_resample_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs_as_wav_media(
         ensure_parallelism(load_table(spark, sf_dir, "documents"))
     )
-    return audio_resample_stats(media, dst_rate=4000)
+    return audio_resample_stats(media, dst_rate=4000).select(
+        "media_id", "out_frames", "out_sumsq"
+    )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ballista_extensions_spark.io import ensure_parallelism, load_table
+from ballista_extensions_spark.queries.analytics7 import _DHASH_CTE
 from ballista_extensions_spark.queries.registry import register
 
 #: Shared oracle preamble: the AVI fixture geometry (w/h/frames/timing
@@ -363,33 +364,8 @@ def media_mixed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "image_contamination_check",
-    oracle="""
-    WITH d AS (
-      SELECT doc_id, text, octet_length(encode(text)) AS n,
-             4 + octet_length(encode(text)) % 29 AS w,
-             4 + octet_length(encode(text)) % 23 AS h
-      FROM documents),
-    g AS (
-      SELECT doc_id, y, x,
-        CASE WHEN n = 0 THEN 0 ELSE
-          (ascii(substring(text, ((((y*h)//8)*w + (x*w)//9)*3 + 0) % n + 1, 1))
-         + ascii(substring(text, ((((y*h)//8)*w + (x*w)//9)*3 + 1) % n + 1, 1))
-         + ascii(substring(text, ((((y*h)//8)*w + (x*w)//9)*3 + 2) % n + 1, 1))
-          ) // 3
-        END AS gray
-      FROM d, generate_series(0, 7) t1(y), generate_series(0, 8) t2(x)),
-    bits AS (
-      SELECT l.doc_id, l.y, l.x,
-             CASE WHEN r.gray > l.gray THEN 1 ELSE 0 END AS bit
-      FROM g l JOIN g r ON r.doc_id = l.doc_id AND r.y = l.y
-                       AND r.x = l.x + 1
-      WHERE l.x <= 7),
-    dh AS (
-      SELECT doc_id, CAST(SUM(CASE WHEN bit = 1 THEN
-          CASE WHEN y*8 + x = 63 THEN -9223372036854775808
-               ELSE (CAST(1 AS BIGINT) << (y*8 + x)) END
-          ELSE 0 END) AS BIGINT) AS dhash
-      FROM bits GROUP BY doc_id),
+    oracle=f"""
+    WITH {_DHASH_CTE},
     bench AS (SELECT doc_id, dhash FROM dh WHERE doc_id % 10 = 0),
     train AS (SELECT doc_id, dhash FROM dh WHERE doc_id % 10 <> 0),
     hits AS (

@@ -179,3 +179,33 @@ def test_probe_matches_bruteforce_when_probing_all_cells(spark, embeddings):
         (r["q_id"], r["c_id"], r["rn"], round(r["cosine"], 12))
         for r in want.collect()
     }
+
+
+def test_maybe_recluster_persisted_rebuild(spark, embeddings):
+    """Regression: over-threshold drift on a PERSISTED index rebuilds
+    by overwrite-saving into the same table the merged corpus reads
+    from — the merged frame must be materialized first or Spark
+    rejects the self-overwrite ("cannot overwrite a table that is
+    also being read from")."""
+    prefix = "ann_test_reclust"
+    _drop(spark, prefix)
+    stored = embeddings.filter(F.col("vec_id") % 4 != 0)
+    shifted = embeddings.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> CAST(x + 5.0 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    cents = A.lattice_centroids(8, 64)
+    try:
+        idx = A.build_ann_index(stored, cents, table_prefix=prefix)
+        idx2, reclustered = A.maybe_recluster(
+            idx, shifted, drift_threshold=1.0
+        )
+        assert reclustered
+        assert idx2.table == f"{prefix}_assign"
+        n_want = stored.count() + shifted.count()
+        assert spark.table(f"{prefix}_assign").count() == n_want
+        assert idx2.assignments.count() == n_want
+    finally:
+        _drop(spark, prefix)

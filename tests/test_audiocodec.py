@@ -190,3 +190,34 @@ def test_spark_resample_stats_matches_local(spark):
     local = resample_nearest(s, 12000, 4000).astype(np.int64)
     assert r["out_frames"] == local.shape[0]
     assert r["out_sumsq"] == int((local * local).sum())
+
+
+def test_truncated_chunk_fails_in_valueerror():
+    """Regression: a fmt chunk whose declared size overruns the
+    payload must raise ValueError (the documented contract), not leak
+    struct.error from the truncated unpack."""
+    p = (
+        b"RIFF" + struct.pack("<I", 30) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x01"  # cut short
+    )
+    with pytest.raises(ValueError, match="overruns container"):
+        decode_wav(p)
+
+
+def test_resample_stats_isolates_bad_rows(spark):
+    """Regression: audio_resample_stats must quarantine null and
+    undecodable payloads into decode_error instead of failing the
+    whole mapInPandas task."""
+    s = _clip(51, 40, 1)
+    rows = [
+        (1, bytearray(encode_wav(s, 8000))),
+        (2, None),
+        (3, bytearray(b"not a wav at all")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in
+           audio_resample_stats(media, dst_rate=4000).collect()}
+    assert got[1]["out_frames"] == 20 and got[1]["decode_error"] is None
+    for bad in (2, 3):
+        assert got[bad]["out_frames"] is None
+        assert got[bad]["decode_error"] is not None

@@ -151,3 +151,27 @@ def test_phash_cross_dup_pairs_matches_brute_force(spark):
         phash_cross_dup_pairs(left, right, threshold=8, bands=8)
     with pytest.raises(ValueError, match="divide"):
         phash_cross_dup_pairs(left, right, threshold=3, bands=7)
+
+
+def test_corrupt_payloads_quarantined_not_crash(spark):
+    """Regression: codec internals raise zlib.error/struct.error on
+    corrupt bytes (not just ValueError) — image_dhash must surface
+    those rows as NULL dhash, never kill the job."""
+    import numpy as np
+
+    from ballista_extensions_spark.operators.imagecodec import encode_png
+    from ballista_extensions_spark.operators.imagedup import image_dhash
+
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    good = encode_png(px)
+    corrupt_png = bytearray(good)
+    corrupt_png[40] ^= 0xFF  # bit-flip inside IDAT -> zlib.error
+    rows = [
+        (1, bytearray(good)),
+        (2, corrupt_png),
+        (3, bytearray(b"\xff\xd8\xff\xc0\x00\x02")),  # JPEG SOF len<6
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["id"]: r["dhash"] for r in image_dhash(media).collect()}
+    assert got[1] is not None
+    assert got[2] is None and got[3] is None

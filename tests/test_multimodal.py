@@ -564,3 +564,29 @@ def test_docs_as_mixed_media_matches_single_format_adapters(spark, documents):
             singles[r["media_id"]] = bytes(r["payload"])
     assert set(mixed) == set(singles)
     assert all(mixed[m] == singles[m] for m in mixed)
+
+
+def test_topdown_bmp_decodes_unflipped():
+    """Regression: negative biHeight means top-down row order; the
+    pixel decode must honor the sign instead of mirroring the image."""
+    import struct
+
+    import numpy as np
+
+    from ballista_extensions_spark.operators.imagecodec import (
+        decode_to_array,
+        encode_bmp,
+    )
+
+    px = np.arange(60, dtype=np.uint8).reshape(5, 4, 3)
+    up = bytearray(encode_bmp(px))
+    # rewrite as top-down: negate biHeight and reverse the row order of
+    # the pixel data in place
+    off = struct.unpack_from("<I", bytes(up), 10)[0]
+    h, w = 5, 4
+    row = (3 * w + 3) & ~3
+    struct.pack_into("<i", up, 22, -h)
+    body = bytes(up[off:])
+    rows = [body[y * row : (y + 1) * row] for y in range(h)]
+    up[off:] = b"".join(reversed(rows))
+    assert np.array_equal(decode_to_array(bytes(up)), px)
