@@ -213,7 +213,7 @@ def audio_near_dup_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE c < ch AND j < fr * 4000 // rate)
     SELECT doc_id AS media_id,
            CAST(fr * 4000 // rate AS INT) AS out_frames,
-           SUM(CAST(v AS BIGINT) * v) AS out_sumsq
+           CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS out_sumsq
     FROM o GROUP BY doc_id, fr, rate
     """,
 )

@@ -86,7 +86,8 @@ _VDHASH_CTE = f"""
            CAST(uspf AS BIGINT) AS us_per_frame,
            CAST(nf * uspf // 1000 AS BIGINT) AS duration_ms,
            s.pixel_sum
-    FROM d JOIN (SELECT doc_id, SUM(CAST(v AS BIGINT)) AS pixel_sum
+    FROM d JOIN (SELECT doc_id,
+                        CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS pixel_sum
                  FROM px GROUP BY doc_id) s ON s.doc_id = d.doc_id
     """,
 )
@@ -133,7 +134,7 @@ def video_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE f < nf AND f % 2 = 0 AND j < h * w * 3)
     SELECT doc_id AS media_id,
            CAST(f AS INT) AS frame_idx,
-           SUM(CAST(v AS BIGINT)) AS frame_sum
+           CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS frame_sum
     FROM fx GROUP BY doc_id, f
     """,
 )
@@ -287,9 +288,9 @@ def media_kind_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     png AS (
       SELECT doc_id, 'png' AS kind,
-             SUM(CASE WHEN n = 0 THEN 0 ELSE
+             CAST(SUM(CASE WHEN n = 0 THEN 0 ELSE
                CAST(ascii(substring(text, (i % n) + 1, 1)) AS BIGINT)
-             END) AS checksum
+             END) AS BIGINT) AS checksum
       FROM (SELECT doc_id, text, n,
                    4 + n % 29 AS w, 4 + n % 23 AS h
             FROM d WHERE n % 4 = 0),
@@ -298,9 +299,9 @@ def media_kind_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id),
     jpg AS (
       SELECT doc_id, 'jpeg' AS kind,
-             64 * SUM(
+             CAST(64 * SUM(
                CAST(ascii(substring(text, (i % n) + 1, 1)) AS BIGINT)
-             ) AS checksum
+             ) AS BIGINT) AS checksum
       FROM (SELECT doc_id, text, n,
                    1 + n % 6 AS bw, 1 + n % 5 AS bh
             FROM d WHERE n % 4 = 1),
@@ -309,10 +310,10 @@ def media_kind_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id),
     wav AS (
       SELECT doc_id, 'wav' AS kind,
-             SUM(CAST((ascii(substring(text, (i % n) + 1, 1)) - 128)
+             CAST(SUM(CAST((ascii(substring(text, (i % n) + 1, 1)) - 128)
                       * 256 AS BIGINT)
                  * ((ascii(substring(text, (i % n) + 1, 1)) - 128)
-                    * 256)) AS checksum
+                    * 256)) AS BIGINT) AS checksum
       FROM (SELECT doc_id, text, n,
                    130 + n % 391 AS fr, 1 + n % 2 AS ch
             FROM d WHERE n % 4 = 2),
@@ -321,8 +322,8 @@ def media_kind_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id),
     avi AS (
       SELECT doc_id, 'avi' AS kind,
-             SUM(CAST(ascii(substring(text, (i % n) + 1, 1)) AS BIGINT)
-             ) AS checksum
+             CAST(SUM(CAST(ascii(substring(text, (i % n) + 1, 1)) AS BIGINT)
+             ) AS BIGINT) AS checksum
       FROM (SELECT doc_id, text, n,
                    4 + n % 9 AS w, 4 + n % 7 AS h, 3 + n % 6 AS nf
             FROM d WHERE n % 4 = 3),
@@ -475,9 +476,11 @@ def image_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ns AS INT) AS n_samples,
            ap.audio_sumsq
     FROM d
-    JOIN (SELECT doc_id, SUM(CAST(v AS BIGINT)) AS pixel_sum
+    JOIN (SELECT doc_id,
+                 CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS pixel_sum
           FROM px GROUP BY doc_id) vp ON vp.doc_id = d.doc_id
-    JOIN (SELECT doc_id, SUM(CAST(v AS BIGINT) * v) AS audio_sumsq
+    JOIN (SELECT doc_id,
+                 CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS audio_sumsq
           FROM au GROUP BY doc_id) ap ON ap.doc_id = d.doc_id
     """,
 )

@@ -17,6 +17,46 @@ import time
 import duckdb
 
 
+# Spark dtype string -> acceptable DuckDB declared types.  The driver's
+# hasher distinguishes value TYPES, not just values (round 10: DuckDB
+# types bare SUM(BIGINT) as HUGEINT while Spark emits LONG, and five
+# hash-exact-by-value queries failed the gate).  This map makes the
+# local gate reproduce that discipline: a declared-type mismatch is a
+# FAIL even when every value compares equal as a string.
+_DUCK_OK = {
+    "bigint": {"BIGINT"},
+    "int": {"INTEGER"},
+    "smallint": {"SMALLINT"},
+    "tinyint": {"TINYINT"},
+    "double": {"DOUBLE"},
+    "float": {"FLOAT", "REAL"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "binary": {"BLOB"},
+}
+
+
+def _type_ok(spark_t: str, duck_t: str) -> bool:
+    """True when the DuckDB declared output type is a benign match for
+    the Spark column type.  HUGEINT/UHUGEINT are never benign — they are
+    exactly the silent widening that broke round 10."""
+    duck_t = str(duck_t).upper()
+    if "HUGEINT" in duck_t:
+        return False
+    spark_t = spark_t.lower()
+    if spark_t in _DUCK_OK:
+        return duck_t in _DUCK_OK[spark_t]
+    if spark_t.startswith("decimal"):
+        return duck_t.startswith("DECIMAL")
+    if spark_t.startswith("timestamp"):
+        return duck_t.startswith("TIMESTAMP")
+    if spark_t.startswith("array"):
+        return duck_t.endswith("[]") or duck_t.startswith("LIST")
+    # nested struct/map and anything exotic: value compare still applies
+    return True
+
+
 def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -77,6 +117,17 @@ def main() -> int:
         if sorted(scols) != sorted(dcols):
             failures.append(name)
             print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(dcols)}")
+            continue
+        stypes = dict(sdf.dtypes)
+        dtypes = {c: t for c, t in zip(dcols, rel.types)}
+        bad_types = [
+            (c, stypes[c], str(dtypes[c]))
+            for c in scols
+            if not _type_ok(stypes[c], dtypes[c])
+        ]
+        if bad_types:
+            failures.append(name)
+            print(f"FAIL {name}: declared-type mismatch {bad_types}")
             continue
         if len(srows) != len(drows):
             failures.append(name)
