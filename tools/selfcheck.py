@@ -23,18 +23,18 @@ import duckdb
 # hash-exact-by-value queries failed the gate).  This map makes the
 # local gate reproduce that discipline: a declared-type mismatch is a
 # FAIL even when every value compares equal as a string.
-_DUCK_OK = {
-    "bigint": {"BIGINT"},
-    "int": {"INTEGER"},
-    "smallint": {"SMALLINT"},
-    "tinyint": {"TINYINT"},
-    "double": {"DOUBLE"},
-    "float": {"FLOAT", "REAL"},
-    "string": {"VARCHAR"},
-    "boolean": {"BOOLEAN"},
-    "date": {"DATE"},
-    "binary": {"BLOB"},
+# Families are defined by how values render after the driver's pandas
+# conversion, because that is what its hasher sees.  All fixed-width
+# integers render identically ("123"), so the int family is one class;
+# DECIMAL converts to float64 in pandas, so it is benign against a Spark
+# float/double (0.5 == 0.5) but NOT against an int ("3.0" != "3");
+# HUGEINT also converts to float64, so against Spark LONG it renders
+# "123.0" vs "123" — the round-10 breakage — and is never benign.
+_DUCK_INTS = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
 }
+_DUCK_FLOATS = {"FLOAT", "REAL", "DOUBLE"}
 
 
 def _type_ok(spark_t: str, duck_t: str) -> bool:
@@ -45,10 +45,20 @@ def _type_ok(spark_t: str, duck_t: str) -> bool:
     if "HUGEINT" in duck_t:
         return False
     spark_t = spark_t.lower()
-    if spark_t in _DUCK_OK:
-        return duck_t in _DUCK_OK[spark_t]
+    if spark_t in ("tinyint", "smallint", "int", "bigint"):
+        return duck_t in _DUCK_INTS
+    if spark_t in ("float", "double"):
+        return duck_t in _DUCK_FLOATS or duck_t.startswith("DECIMAL")
     if spark_t.startswith("decimal"):
         return duck_t.startswith("DECIMAL")
+    if spark_t == "string":
+        return duck_t == "VARCHAR"
+    if spark_t == "boolean":
+        return duck_t == "BOOLEAN"
+    if spark_t == "date":
+        return duck_t == "DATE"
+    if spark_t == "binary":
+        return duck_t == "BLOB"
     if spark_t.startswith("timestamp"):
         return duck_t.startswith("TIMESTAMP")
     if spark_t.startswith("array"):
