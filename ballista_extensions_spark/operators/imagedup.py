@@ -16,13 +16,19 @@ DataFrame ops). Verification recomputes exact Hamming (xor +
 bit_count, two codegen'd integer ops), so precision is exact too.
 
 Scale: hashing is one mapInPandas pass over whatever partitioning the
-corpus arrives with (8 B of hash state per image); candidates come
-from equi-joins on (band, slice-value) — cost ∝ per-bucket collisions,
-never corpus². 8-bit slices (bands=8) keep the guarantee up to
-threshold 7 but cap bucket cardinality at 256 per band, so at corpus
-scale the posting-cap discipline applies: raise to 16-bit slices
-(bands=4, threshold ≤ 3) or hash into (band, value, shard) buckets —
-the same df-cap lever ``near_dup_pairs_exact`` documents.
+corpus arrives with (8 B of hash state per image); the banded join
+runs over DISTINCT hashes only (VERDICT r10 #4): a degenerate
+population — millions of all-black frames or blank pages sharing one
+dHash — contributes exactly ONE row per band to the candidate join,
+so candidate cost is ∝ distinct-hash bucket collisions, never member
+count². Identical-hash members are emitted as hamming-0 pairs by a
+plain dhash equi-join (AQE skew-split-able), and near-dup DISTINCT
+hash pairs are expanded back to id pairs by two more equi-joins
+against the (typically tiny, AQE-broadcast) verified hash-pair table.
+The quadratic part that remains is the OUTPUT itself (a group of m
+identical images has m·(m-1)/2 dup pairs by definition), which no
+candidate strategy can shrink — downstream cluster queries aggregate
+it without materializing.
 """
 
 from __future__ import annotations
@@ -84,42 +90,69 @@ def _validate_banding(threshold: int, bands: int) -> tuple[int, int]:
     return width, (1 << width) - 1
 
 
-def _band_slices(
-    df: "DataFrame",
-    id_alias: str,
-    hash_alias: str,
-    bands: int,
-    id_col: str,
-    hash_col: str,
-) -> "DataFrame":
-    """ONE slicing implementation for every banded Hamming join (self
-    and cross): drop NULL hashes, cut recomputation of the upstream
-    decode+hash with a lazy localCheckpoint (measured 31 s vs 12 s at
-    sf0.1 on the self-join — the checkpointed state is 8 B of hash per
-    item, not the payloads), then explode the hash into (band, slice)
-    keys via shiftrightunsigned + mask."""
-    width = 64 // bands
-    mask = (1 << width) - 1
+def _members(
+    df: DataFrame, id_col: str, hash_col: str
+) -> DataFrame:
+    """(id, h) with NULL hashes (undecodable media) dropped; a lazy
+    localCheckpoint cuts recomputation of the upstream decode+hash —
+    the checkpointed state is 8 B of hash per item, not the payloads
+    (measured 31 s vs 12 s at sf0.1 on the self-join)."""
     return (
         df.filter(F.col(hash_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
         .localCheckpoint(eager=False)
-        .select(
-            F.col(id_col).alias(id_alias),
-            F.col(hash_col).alias(hash_alias),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, {bands - 1}), b -> "
-                    f"struct(b AS band, shiftrightunsigned({hash_col}, "
-                    f"b * {width}) & {mask}L AS slice))"
-                )
-            ).alias("bs"),
+    )
+
+
+def _band_slices(df: DataFrame, width: int, mask: int, bands: int) -> DataFrame:
+    """Explode a DISTINCT-hash column ``h`` into (h, band, slice) keys
+    via shiftrightunsigned + mask. Input must already be distinct: the
+    whole point of the round-11 restructure is that a degenerate
+    member population never reaches this explode."""
+    return df.select(
+        "h",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"struct(b AS band, shiftrightunsigned(h, "
+                f"b * {width}) & {mask}L AS slice))"
+            )
+        ).alias("bs"),
+    ).select(
+        "h",
+        F.col("bs.band").alias("band"),
+        F.col("bs.slice").alias("slice"),
+    )
+
+
+def _near_hash_pairs(
+    distinct_hashes: DataFrame, threshold: int, width: int, mask: int,
+    bands: int,
+) -> DataFrame:
+    """(ha < hb, hamming in [1, threshold]) over DISTINCT hashes via
+    the banded pigeonhole join. Equal hashes are deliberately excluded
+    (strict <) — hamming-0 pairs are produced by the callers' member
+    equi-join, never through banding."""
+    sliced = _band_slices(distinct_hashes, width, mask, bands)
+    a = sliced.alias("a")
+    b = sliced.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.h") < F.col("b.h")),
         )
+        .select(F.col("a.h").alias("ha"), F.col("b.h").alias("hb"))
+        .distinct()
         .select(
-            id_alias,
-            hash_alias,
-            F.col("bs.band").alias("band"),
-            F.col("bs.slice").alias("slice"),
+            "ha",
+            "hb",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("long")
+            .alias("hamming"),
         )
+        .filter(F.col("hamming") <= threshold)
     )
 
 
@@ -134,36 +167,41 @@ def phash_near_dup_pairs(
     threshold. Exact by construction: ``threshold < bands`` is
     enforced so the pigeonhole guarantee holds and the banded
     candidate join has recall 1.0; verification recomputes exact
-    Hamming. NULL hashes (undecodable images) cannot pair."""
-    _validate_banding(threshold, bands)
-    sliced = _band_slices(hashes, "id", "h", bands, id_col, hash_col)
-    a = sliced.alias("a")
-    b = sliced.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.slice") == F.col("b.slice"))
-            & (F.col("a.id") < F.col("b.id")),
+    Hamming. NULL hashes (undecodable images) cannot pair.
+
+    Hot-bucket-safe (VERDICT r10 #4): only DISTINCT hashes enter the
+    banded join, so m images sharing one dHash cost 1 banded row per
+    band instead of m — their pairs come from (a) a plain dhash
+    equi-join for hamming-0 members and (b) expansion of the verified
+    distinct-hash near-pair table (small → AQE broadcasts it)."""
+    width, mask = _validate_banding(threshold, bands)
+    members = _members(hashes, id_col, hash_col)
+    hp = _near_hash_pairs(
+        members.select("h").distinct(), threshold, width, mask, bands
+    )
+    eq = (
+        members.alias("x")
+        .join(
+            members.alias("y"),
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.id") < F.col("y.id")),
         )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("a.h").alias("ha"),
-            F.col("b.id").alias("id_b"),
-            F.col("b.h").alias("hb"),
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.lit(0).cast("long").alias("hamming"),
         )
-        .distinct()
     )
-    return (
-        cands.select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-            .cast("long")
-            .alias("hamming"),
+    near = (
+        hp.join(members.alias("x"), F.col("x.h") == F.col("ha"))
+        .join(members.alias("y"), F.col("y.h") == F.col("hb"))
+        .select(
+            F.least(F.col("x.id"), F.col("y.id")).alias("id_a"),
+            F.greatest(F.col("x.id"), F.col("y.id")).alias("id_b"),
+            "hamming",
         )
-        .filter(F.col("hamming") <= threshold)
     )
+    return eq.unionByName(near)
 
 
 def phash_cross_dup_pairs(
@@ -183,25 +221,53 @@ def phash_cross_dup_pairs(
     for threshold < bands), same exact xor+bit_count verification; no
     id ordering constraint because the two sides are distinct corpora
     (an item appearing in both IS a finding, not a self-pair).
-    Scale: candidates come from equi-joins on (band, slice) between
-    the two hash tables — cost ∝ cross-bucket collisions, never
-    |left| × |right|; both sides carry 8 B of hash state per item."""
-    _validate_banding(threshold, bands)
-    cands = (
-        _band_slices(left, "left_id", "left_h", bands, id_col, hash_col)
+    Scale: the banded join runs over the DISTINCT hashes of each side
+    — cost ∝ distinct-hash cross-bucket collisions, never
+    |left| × |right|, and degenerate populations (the all-black-frame
+    case) collapse to one banded row per band per side. Equal-hash
+    cross pairs come from a plain dhash equi-join; near-pair expansion
+    joins both member tables against the small verified hash-pair
+    table."""
+    width, mask = _validate_banding(threshold, bands)
+    lm = _members(left, id_col, hash_col)
+    rm = _members(right, id_col, hash_col)
+    lsliced = _band_slices(lm.select("h").distinct(), width, mask, bands)
+    rsliced = _band_slices(rm.select("h").distinct(), width, mask, bands)
+    hp = (
+        lsliced.alias("a")
         .join(
-            _band_slices(
-                right, "right_id", "right_h", bands, id_col, hash_col
-            ),
-            ["band", "slice"],
+            rsliced.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.h") != F.col("b.h")),
         )
-        .select("left_id", "left_h", "right_id", "right_h")
+        .select(F.col("a.h").alias("ha"), F.col("b.h").alias("hb"))
         .distinct()
+        .select(
+            "ha",
+            "hb",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= threshold)
     )
-    return cands.select(
-        "left_id",
-        "right_id",
-        F.bit_count(F.col("left_h").bitwiseXOR(F.col("right_h")))
-        .cast("long")
-        .alias("hamming"),
-    ).filter(F.col("hamming") <= threshold)
+    eq = (
+        lm.alias("x")
+        .join(rm.alias("y"), F.col("x.h") == F.col("y.h"))
+        .select(
+            F.col("x.id").alias("left_id"),
+            F.col("y.id").alias("right_id"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    near = (
+        hp.join(lm.alias("x"), F.col("x.h") == F.col("ha"))
+        .join(rm.alias("y"), F.col("y.h") == F.col("hb"))
+        .select(
+            F.col("x.id").alias("left_id"),
+            F.col("y.id").alias("right_id"),
+            "hamming",
+        )
+    )
+    return eq.unionByName(near)
