@@ -19,24 +19,28 @@ _ANN_LISTS, _ANN_DIM, _ANN_PROBE, _ANN_K = 8, 64, 2, 5
 
 #: DuckDB replay of operators/imagecodec.py:dhash64 over the PNG media
 #: fixtures: the fixture images' pixels are the documents' utf-8 bytes
-#: tiled to (h = 4 + n%23, w = 4 + n%29, 3) — all-ASCII corpus, so byte
-#: q of the text is ascii(substring(text, q+1, 1)) — and dHash samples
+#: tiled to (h = 4 + n%23, w = 4 + n%29, 3) — byte q of the utf-8
+#: encoding is CAST('0x' || substring(hx, (q+1)*2 - 1, 2) AS INT)
+#: where hx = hex(encode(text)), TRUE byte indexing that stays correct
+#: on non-ASCII corpora (round 11; the old character-indexed
+#: ascii(substring(text, …)) silently diverged) — and dHash samples
 #: a 9×8 nearest-neighbor grayscale grid ((r+g+b)//3), setting bit
 #: y*8+x iff the right neighbor is strictly brighter. Every step is
 #: integer arithmetic both engines share; bit 63 enters as the signed
 #: minimum so the SUM lands exactly in a BIGINT.
 _DHASH_CTE = """
     d AS (
-      SELECT doc_id, text, octet_length(encode(text)) AS n,
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n,
              4 + octet_length(encode(text)) % 29 AS w,
              4 + octet_length(encode(text)) % 23 AS h
       FROM documents),
     g AS (
       SELECT doc_id, y, x,
         CASE WHEN n = 0 THEN 0 ELSE
-          (ascii(substring(text, ((((y*h)//8)*w + (x*w)//9)*3 + 0) % n + 1, 1))
-         + ascii(substring(text, ((((y*h)//8)*w + (x*w)//9)*3 + 1) % n + 1, 1))
-         + ascii(substring(text, ((((y*h)//8)*w + (x*w)//9)*3 + 2) % n + 1, 1))
+          (CAST('0x' || substring(hx, (((((y*h)//8)*w + (x*w)//9)*3 + 0) % n + 1) * 2 - 1, 2) AS INT)
+         + CAST('0x' || substring(hx, (((((y*h)//8)*w + (x*w)//9)*3 + 1) % n + 1) * 2 - 1, 2) AS INT)
+         + CAST('0x' || substring(hx, (((((y*h)//8)*w + (x*w)//9)*3 + 2) % n + 1) * 2 - 1, 2) AS INT)
           ) // 3
         END AS gray
       FROM d, generate_series(0, 7) t1(y), generate_series(0, 8) t2(x)),
@@ -182,7 +186,8 @@ def image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode_jpeg",
     oracle="""
     WITH d AS (
-      SELECT doc_id, text, octet_length(encode(text)) AS n,
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n,
              1 + octet_length(encode(text)) % 6 AS bw,
              1 + octet_length(encode(text)) % 5 AS bh
       FROM documents)
@@ -193,7 +198,7 @@ def image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN n = 0 THEN CAST(0 AS BIGINT) ELSE
              CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
                list_transform(generate_series(0, bw * bh - 1), i ->
-                 CAST(64 * ascii(substring(text, (i % n) + 1, 1))
+                 CAST(64 * CAST('0x' || substring(hx, ((i % n) + 1) * 2 - 1, 2) AS INT)
                       AS BIGINT))),
                (a, v) -> a + v) AS BIGINT)
            END AS pixel_sum,

@@ -20,7 +20,8 @@ from ballista_extensions_spark.queries.registry import register
 #: and decode_wav recovers losslessly (16-bit PCM roundtrips exactly).
 _WAV_DIMS = """
     d AS (
-      SELECT doc_id, text, octet_length(encode(text)) AS n,
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n,
              8000 + (octet_length(encode(text)) % 5) * 2000 AS rate,
              1 + octet_length(encode(text)) % 2 AS ch,
              130 + octet_length(encode(text)) % 391 AS fr
@@ -42,7 +43,7 @@ _AUDIO_HASH_CTE = f"""
       -- column bounds
       SELECT doc_id, (f * 65) // fr AS k,
              CASE WHEN n = 0 THEN 0 ELSE
-               (ascii(substring(text, ((f * ch) % n) + 1, 1)) - 128) * 256
+               (CAST('0x' || substring(hx, (((f * ch) % n) + 1) * 2 - 1, 2) AS INT) - 128) * 256
              END AS v
       FROM d, generate_series(0, 519) t(f) WHERE f < fr),
     e AS (
@@ -69,7 +70,7 @@ _AUDIO_HASH_CTE = f"""
     s AS (
       SELECT doc_id, i,
              CASE WHEN n = 0 THEN 0 ELSE
-               (ascii(substring(text, (i % n) + 1, 1)) - 128) * 256
+               (CAST('0x' || substring(hx, ((i % n) + 1) * 2 - 1, 2) AS INT) - 128) * 256
              END AS v,
              ch
       FROM d, generate_series(0, 1039) t(i) WHERE i < fr * ch),
@@ -203,8 +204,7 @@ def audio_near_dup_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     o AS (
       SELECT doc_id, fr, rate,
              CASE WHEN n = 0 THEN 0 ELSE
-               (ascii(substring(text,
-                  ((((j * rate) // 4000) * ch + c) % n) + 1, 1)) - 128)
+               (CAST('0x' || substring(hx, (((((j * rate) // 4000) * ch + c) % n) + 1) * 2 - 1, 2) AS INT) - 128)
                * 256
              END AS v
       FROM d,

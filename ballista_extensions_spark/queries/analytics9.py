@@ -22,7 +22,8 @@ from ballista_extensions_spark.queries.registry import register
 #: (uncompressed 24-bit DIB frames roundtrip exactly).
 _AVI_DIMS = """
     d AS (
-      SELECT doc_id, text, octet_length(encode(text)) AS n,
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n,
              4 + octet_length(encode(text)) % 9 AS w,
              4 + octet_length(encode(text)) % 7 AS h,
              3 + octet_length(encode(text)) % 6 AS nf,
@@ -42,12 +43,12 @@ _VDHASH_CTE = f"""
     g AS (
       SELECT doc_id, y, x,
         CASE WHEN n = 0 THEN 0 ELSE
-          (ascii(substring(text, ((nf // 2) * h * w * 3
-              + (((y*h)//8)*w + (x*w)//9)*3 + 0) % n + 1, 1))
-         + ascii(substring(text, ((nf // 2) * h * w * 3
-              + (((y*h)//8)*w + (x*w)//9)*3 + 1) % n + 1, 1))
-         + ascii(substring(text, ((nf // 2) * h * w * 3
-              + (((y*h)//8)*w + (x*w)//9)*3 + 2) % n + 1, 1))
+          (CAST('0x' || substring(hx, (((nf // 2) * h * w * 3
+              + (((y*h)//8)*w + (x*w)//9)*3 + 0) % n + 1) * 2 - 1, 2) AS INT)
+         + CAST('0x' || substring(hx, (((nf // 2) * h * w * 3
+              + (((y*h)//8)*w + (x*w)//9)*3 + 1) % n + 1) * 2 - 1, 2) AS INT)
+         + CAST('0x' || substring(hx, (((nf // 2) * h * w * 3
+              + (((y*h)//8)*w + (x*w)//9)*3 + 2) % n + 1) * 2 - 1, 2) AS INT)
           ) // 3
         END AS gray
       FROM d, generate_series(0, 7) t1(y), generate_series(0, 8) t2(x)),
@@ -76,7 +77,7 @@ _VDHASH_CTE = f"""
       -- rejects lateral column bounds
       SELECT doc_id,
              CASE WHEN n = 0 THEN 0 ELSE
-               ascii(substring(text, (i % n) + 1, 1))
+               CAST('0x' || substring(hx, ((i % n) + 1) * 2 - 1, 2) AS INT)
              END AS v
       FROM d, generate_series(0, 2879) t(i) WHERE i < nf * h * w * 3)
     SELECT d.doc_id AS media_id,
@@ -126,7 +127,7 @@ def video_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     fx AS (
       SELECT doc_id, f, n, h, w,
              CASE WHEN n = 0 THEN 0 ELSE
-               ascii(substring(text, ((f * h * w * 3 + j) % n) + 1, 1))
+               CAST('0x' || substring(hx, (((f * h * w * 3 + j) % n) + 1) * 2 - 1, 2) AS INT)
              END AS v
       FROM d,
            generate_series(0, 7) t(f),
@@ -284,14 +285,15 @@ def media_kind_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_mixed_decode",
     oracle="""
     WITH d AS (
-      SELECT doc_id, text, octet_length(encode(text)) AS n
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
       FROM documents),
     png AS (
       SELECT doc_id, 'png' AS kind,
              CAST(SUM(CASE WHEN n = 0 THEN 0 ELSE
-               CAST(ascii(substring(text, (i % n) + 1, 1)) AS BIGINT)
+               CAST(CAST('0x' || substring(hx, ((i % n) + 1) * 2 - 1, 2) AS INT) AS BIGINT)
              END) AS BIGINT) AS checksum
-      FROM (SELECT doc_id, text, n,
+      FROM (SELECT doc_id, hx, n,
                    4 + n % 29 AS w, 4 + n % 23 AS h
             FROM d WHERE n % 4 = 0),
            generate_series(0, 2495) t(i)
@@ -300,9 +302,9 @@ def media_kind_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     jpg AS (
       SELECT doc_id, 'jpeg' AS kind,
              CAST(64 * SUM(
-               CAST(ascii(substring(text, (i % n) + 1, 1)) AS BIGINT)
+               CAST(CAST('0x' || substring(hx, ((i % n) + 1) * 2 - 1, 2) AS INT) AS BIGINT)
              ) AS BIGINT) AS checksum
-      FROM (SELECT doc_id, text, n,
+      FROM (SELECT doc_id, hx, n,
                    1 + n % 6 AS bw, 1 + n % 5 AS bh
             FROM d WHERE n % 4 = 1),
            generate_series(0, 29) t(i)
@@ -310,11 +312,11 @@ def media_kind_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id),
     wav AS (
       SELECT doc_id, 'wav' AS kind,
-             CAST(SUM(CAST((ascii(substring(text, (i % n) + 1, 1)) - 128)
+             CAST(SUM(CAST((CAST('0x' || substring(hx, ((i % n) + 1) * 2 - 1, 2) AS INT) - 128)
                       * 256 AS BIGINT)
-                 * ((ascii(substring(text, (i % n) + 1, 1)) - 128)
+                 * ((CAST('0x' || substring(hx, ((i % n) + 1) * 2 - 1, 2) AS INT) - 128)
                     * 256)) AS BIGINT) AS checksum
-      FROM (SELECT doc_id, text, n,
+      FROM (SELECT doc_id, hx, n,
                    130 + n % 391 AS fr, 1 + n % 2 AS ch
             FROM d WHERE n % 4 = 2),
            generate_series(0, 1039) t(i)
@@ -322,9 +324,9 @@ def media_kind_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id),
     avi AS (
       SELECT doc_id, 'avi' AS kind,
-             CAST(SUM(CAST(ascii(substring(text, (i % n) + 1, 1)) AS BIGINT)
+             CAST(SUM(CAST(CAST('0x' || substring(hx, ((i % n) + 1) * 2 - 1, 2) AS INT) AS BIGINT)
              ) AS BIGINT) AS checksum
-      FROM (SELECT doc_id, text, n,
+      FROM (SELECT doc_id, hx, n,
                    4 + n % 9 AS w, 4 + n % 7 AS h, 3 + n % 6 AS nf
             FROM d WHERE n % 4 = 3),
            generate_series(0, 2879) t(i)
@@ -445,7 +447,8 @@ def image_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "av_demux_meta",
     oracle="""
     WITH d AS (
-      SELECT doc_id, text, octet_length(encode(text)) AS n,
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n,
              4 + octet_length(encode(text)) % 9 AS w,
              4 + octet_length(encode(text)) % 7 AS h,
              3 + octet_length(encode(text)) % 6 AS nf,
@@ -456,14 +459,13 @@ def image_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     px AS (
       SELECT doc_id,
              CASE WHEN n = 0 THEN 0 ELSE
-               ascii(substring(text, (i % n) + 1, 1))
+               CAST('0x' || substring(hx, ((i % n) + 1) * 2 - 1, 2) AS INT)
              END AS v
       FROM d, generate_series(0, 2879) t(i) WHERE i < nf * h * w * 3),
     au AS (
       SELECT doc_id,
              CASE WHEN n = 0 THEN 0 ELSE
-               (ascii(substring(text,
-                  ((nf * h * w * 3 + i) % n) + 1, 1)) - 128) * 256
+               (CAST('0x' || substring(hx, (((nf * h * w * 3 + i) % n) + 1) * 2 - 1, 2) AS INT) - 128) * 256
              END AS v
       FROM d, generate_series(0, 680) t(i) WHERE i < ns * ach)
     SELECT d.doc_id AS media_id,
