@@ -329,7 +329,11 @@ def video_meta_stats(media) -> "object":
                     for c in cols:
                         out[c].append(m[c])
                     out["decode_error"].append(None)
-                except ValueError as e:
+                except Exception as e:  # noqa: BLE001 — per-row
+                    # quarantine: codec internals raise beyond
+                    # ValueError on hostile headers (struct.error,
+                    # numpy size errors); one bad row must not kill
+                    # the Arrow batch
                     for c in cols:
                         out[c].append(None)
                     out["decode_error"].append(str(e)[:200])
@@ -366,7 +370,8 @@ def video_frame_samples(media, stride: int = 2) -> "object":
                     if payload is None:
                         raise ValueError("null payload")
                     checks = frame_stride_checksums(bytes(payload), stride)
-                except ValueError:
+                except Exception:  # noqa: BLE001 — per-row quarantine,
+                    # same contract as video_meta_stats
                     continue
                 for f, s in checks:
                     ids.append(mid)
@@ -570,6 +575,10 @@ def decode_avi_av(
         raise ValueError(
             f"unsupported audio format={audio_format} bits={bits}"
         )
+    if ch < 1:
+        # ch=0 with block_align=0 would pass the equality check below
+        # and then divide by zero at the sample split
+        raise ValueError(f"invalid channel count {ch}")
     if block_align != ch * 2:
         raise ValueError(
             f"block_align {block_align} != channels*2 {ch * 2}"
@@ -626,7 +635,10 @@ def av_demux_stats(media) -> "object":
                     for c in cols:
                         out[c].append(vals[c])
                     out["decode_error"].append(None)
-                except ValueError as e:
+                except Exception as e:  # noqa: BLE001 — per-row
+                    # quarantine: decode_avi_av can raise beyond
+                    # ValueError on hostile headers; one bad row must
+                    # not kill the Arrow batch
                     for c in cols:
                         out[c].append(None)
                     out["decode_error"].append(str(e)[:200])

@@ -125,12 +125,17 @@ def stream_first_occurrence(
     (earlier micro-batch, or smaller ``id_col`` within the same batch —
     the deterministic tiebreak an id-ordered replay pins down).
 
-    State per key is ONE long (the minimum id seen), so a billion-key
-    corpus costs 8 B/key in the state store — the streaming analogue of
-    the batch ``MIN(id) OVER (PARTITION BY key)`` and the decision
-    point of a dedup-at-ingest pipeline (first occurrence flows on,
-    repeats route to the duplicate sink). Emits every input row exactly
-    once (append semantics)."""
+    State per key is ONE value of the id's own type (the minimum id
+    seen — 8 B/key for long ids), so a billion-key corpus stays cheap
+    in the state store — the streaming analogue of the batch
+    ``MIN(id) OVER (PARTITION BY key)`` and the decision point of a
+    dedup-at-ingest pipeline (first occurrence flows on, repeats route
+    to the duplicate sink). Emits every input row exactly once (append
+    semantics). Key and id types are propagated from ``df``'s schema
+    (string URLs, binary digests and numeric ids all work); the id
+    type must be orderable (min semantics)."""
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    id_type, key_type = types[id_col], types[key_col]
 
     def update(
         key: tuple,
@@ -143,7 +148,9 @@ def stream_first_occurrence(
         pdf = pd.concat(list(pdfs), ignore_index=True)
         seen = state.get[0] if state.exists else None
         ids = pdf[id_col]
-        batch_min = int(ids.min())
+        batch_min = ids.min()
+        if hasattr(batch_min, "item"):  # numpy scalar -> plain python
+            batch_min = batch_min.item()
         first_id = batch_min if seen is None else None
         state.update((batch_min if seen is None else min(seen, batch_min),))
         yield pd.DataFrame(
@@ -151,16 +158,17 @@ def stream_first_occurrence(
                 id_col: ids,
                 key_col: pdf[key_col],
                 "is_first": [
-                    first_id is not None and int(i) == first_id
-                    for i in ids
+                    first_id is not None and i == first_id for i in ids
                 ],
             }
         )
 
     return df.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=f"{id_col} long, {key_col} long, is_first boolean",
-        stateStructType="min_id long",
+        outputStructType=(
+            f"{id_col} {id_type}, {key_col} {key_type}, is_first boolean"
+        ),
+        stateStructType=f"min_id {id_type}",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

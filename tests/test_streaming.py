@@ -553,3 +553,58 @@ def test_stream_first_occurrence_cross_batch_state(spark, tmp_path_factory):
         7: (10, False),   # later batch: suppressed by STATE
         5: (30, True),
     }
+
+
+def test_stream_first_occurrence_string_key_and_id(spark, tmp_path_factory):
+    """ADVICE r10: the generic signature used to hardcode long for key
+    and id; non-long keys (string URLs, digests) must now propagate
+    their schema types through output and state."""
+    import os
+    import time
+
+    from ballista_extensions_spark.streaming.stateful import (
+        stream_first_occurrence,
+    )
+
+    base = tmp_path_factory.mktemp("firstocc_str")
+    d = str(base / "in")
+    spark.createDataFrame(
+        [("b", "http://x"), ("a", "http://x"), ("c", "http://y")],
+        "id string, url string",
+    ).coalesce(1).write.parquet(d)
+    first = [os.path.join(d, f) for f in os.listdir(d)
+             if f.endswith(".parquet")]
+    spark.createDataFrame(
+        [("d", "http://x"), ("e", "http://z")], "id string, url string"
+    ).coalesce(1).write.mode("append").parquet(d)
+    now = time.time()
+    for f in first:
+        os.utime(f, (now - 100, now - 100))
+    stream = (
+        spark.readStream.schema("id string, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = stream_first_occurrence(stream, "url", "id")
+    assert dict(out.dtypes) == {
+        "id": "string", "url": "string", "is_first": "boolean"
+    }
+    q = (
+        out.writeStream.format("memory")
+        .queryName("firstocc_str_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["id"]: (r["url"], r["is_first"])
+        for r in spark.sql("SELECT * FROM firstocc_str_sink").collect()
+    }
+    assert got == {
+        "a": ("http://x", True),   # lexicographic batch-min
+        "b": ("http://x", False),
+        "c": ("http://y", True),
+        "d": ("http://x", False),  # later batch: suppressed by STATE
+        "e": ("http://z", True),
+    }

@@ -302,3 +302,58 @@ def test_av_demux_stats_through_spark(spark):
     assert r1["audio_sumsq"] == int((a64 * a64).sum())
     assert r1["decode_error"] is None
     assert got[2]["decode_error"] is not None
+
+
+def test_zero_channel_audio_strf_raises_value_error_not_zde():
+    """ADVICE r10: an audio strf declaring nChannels=0 with
+    nBlockAlign=0 passed the `block_align != ch*2` check (0 == 0) and
+    then hit ZeroDivisionError at the sample split, escaping the
+    per-row ValueError quarantine. Must raise ValueError instead."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from ballista_extensions_spark.operators.videocodec import (
+        decode_avi_av,
+        encode_avi_av,
+    )
+
+    fr = np.arange(2 * 4 * 4 * 3, dtype=np.uint8).reshape(2, 4, 4, 3)
+    au = np.arange(16, dtype=np.int16).reshape(8, 2)
+    payload = encode_avi_av(fr, 40000, au, 8000)
+    good = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    bad = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    assert payload.count(good) == 1
+    with pytest.raises(ValueError, match="channel"):
+        decode_avi_av(payload.replace(good, bad))
+
+
+def test_av_demux_stats_quarantines_hostile_headers(spark):
+    """The widened per-row quarantine: a zero-channel strf (and any
+    other non-ValueError codec failure) lands in decode_error, never
+    kills the Arrow batch."""
+    import struct
+
+    import numpy as np
+
+    from ballista_extensions_spark.operators.videocodec import (
+        av_demux_stats,
+        encode_avi_av,
+    )
+
+    fr = np.arange(2 * 4 * 4 * 3, dtype=np.uint8).reshape(2, 4, 4, 3)
+    au = np.arange(16, dtype=np.int16).reshape(8, 2)
+    good_payload = encode_avi_av(fr, 40000, au, 8000)
+    good = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    bad = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    rows = [
+        (1, bytearray(good_payload)),
+        (2, bytearray(good_payload.replace(good, bad))),
+        (3, bytearray(b"RIFF garbage")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in av_demux_stats(media).collect()}
+    assert got[1]["decode_error"] is None and got[1]["pixel_sum"] is not None
+    assert got[2]["decode_error"] is not None and got[2]["pixel_sum"] is None
+    assert got[3]["decode_error"] is not None
