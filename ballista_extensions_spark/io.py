@@ -212,22 +212,25 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def write_bucketed(
     df: DataFrame,
     table: str,
-    key: str,
+    key: str | list[str],
     buckets: int = 16,
-    sort_by: str | None = None,
+    sort_by: str | list[str] | None = None,
 ) -> None:
     """Persist as a bucketed (and optionally sorted) managed table.
 
     Bucketing pre-shuffles data by key at write time so later equi-joins
     and aggregations on that key are exchange-free — the 100 TB answer to
     repeated joins on the same key (co-located joins). Both sides must
-    share the bucket count for the shuffle to be elided.
+    share the bucket count for the shuffle to be elided; for multi-key
+    joins the bucket columns must match the join keys (a single-column
+    bucket spec under a two-key join makes Spark re-shuffle BOTH sides).
     """
+    keys = [key] if isinstance(key, str) else list(key)
     writer = df.write.mode("overwrite").format("parquet")
+    writer = writer.bucketBy(buckets, keys[0], *keys[1:])
     if sort_by:
-        writer = writer.bucketBy(buckets, key).sortBy(sort_by)
-    else:
-        writer = writer.bucketBy(buckets, key)
+        sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        writer = writer.sortBy(sorts[0], *sorts[1:])
     writer.saveAsTable(table)
 
 
