@@ -179,8 +179,9 @@ def audio_near_dup_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads → codec decode → 64-bit energy dHash → all pairs within
     Hamming distance 5. The oracle runs the corpus² brute force; the
     Spark plan never builds it. Scale: 8 B hash state per clip,
-    candidates ∝ per-(band, slice) collisions — same posting-cap
-    discipline as the image and MinHash families."""
+    only DISTINCT hashes enter the banded join (round-11 hot-bucket
+    discipline), so a degenerate population sharing one fingerprint
+    costs one banded row per band, never member count²."""
     from ballista_extensions_spark.operators.audiocodec import audio_dhash64
     from ballista_extensions_spark.operators.imagedup import (
         image_dhash,

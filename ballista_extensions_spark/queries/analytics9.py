@@ -223,9 +223,10 @@ def video_near_dup_keyframe(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly 1.0 for threshold < bands): real AVI payloads → container
     decode → middle-frame dHash → all pairs within Hamming distance 6.
     The oracle runs the corpus² brute force; the Spark plan never
-    builds it. Scale: 8 B hash state per video, candidates ∝
-    per-(band, slice) collisions — same posting-cap discipline as the
-    image, audio and MinHash families."""
+    builds it. Scale: 8 B hash state per video; only DISTINCT hashes
+    enter the banded join (round-11 hot-bucket discipline), so a
+    degenerate population — the all-black-frame case — costs one
+    banded row per band, never member count²."""
     from ballista_extensions_spark.operators.imagedup import (
         image_dhash,
         phash_near_dup_pairs,

@@ -25,15 +25,19 @@ ORACLES: dict[str, str] = {}
 #
 # Round-11 rotation (VERDICT r10 directive #6): union of latest green
 # grades r02..r10 (194 names), EXCLUDING (a) the 5 r10 hash-red media
-# queries fixed this round (oracle HUGEINT typing; they re-grade first)
-# and (b) the 40 oldest r04/r05/r06-era grades, rotated back in:
-# after r11 every registered query's latest driver grade is >= r06.
+# queries fixed this round (oracle HUGEINT typing; they re-grade first),
+# (b) the 40 oldest r04/r05/r06-era grades, rotated back in, and (c) the
+# 4 queries whose plans drifted with the round-11 banded-Hamming
+# restructure (audio_near_dup_energy, image_contamination_check,
+# image_near_dup_phash, video_near_dup_keyframe — flagged by
+# tools/plan_fingerprint.py check, re-graded per its contract): after
+# r11 every registered query's latest driver grade is >= r06.
 PRIOR_DRIVER_GRADED: frozenset[str] = frozenset({
     "ann_contract_audit", "ann_cosine_topk", "ann_hamming_sign_topk",
     "ann_index_incremental", "ann_ivf_topk", "ann_lsh_topk",
     "ann_recall_report", "array_functions", "asof_join_forward_views",
     "audio_decode_meta", "audio_energy_fingerprints",
-    "audio_near_dup_energy", "bigram_lm_counts", "bitwise_agg_keys",
+    "bigram_lm_counts", "bitwise_agg_keys",
     "bloom_prejoin_revenue", "bpe_merge_candidates", "cdc_merge_orders",
     "cdc_two_batch_merge", "chunk_documents", "contamination_check",
     "contrastive_pairs", "corpus_shift_by_source", "corpus_stats_by_lang",
@@ -53,8 +57,8 @@ PRIOR_DRIVER_GRADED: frozenset[str] = frozenset({
     "events_value_mad_anomalies", "explode_outer_tokens", "explode_unnest",
     "filtered_agg_orders", "fk_integrity_audit", "grouping_sets_revenue",
     "heavy_hitter_tokens", "hourly_anomaly_flags",
-    "image_contamination_check", "image_dhash_fingerprints",
-    "image_dup_clusters", "image_near_dup_phash", "incremental_dedup",
+    "image_dhash_fingerprints",
+    "image_dup_clusters", "incremental_dedup",
     "join_full_outer", "join_inner", "join_left_agg", "join_left_anti",
     "join_left_semi", "join_right", "knn_label_accuracy",
     "lang_diversity_by_source", "lang_id_heuristic", "lateral_top_customers",
@@ -101,7 +105,7 @@ PRIOR_DRIVER_GRADED: frozenset[str] = frozenset({
     "text_token_count_bpe", "tfidf_top_terms", "token_budget_selection_demo",
     "token_budget_selection_scalable", "token_len_quartiles_by_lang",
     "top_decile_docs", "unpivot_balances", "video_keyframe_fingerprints",
-    "video_near_dup_keyframe", "weighted_median_price", "window_rank_family",
+    "weighted_median_price", "window_rank_family",
     "window_running_totals", "window_top3_orders_per_customer",
     "window_value_functions", "winsorized_mean_price",
     "year_spine_order_counts",
