@@ -365,3 +365,99 @@ def streaming_media_dedup_replay(
     return sink.filter(F.col("is_first")).select(
         F.col("doc_id").alias("media_id"), "dhash"
     )
+
+
+@register(
+    "streaming_phash_store_replay",
+    oracle=f"""
+    WITH {_DHASH_CTE},
+    p1 AS (
+      SELECT a.doc_id AS stored_id, b.doc_id AS new_id,
+             CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+      FROM dh a JOIN dh b ON a.doc_id % 3 = 0 AND b.doc_id % 3 = 1
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 6),
+    acc1 AS (
+      SELECT doc_id, dhash FROM dh
+      WHERE doc_id % 3 = 1
+        AND doc_id NOT IN (SELECT new_id FROM p1)),
+    store2 AS (
+      SELECT doc_id, dhash FROM dh WHERE doc_id % 3 = 0
+      UNION ALL SELECT doc_id, dhash FROM acc1),
+    p2 AS (
+      SELECT a.doc_id AS stored_id, b.doc_id AS new_id,
+             CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+      FROM store2 a JOIN dh b ON b.doc_id % 3 = 2
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 6)
+    SELECT stored_id, new_id, hamming, CAST(1 AS BIGINT) AS phase FROM p1
+    UNION ALL
+    SELECT stored_id, new_id, hamming, CAST(2 AS BIGINT) AS phase FROM p2
+    """,
+)
+def streaming_phash_store_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RESTART-SURVIVABLE streaming media dedup, oracle-checked: where
+    streaming_media_dedup_replay keeps its fingerprint state in the
+    Spark state store (dies with the checkpoint), this replay keeps it
+    in the persisted perceptual-hash store
+    (streaming/storededup.py + operators/phashstore.py): the documents
+    stream replays in three micro-batches (doc_id % 3 = 0, 1, 2), each
+    batch runs PNG encode -> real codec decode -> 64-bit dHash INSIDE
+    the stream, then foreachBatch rebuilds the store handle FROM DISK,
+    probes the batch (banded pigeonhole candidates over DISTINCT
+    hashes + exact Hamming verification, threshold 6), routes duplicate
+    pairs to the sink, and compacts the non-matching items back to
+    disk as that batch's append-only increment. No in-memory state
+    crosses micro-batch boundaries, so a process restart between any
+    two batches changes nothing — by construction. The oracle replays
+    both non-trivial probe rounds (batch 0 probes an empty store)
+    including the accept/reject routing at the batch-1 boundary, so a
+    hash match proves the dedup-at-ingest decisions AND the
+    cross-restart store semantics bit-exactly. Scale: probe cost per
+    batch is the phashstore plan (∝ increment x bucket collisions);
+    ingest appends only the increment's members and never-seen banded
+    hashes."""
+    from ballista_extensions_spark.operators.imagedup import image_dhash
+    from ballista_extensions_spark.operators.multimodal import (
+        docs_as_png_media,
+    )
+    from ballista_extensions_spark.streaming.storededup import (
+        phash_store_dedup_sink,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    slices = [
+        d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == k) for k in range(3)
+    ]
+    stage = _stage_dir("phash_store_dedup", sf_dir)
+    in_dir = os.path.join(stage, "in")
+    os.makedirs(in_dir)
+    _write_ordered_slices(slices, in_dir)
+    store_dir = os.path.join(stage, "store")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    hashed = image_dhash(docs_as_png_media(stream))
+    q = (
+        hashed.writeStream.outputMode("append")
+        .foreachBatch(phash_store_dedup_sink(store_dir, threshold=6))
+        .option("checkpointLocation", os.path.join(stage, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    q.stop()
+    if not finished:
+        raise TimeoutError(
+            "phash-store replay did not finish within 300s; store at "
+            f"{store_dir} is partial and must not be graded"
+        )
+    pairs = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema("stored_id long, new_id long, hamming long, phase long")
+        .parquet(os.path.join(store_dir, "pairs"))
+    )
+    return pairs.filter(F.col("phase") > 0)

@@ -1,0 +1,107 @@
+"""Store-backed streaming dedup (streaming/storededup.py): restart
+survivability by construction (every batch reads its state from disk),
+at-least-once idempotency (re-running a batch overwrites only its own
+subdir), and dedup-at-ingest accept/reject routing."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ballista_extensions_spark.streaming.storededup import (
+    _read_or_empty,
+    phash_store_dedup_sink,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id long, dhash long")
+
+
+def _pairs(spark, store_dir):
+    return {
+        (r["stored_id"], r["new_id"], r["hamming"], r["phase"])
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .schema("stored_id long, new_id long, hamming long, phase long")
+        .parquet(os.path.join(store_dir, "pairs"))
+        .collect()
+    }
+
+
+@pytest.fixture()
+def store_dir(tmp_path):
+    return str(tmp_path / "store")
+
+
+def test_cross_batch_state_comes_from_disk(spark, store_dir):
+    """Batch 1 must match batch 0's accepted items even though each
+    fn call builds its store handle from scratch — the state lives
+    only on disk."""
+    rng = np.random.default_rng(3)
+    far = [int(v) for v in
+           rng.integers(-(1 << 63), 1 << 63, size=6, dtype=np.int64)]
+    fn = phash_store_dedup_sink(store_dir, threshold=6)
+    fn(_mk(spark, [(1, far[0]), (2, far[1])]), 0)
+    # batch 1: dup of item 1 (hamming 2), dup of item 2 (exact), fresh
+    fn(_mk(spark, [(10, far[0] ^ 0b101), (11, far[1]), (12, far[2])]), 1)
+    got = _pairs(spark, store_dir)
+    assert got == {(1, 10, 2, 1), (2, 11, 0, 1)}
+    # rejected dups are NOT in the store; the fresh item is
+    members = {
+        r["id"]
+        for r in _read_or_empty(
+            spark, os.path.join(store_dir, "members"), "id long, h long"
+        ).collect()
+    }
+    assert members == {1, 2, 12}
+    # batch 2 matches the batch-1 ACCEPTED item -> state accumulated
+    fn(_mk(spark, [(20, far[2])]), 2)
+    assert (12, 20, 0, 2) in _pairs(spark, store_dir)
+
+
+def test_rerun_of_a_batch_is_idempotent(spark, store_dir):
+    """foreachBatch is at-least-once: re-delivering batch 1 must leave
+    pairs, members and banded state exactly as after the first run."""
+    rng = np.random.default_rng(5)
+    far = [int(v) for v in
+           rng.integers(-(1 << 63), 1 << 63, size=4, dtype=np.int64)]
+    fn = phash_store_dedup_sink(store_dir, threshold=6)
+    fn(_mk(spark, [(1, far[0])]), 0)
+    b1 = [(10, far[0]), (11, far[1])]
+    fn(_mk(spark, b1), 1)
+    pairs_once = _pairs(spark, store_dir)
+    members_path = os.path.join(store_dir, "members")
+    members_once = sorted(
+        (r["id"], r["h"])
+        for r in _read_or_empty(
+            spark, members_path, "id long, h long"
+        ).collect()
+    )
+    fn(_mk(spark, b1), 1)  # redelivery
+    assert _pairs(spark, store_dir) == pairs_once == {(1, 10, 0, 1)}
+    assert sorted(
+        (r["id"], r["h"])
+        for r in _read_or_empty(
+            spark, members_path, "id long, h long"
+        ).collect()
+    ) == members_once
+    # banded state stays one row per (distinct hash, band)
+    banded = _read_or_empty(
+        spark, os.path.join(store_dir, "banded"),
+        "h long, band int, slice long",
+    ).collect()
+    assert len(banded) == len({r["h"] for r in banded}) * 8
+
+
+def test_bootstrap_empty_store(spark, store_dir):
+    """Batch 0 probes an empty store: no pairs, everything accepted."""
+    fn = phash_store_dedup_sink(store_dir, threshold=6)
+    fn(_mk(spark, [(1, 42), (2, 43)]), 0)
+    assert _pairs(spark, store_dir) == set()
+    members = _read_or_empty(
+        spark, os.path.join(store_dir, "members"), "id long, h long"
+    ).count()
+    assert members == 2

@@ -50,6 +50,7 @@ EAGER_EXCLUDED = frozenset({
     "streaming_gapfill_replay",
     "streaming_heavy_hitters_replay",
     "streaming_media_dedup_replay",
+    "streaming_phash_store_replay",
 })
 
 #: Sentinel recorded for plans Catalyst's RewriteDistinctAggregates has
