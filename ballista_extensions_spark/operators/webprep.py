@@ -1,0 +1,172 @@
+"""Web-crawl preparation operators: HTML boilerplate stripping and URL
+normalization — the two transforms a crawl corpus passes through
+BEFORE the dedup/quality operators this engine already ships (a
+training-data pipeline ingests HTML pages addressed by messy URLs,
+not clean text rows).
+
+Everything here is built-in expression work (regexp_replace /
+regexp_extract / higher-order array functions) — JVM-side,
+whole-stage-codegen'd, zero Python in the hot path, and each step is
+replayable in ANSI SQL so the paired oracles verify the transforms
+bit-exactly. Regexes are kept inside the common Java-regex/RE2
+subset (no lookarounds, no backrefs) so both engines compile them
+identically.
+
+Fixture adapters (``docs_as_html``, ``docs_as_urls``) derive
+deterministic HTML scaffolds / messy URLs from the documents table —
+the same discipline as the media fixtures (multimodal.docs_as_*):
+the driver's corpus carries no real HTML, so the adapters make the
+transform verifiable end-to-end while the operators themselves accept
+ANY html/url column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def docs_as_html(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, html): wrap each document in a deterministic HTML page
+    — head with title/script/style, nav, a content div holding the
+    text, and a footer — so the strip operator has real boilerplate
+    to remove and the oracle can rebuild the identical page."""
+    i = F.col(id_col)
+    return documents.select(
+        i.alias("doc_id"),
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            i.cast("string"),
+            F.lit("</title><script>var x=1;</script>"
+                  "<style>.c{color:red}</style></head>"
+                  "<body><nav>Home | About | Contact</nav>"
+                  '<div class="content"><p>'),
+            F.col(text_col),
+            F.lit("</p></div><footer>(c) 2026 Example</footer>"
+                  "</body></html>"),
+        ).alias("html"),
+    )
+
+
+def html_text(html: Column | str) -> Column:
+    """Extracted main text of an HTML page: script/style/nav/footer/
+    title elements removed WITH their content (boilerplate), remaining
+    tags stripped, the four common entities decoded, whitespace
+    collapsed. Pure regexp_replace chain — codegen'd, and the exact
+    chain the oracles replay."""
+    c = F.col(html) if isinstance(html, str) else html
+    for el in ("script", "style", "nav", "footer", "title"):
+        c = F.regexp_replace(c, f"<{el}[^>]*>.*?</{el}>", " ")
+    c = F.regexp_replace(c, "<[^>]+>", " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&nbsp;", " "),
+                    ("&amp;", "&")):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, "\\s+", " "))
+
+
+def html_extract_stats(
+    pages: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_raw, n_text, retained_ratio, text_md5) per page —
+    the boilerplate-removal stage of a crawl pipeline with the
+    content-integrity proof (md5 of the extracted text) a downstream
+    dedup can key on. Narrow projection, no shuffle."""
+    text = html_text(html_col)
+    return pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(html_col).cast("long").alias("n_raw"),
+        F.length(text).cast("long").alias("n_text"),
+        (F.length(text).cast("double")
+         / F.length(html_col).cast("double")).alias("retained_ratio"),
+        F.md5(text.cast("binary")).alias("text_md5"),
+    )
+
+
+def docs_as_urls(
+    documents: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, url): deterministic MESSY urls — mixed-case scheme and
+    host, optional www prefix, optional trailing slash, tracking
+    params interleaved with real ones, optional fragment. doc_ids
+    sharing (doc_id % 50, doc_id % 100) collapse to one page after
+    normalization, so the dedup stage has real work."""
+    i = F.col(id_col)
+    return documents.select(
+        i.alias("doc_id"),
+        F.concat(
+            F.when(i % 2 == 0, F.lit("HTTP://WWW.")).otherwise(
+                F.lit("https://")
+            ),
+            F.lit("Site"),
+            (i % 50).cast("string"),
+            F.lit(".Example.COM/articles/"),
+            (i % 100).cast("string"),
+            F.when(i % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(
+                i % 4 == 0,
+                F.concat(F.lit("?utm_source=feed&page="),
+                         (i % 5).cast("string"),
+                         F.lit("&utm_campaign=x")),
+            )
+            .when(i % 4 == 1,
+                  F.concat(F.lit("?page="), (i % 5).cast("string")))
+            .otherwise(F.lit("")),
+            F.when(i % 7 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+
+
+def url_normalize(url: Column | str) -> Column:
+    """Canonical form of a crawl URL: lowercase scheme and host, strip
+    a leading www., drop the fragment, drop utm_* tracking params
+    (preserving the order of the rest), strip trailing slashes from
+    the path. Built-in string/array expressions only."""
+    c = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(c, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.lower(F.regexp_extract(rest, "^([^/?#]+)", 1))
+    host = F.regexp_replace(host, "^www\\.", "")
+    tail = F.regexp_replace(rest, "^[^/?#]+", "")
+    path = F.regexp_extract(tail, "^([^?#]*)", 1)
+    path = F.regexp_replace(path, "/+$", "")
+    qs = F.regexp_extract(tail, "\\?([^#]*)", 1)
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") & ~p.startswith("utm_"),
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(
+            F.size(params) > 0,
+            F.concat(F.lit("?"), F.array_join(params, "&")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(
+    urls: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """(norm_url, canonical_id, n_dups): normalize then keep the
+    min-id representative per canonical URL — the crawl-frontier dedup
+    that runs BEFORE any content is fetched twice. One hash
+    aggregation on the normalized key (map-side partial combine);
+    at corpus scale the key is high-cardinality and unskewed by
+    construction (hosts × paths)."""
+    return (
+        urls.select(
+            F.col(id_col).alias("id"),
+            url_normalize(url_col).alias("norm_url"),
+        )
+        .groupBy("norm_url")
+        .agg(
+            F.min("id").alias("canonical_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+    )

@@ -80,3 +80,144 @@ def image_signature_store_incremental(
     return p1.withColumn("phase", F.lit(1)).unionByName(
         p2.withColumn("phase", F.lit(2))
     )
+
+
+_HTML_PAGE_SQL = """
+      '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+      || '</title><script>var x=1;</script>'
+      || '<style>.c{color:red}</style></head>'
+      || '<body><nav>Home | About | Contact</nav>'
+      || '<div class="content"><p>' || text
+      || '</p></div><footer>(c) 2026 Example</footer></body></html>'
+"""
+
+_HTML_TEXT_SQL = """
+      trim(regexp_replace(
+        replace(replace(replace(replace(
+          regexp_replace(
+            regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(html,
+                '<script[^>]*>.*?</script>', ' ', 'g'),
+                '<style[^>]*>.*?</style>', ' ', 'g'),
+                '<nav[^>]*>.*?</nav>', ' ', 'g'),
+                '<footer[^>]*>.*?</footer>', ' ', 'g'),
+                '<title[^>]*>.*?</title>', ' ', 'g'),
+            '<[^>]+>', ' ', 'g'),
+          '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '), '&amp;', '&'),
+        '\\s+', ' ', 'g'))
+"""
+
+
+@register(
+    "html_extract_quality",
+    oracle=f"""
+    WITH pages AS (
+      SELECT doc_id, {_HTML_PAGE_SQL} AS html FROM documents),
+    ex AS (
+      SELECT doc_id, html, {_HTML_TEXT_SQL} AS txt FROM pages)
+    SELECT doc_id,
+           CAST(length(html) AS BIGINT) AS n_raw,
+           CAST(length(txt) AS BIGINT) AS n_text,
+           CAST(length(txt) AS DOUBLE) / CAST(length(html) AS DOUBLE)
+             AS retained_ratio,
+           md5(txt) AS text_md5
+    FROM ex
+    """,
+)
+def html_extract_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate removal — the transform a crawl corpus passes
+    BEFORE every dedup/quality operator in this engine: documents
+    become deterministic HTML pages (head with title/script/style,
+    nav, content div, footer — operators/webprep.py:docs_as_html),
+    and the strip operator removes boilerplate elements WITH their
+    content, strips remaining tags, decodes entities, and collapses
+    whitespace (webprep.html_text — a pure regexp_replace chain inside
+    the Java-regex/RE2 common subset). Output per page: raw and
+    extracted lengths, the retained-content ratio a quality gate
+    thresholds on, and the md5 of the extracted text a downstream
+    exact-dedup keys on. The oracle rebuilds the identical page and
+    replays the identical chain, so a hash match proves the extraction
+    string-exactly (via md5) on every row. Scale: narrow projection,
+    whole-stage codegen, zero Python, no shuffle."""
+    from ballista_extensions_spark.operators.webprep import (
+        docs_as_html,
+        html_extract_stats,
+    )
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return html_extract_stats(docs_as_html(d))
+
+
+@register(
+    "url_frontier_dedup",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.'
+                   ELSE 'https://' END)
+             || 'Site' || CAST(doc_id % 50 AS VARCHAR)
+             || '.Example.COM/articles/' || CAST(doc_id % 100 AS VARCHAR)
+             || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 4 = 0
+                      THEN '?utm_source=feed&page='
+                           || CAST(doc_id % 5 AS VARCHAR)
+                           || '&utm_campaign=x'
+                      WHEN doc_id % 4 = 1
+                      THEN '?page=' || CAST(doc_id % 5 AS VARCHAR)
+                      ELSE '' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN '#section-2'
+                      ELSE '' END) AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+      FROM urls),
+    comps AS (
+      SELECT doc_id, scheme,
+             regexp_replace(lower(regexp_extract(rest, '^([^/?#]+)', 1)),
+                            '^www\\.', '') AS host,
+             regexp_replace(
+               regexp_extract(regexp_replace(rest, '^[^/?#]+', ''),
+                              '^([^?#]*)', 1),
+               '/+$', '') AS path,
+             regexp_extract(regexp_replace(rest, '^[^/?#]+', ''),
+                            '\\?([^#]*)', 1) AS qs
+      FROM parts),
+    norm AS (
+      SELECT doc_id,
+             scheme || '://' || host || path ||
+             (CASE WHEN len(list_filter(string_split(qs, '&'),
+                     p -> p <> '' AND NOT starts_with(p, 'utm_'))) > 0
+               THEN '?' || array_to_string(
+                     list_filter(string_split(qs, '&'),
+                       p -> p <> '' AND NOT starts_with(p, 'utm_')), '&')
+               ELSE '' END) AS norm_url
+      FROM comps)
+    SELECT norm_url, MIN(doc_id) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM norm GROUP BY norm_url
+    """,
+)
+def url_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL dedup — the stage that keeps a 100 TB crawl
+    from fetching the same page twice: messy fixture URLs (mixed-case
+    scheme/host, www prefixes, trailing slashes, utm_* tracking
+    params, fragments — operators/webprep.py:docs_as_urls) are
+    normalized with built-in string/array expressions
+    (webprep.url_normalize: lowercase scheme+host, strip www., drop
+    fragment, drop utm_* params preserving the rest's order, strip
+    trailing slashes) and exact-deduped to (norm_url, canonical_id,
+    n_dups). The oracle replays fixture construction AND the full
+    normalization in SQL, so a hash match proves every canonical form
+    character-exactly. Scale: one hash aggregation on a
+    high-cardinality unskewed key with map-side partial combine; the
+    normalization itself is codegen'd projection work."""
+    from ballista_extensions_spark.operators.webprep import (
+        docs_as_urls,
+        url_dedup,
+    )
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return url_dedup(docs_as_urls(d))
