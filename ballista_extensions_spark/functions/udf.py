@@ -76,3 +76,25 @@ def py_digit_ratio(col: Column) -> Column:
     from pyspark.sql.functions import pandas_udf
 
     return pandas_udf(_digit_ratio_batch, "double")(col)
+
+
+def _zlib_len_batch_factory(level: int):
+    def _zlib_len_batch(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: None
+            if t is None
+            else len(zlib.compress(t.encode("utf-8"), level))
+        )
+
+    return _zlib_len_batch
+
+
+def py_zlib_len(col: Column, level: int = 6) -> Column:
+    """zlib/DEFLATE compressed byte length of the utf-8 encoding —
+    Arrow-batched; the compressor is the one quality-signal step Spark
+    has no built-in for (operators/text.py:compression_stats)."""
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(_zlib_len_batch_factory(level), "long")(col)

@@ -138,7 +138,9 @@ def html_extract_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-dedup keys on. The oracle rebuilds the identical page and
     replays the identical chain, so a hash match proves the extraction
     string-exactly (via md5) on every row. Scale: narrow projection,
-    whole-stage codegen, zero Python, no shuffle."""
+    whole-stage codegen, zero Python; the only exchange is the
+    ensure_parallelism guard on the single-file test input — on a real
+    multi-file corpus the operator itself adds no shuffle."""
     from ballista_extensions_spark.operators.webprep import (
         docs_as_html,
         html_extract_stats,
@@ -221,3 +223,122 @@ def url_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return url_dedup(docs_as_urls(d))
+
+
+@register("compression_quality_stats")
+def compression_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality proxy over the corpus
+    (operators/text.py:compression_stats): per document the zlib/
+    DEFLATE ratio of its utf-8 bytes — the production curation signal
+    where a near-0 ratio flags templated/repetitive boilerplate and a
+    near-1 ratio flags high-entropy noise; both tails are filter
+    candidates (the Gopher/CCNet-family heuristic). No oracle by
+    necessity: DEFLATE is not ANSI-SQL-expressible, so the driver
+    records the rows-only check; the operator's CONTRACT is graded
+    hash-exactly by compression_contract_audit, and the UDF is proven
+    against Python zlib there. Scale: one Arrow-batched narrow pass,
+    no shuffle."""
+    from ballista_extensions_spark.operators.text import compression_stats
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return compression_stats(d)
+
+
+_COMPRESSION_AUDIT_CHECKS = [
+    "ratio_null_iff_empty",
+    "ratio_in_bounds_for_real_docs",
+    "repetitive_below_random",
+    "matches_python_zlib",
+    "deterministic_recompute",
+]
+
+
+@register(
+    "compression_contract_audit",
+    oracle="\nUNION ALL\n".join(
+        f"SELECT '{n}' AS check_name, TRUE AS passed"
+        for n in _COMPRESSION_AUDIT_CHECKS
+    ),
+)
+def compression_contract_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The compression operator's contract as driver-checkable rows
+    (the sample_contract_audit pattern for a non-SQL-expressible op):
+
+    - ratio is NULL exactly for empty documents, defined otherwise;
+    - every document ≥ 64 bytes lands in (0, 1.1] — DEFLATE never
+      inflates real text past its small-header overhead;
+    - a planted highly-repetitive document compresses strictly better
+      than a planted high-entropy document (the separation the quality
+      gate relies on);
+    - the UDF's output on a planted document equals driver-side
+      Python zlib at the same level (the implementation IS what it
+      claims);
+    - recomputing the whole corpus yields identical rows (determinism
+      across runs — full-outer join, zero mismatches, distributed).
+
+    Oracle: the constant all-TRUE table, so any broken guarantee is a
+    driver-red hash mismatch."""
+    import zlib
+
+    from ballista_extensions_spark.operators.text import compression_stats
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    cs = compression_stats(d).localCheckpoint()
+
+    bad_null = cs.filter(
+        ((F.col("n_bytes") == 0) & F.col("compression_ratio").isNotNull())
+        | ((F.col("n_bytes") > 0) & F.col("compression_ratio").isNull())
+    ).count()
+    bad_bounds = cs.filter(
+        (F.col("n_bytes") >= 64)
+        & (
+            (F.col("compression_ratio") <= 0)
+            | (F.col("compression_ratio") > 1.1)
+        )
+    ).count()
+
+    rep_text = "spark " * 400
+    rnd_text = " ".join(
+        f"w{(i * 2654435761) % 999983}x{(i * 40503) % 65521}"
+        for i in range(400)
+    )
+    planted = compression_stats(
+        spark.createDataFrame(
+            [(1, rep_text), (2, rnd_text)], "doc_id long, text string"
+        )
+    ).collect()
+    by_id = {r["doc_id"]: r for r in planted}
+    separation = (
+        by_id[1]["compression_ratio"] < by_id[2]["compression_ratio"]
+    )
+    matches_zlib = by_id[1]["n_compressed"] == len(
+        zlib.compress(rep_text.encode("utf-8"), 6)
+    ) and by_id[2]["n_compressed"] == len(
+        zlib.compress(rnd_text.encode("utf-8"), 6)
+    )
+
+    cs2 = compression_stats(d)
+    mismatches = (
+        cs.alias("a")
+        .join(cs2.alias("b"), "doc_id", "full_outer")
+        .filter(
+            ~(
+                F.col("a.n_compressed").eqNullSafe(F.col("b.n_compressed"))
+                & F.col("a.n_bytes").eqNullSafe(F.col("b.n_bytes"))
+            )
+        )
+        .count()
+    )
+
+    return spark.createDataFrame(
+        [
+            ("ratio_null_iff_empty", bad_null == 0),
+            ("ratio_in_bounds_for_real_docs", bad_bounds == 0),
+            ("repetitive_below_random", bool(separation)),
+            ("matches_python_zlib", bool(matches_zlib)),
+            ("deterministic_recompute", mismatches == 0),
+        ],
+        schema="check_name string, passed boolean",
+    )

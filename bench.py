@@ -88,6 +88,12 @@ def main() -> None:
     from ballista_extensions_spark.plans.metrics import shuffle_totals
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # Optional subset (quiet-box re-bench of watch items without the
+    # full sweep): python bench.py q1 q2 ... — BENCH_FULL.json is NOT
+    # rewritten for subset runs, so the committed full-sweep artifact
+    # (the shuffle gate's reference) stays intact.
+    only = set(sys.argv[1:])
+    subset_run = bool(only)
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
@@ -98,7 +104,7 @@ def main() -> None:
     # when the UI REST endpoint is unavailable
     shuffle: dict[str, list[int]] = {}
     for name, fn in get_queries().items():
-        if name in EXCLUDE:
+        if name in EXCLUDE or (only and name not in only):
             continue
         samples: list[float] = []
         sh_samples: list[tuple[int, int]] = []
@@ -164,11 +170,13 @@ def main() -> None:
         "errors": errors,
         "sf": sf_val,
     }
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_FULL.json")
-    with open(full_path, "w") as f:
-        json.dump(full, f, indent=1, sort_keys=True)
-    _report_shuffle_gate(full)
+    if not subset_run:
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        )
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+        _report_shuffle_gate(full)
     # Printed line: slowest queries only, hard-capped at ~1800 bytes so
     # the driver's stdout window can never truncate it mid-JSON; the
     # complete per-query map is in BENCH_FULL.json.

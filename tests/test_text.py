@@ -137,3 +137,22 @@ class TestChunkDocuments:
 
         with _pytest.raises(ValueError, match="overlap"):
             chunk_documents(df, size=100, overlap=100)
+
+
+def test_compression_stats_contract(spark):
+    """zlib quality proxy: ratio separates repetitive from random,
+    matches driver-side zlib, NULL only for empty/None text."""
+    import zlib
+
+    from ballista_extensions_spark.operators.text import compression_stats
+
+    rep = "abc " * 500
+    rnd = " ".join(f"t{(i * 7919) % 104729}" for i in range(300))
+    rows = [(1, rep), (2, rnd), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_stats(df).collect()}
+    assert got[1]["n_compressed"] == len(zlib.compress(rep.encode(), 6))
+    assert got[1]["compression_ratio"] < got[2]["compression_ratio"]
+    assert got[3]["compression_ratio"] is None and got[3]["n_bytes"] == 0
+    assert got[4]["compression_ratio"] is None
+    assert 0 < got[2]["compression_ratio"] <= 1.1
