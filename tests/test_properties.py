@@ -693,3 +693,64 @@ def test_sigstore_ingest_equals_direct_pairs(spark, texts, split):
     assert got <= want
     strong = {t for t in want if t[2] >= 0.6}
     assert strong <= got
+
+
+# URL components for the normalization fixpoint property: schemes and
+# hosts case-shuffled, optional www, path segments, query params (some
+# tracking), optional fragment.
+_SEG = st.text(alphabet="abXY09.-_", min_size=1, max_size=6)
+_URLS = st.builds(
+    lambda scheme, www, host, segs, slashes, params, frag: (
+        scheme
+        + "://"
+        + www
+        + host
+        + "".join("/" + s for s in segs)
+        + "/" * slashes
+        + ("?" + "&".join(params) if params else "")
+        + ("#" + frag if frag else "")
+    ),
+    scheme=st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
+    www=st.sampled_from(["", "www.", "WWW."]),
+    host=st.sampled_from(["ex.com", "Ex.COM", "a.b.ORG", "x9.net"]),
+    segs=st.lists(_SEG, min_size=0, max_size=3),
+    slashes=st.integers(min_value=0, max_value=2),
+    params=st.lists(
+        st.sampled_from(
+            ["a=1", "page=2", "utm_source=x", "utm_c=y", "q=z9"]
+        ),
+        min_size=0,
+        max_size=4,
+    ),
+    frag=st.sampled_from(["", "top", "s-2"]),
+)
+
+
+@SETTINGS
+@given(urls=st.lists(_URLS, min_size=1, max_size=25))
+def test_url_normalize_is_idempotent_and_canonical(spark, urls):
+    """normalize(normalize(u)) == normalize(u) (a canonicalizer must
+    be a fixpoint), the output never retains fragments, utm_ params,
+    uppercase scheme/host, a www. prefix, or trailing slashes."""
+    from ballista_extensions_spark.operators.webprep import url_normalize
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        "url",
+        url_normalize("url").alias("n1"),
+        url_normalize(url_normalize("url")).alias("n2"),
+    ).collect()
+    for r in out:
+        assert r["n2"] == r["n1"], (r["url"], r["n1"], r["n2"])
+        n = r["n1"]
+        assert "#" not in n and "utm_" not in n
+        scheme, rest = n.split("://", 1)
+        assert scheme == scheme.lower()
+        hostend = len(rest)
+        for sep in "/?#":
+            if sep in rest:
+                hostend = min(hostend, rest.index(sep))
+        host = rest[:hostend]
+        assert host == host.lower() and not host.startswith("www.")
+        path = rest[hostend:].split("?")[0]
+        assert not path.endswith("/") or path == ""
