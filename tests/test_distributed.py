@@ -20,6 +20,10 @@ and drives three representative paths across it:
   distributed-rank mixture resampler (domain_mix_resample —
   repartitionByRange + localCheckpoint + per-partition offsets must
   agree across real executor JVMs).
+- the round-11 persisted perceptual-hash store
+  (image_signature_store_incremental: decode + dHash in executor
+  Python workers, banded distinct-hash joins and the compaction
+  boundary crossing real executor JVMs).
 
 It runs in a SUBPROCESS so the session fixture's local[32] JVM and the
 cluster JVMs never fight over one driver process.
@@ -54,6 +58,9 @@ out["hh_sorted"] = all(
 )
 mix = qs["domain_mix_resample"](spark, sf).collect()
 out["mix_rows"] = len(mix)
+ph = qs["image_signature_store_incremental"](spark, sf).collect()
+out["phash_rows"] = len(ph)
+out["phash_phases_valid"] = all(r.phase in (1, 2) for r in ph)
 spark.stop()
 print("RESULT:" + json.dumps(out))
 """
@@ -86,3 +93,4 @@ def test_queries_survive_scheduler_boundary():
     assert got["decode_errors"] == 0
     assert got["hh_rows"] == 30 and got["hh_sorted"]
     assert got["mix_rows"] > 0
+    assert got["phash_rows"] >= 0 and got["phash_phases_valid"]
