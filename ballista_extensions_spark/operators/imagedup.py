@@ -125,23 +125,34 @@ def _band_slices(df: DataFrame, width: int, mask: int, bands: int) -> DataFrame:
     )
 
 
-def _near_hash_pairs(
-    distinct_hashes: DataFrame, threshold: int, width: int, mask: int,
-    bands: int,
+def _verified_hash_pairs(
+    left_sliced: DataFrame,
+    right_sliced: DataFrame,
+    threshold: int,
+    same_corpus: bool,
 ) -> DataFrame:
-    """(ha < hb, hamming in [1, threshold]) over DISTINCT hashes via
-    the banded pigeonhole join. Equal hashes are deliberately excluded
-    (strict <) — hamming-0 pairs are produced by the callers' member
-    equi-join, never through banding."""
-    sliced = _band_slices(distinct_hashes, width, mask, bands)
-    a = sliced.alias("a")
-    b = sliced.alias("b")
+    """THE banded-candidate + verification block, shared by the
+    self-join, the cross-corpus join and the store probe: equi-join two
+    (h, band, slice) frames on (band, slice), dedup candidate hash
+    pairs, verify with exact xor + bit_count. ``same_corpus`` orders
+    the pair (``a.h < b.h``) so each unordered pair appears once;
+    the two-sided form uses ``!=`` (directional, no self-pairs).
+    Equal hashes are deliberately excluded in BOTH forms — hamming-0
+    pairs are produced by the callers' member equi-join, never through
+    banding."""
+    a = left_sliced.alias("a")
+    b = right_sliced.alias("b")
+    hpred = (
+        (F.col("a.h") < F.col("b.h"))
+        if same_corpus
+        else (F.col("a.h") != F.col("b.h"))
+    )
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.slice") == F.col("b.slice"))
-            & (F.col("a.h") < F.col("b.h")),
+            & hpred,
         )
         .select(F.col("a.h").alias("ha"), F.col("b.h").alias("hb"))
         .distinct()
@@ -154,6 +165,16 @@ def _near_hash_pairs(
         )
         .filter(F.col("hamming") <= threshold)
     )
+
+
+def _near_hash_pairs(
+    distinct_hashes: DataFrame, threshold: int, width: int, mask: int,
+    bands: int,
+) -> DataFrame:
+    """(ha < hb, hamming in [1, threshold]) over one corpus's DISTINCT
+    hashes via the banded pigeonhole join."""
+    sliced = _band_slices(distinct_hashes, width, mask, bands)
+    return _verified_hash_pairs(sliced, sliced, threshold, same_corpus=True)
 
 
 def phash_near_dup_pairs(
@@ -233,25 +254,8 @@ def phash_cross_dup_pairs(
     rm = _members(right, id_col, hash_col)
     lsliced = _band_slices(lm.select("h").distinct(), width, mask, bands)
     rsliced = _band_slices(rm.select("h").distinct(), width, mask, bands)
-    hp = (
-        lsliced.alias("a")
-        .join(
-            rsliced.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.slice") == F.col("b.slice"))
-            & (F.col("a.h") != F.col("b.h")),
-        )
-        .select(F.col("a.h").alias("ha"), F.col("b.h").alias("hb"))
-        .distinct()
-        .select(
-            "ha",
-            "hb",
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-            .cast("long")
-            .alias("hamming"),
-        )
-        .filter(F.col("hamming") <= threshold)
-    )
+    hp = _verified_hash_pairs(lsliced, rsliced, threshold,
+                              same_corpus=False)
     eq = (
         lm.alias("x")
         .join(rm.alias("y"), F.col("x.h") == F.col("y.h"))

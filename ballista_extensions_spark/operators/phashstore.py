@@ -43,6 +43,7 @@ from ballista_extensions_spark.operators.imagedup import (
     _band_slices,
     _members,
     _validate_banding,
+    _verified_hash_pairs,
 )
 
 
@@ -126,25 +127,8 @@ def probe_phash_store(
     bm = _members(batch_hashes, id_col, hash_col)
     bsliced = _band_slices(bm.select("h").distinct(), width, mask,
                            store.bands)
-    hp = (
-        store.banded.alias("a")
-        .join(
-            bsliced.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.slice") == F.col("b.slice"))
-            & (F.col("a.h") != F.col("b.h")),
-        )
-        .select(F.col("a.h").alias("ha"), F.col("b.h").alias("hb"))
-        .distinct()
-        .select(
-            "ha",
-            "hb",
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-            .cast("long")
-            .alias("hamming"),
-        )
-        .filter(F.col("hamming") <= threshold)
-    )
+    hp = _verified_hash_pairs(store.banded, bsliced, threshold,
+                              same_corpus=False)
     eq = (
         store.members.alias("x")
         .join(bm.alias("y"), F.col("x.h") == F.col("y.h"))

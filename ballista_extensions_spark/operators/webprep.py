@@ -57,10 +57,12 @@ def html_text(html: Column | str) -> Column:
     title elements removed WITH their content (boilerplate), remaining
     tags stripped, the four common entities decoded, whitespace
     collapsed. Pure regexp_replace chain — codegen'd, and the exact
-    chain the oracles replay."""
+    chain the oracles replay. The element patterns run under (?is):
+    real-world script/style blocks span newlines and tags come in any
+    case, and both flags exist identically in Java regex and RE2."""
     c = F.col(html) if isinstance(html, str) else html
     for el in ("script", "style", "nav", "footer", "title"):
-        c = F.regexp_replace(c, f"<{el}[^>]*>.*?</{el}>", " ")
+        c = F.regexp_replace(c, f"(?is)<{el}[^>]*>.*?</{el}>", " ")
     c = F.regexp_replace(c, "<[^>]+>", " ")
     for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&nbsp;", " "),
                     ("&amp;", "&")):
@@ -122,14 +124,19 @@ def docs_as_urls(
 
 def url_normalize(url: Column | str) -> Column:
     """Canonical form of a crawl URL: lowercase scheme and host, strip
-    a leading www., drop the fragment, drop utm_* tracking params
-    (preserving the order of the rest), strip trailing slashes from
-    the path. Built-in string/array expressions only."""
+    leading www. prefixes, drop the fragment, drop utm_* tracking
+    params (preserving the order of the rest), strip trailing slashes
+    from the path. Idempotent (a canonicalizer must be a fixpoint —
+    property-tested); schemeless inputs pass through unchanged
+    (canonicalization is only defined for absolute URLs). Built-in
+    string/array expressions only."""
     c = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(F.regexp_extract(c, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     host = F.lower(F.regexp_extract(rest, "^([^/?#]+)", 1))
-    host = F.regexp_replace(host, "^www\\.", "")
+    # (www\.)+ not www\.: normalize must be a FIXPOINT, and
+    # www.www.host would otherwise renormalize differently
+    host = F.regexp_replace(host, "^(www\\.)+", "")
     tail = F.regexp_replace(rest, "^[^/?#]+", "")
     path = F.regexp_extract(tail, "^([^?#]*)", 1)
     path = F.regexp_replace(path, "/+$", "")
@@ -138,7 +145,7 @@ def url_normalize(url: Column | str) -> Column:
         F.split(qs, "&"),
         lambda p: (p != "") & ~p.startswith("utm_"),
     )
-    return F.concat(
+    normalized = F.concat(
         scheme,
         F.lit("://"),
         host,
@@ -148,6 +155,11 @@ def url_normalize(url: Column | str) -> Column:
             F.concat(F.lit("?"), F.array_join(params, "&")),
         ).otherwise(F.lit("")),
     )
+    # schemeless input (relative reference, garbage) passes through
+    # unchanged instead of becoming '://...' — canonicalization is only
+    # defined for absolute URLs, and passthrough keeps the fixpoint
+    # property trivially
+    return F.when(scheme == "", c).otherwise(normalized)
 
 
 def url_dedup(

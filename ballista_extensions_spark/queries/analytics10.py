@@ -97,11 +97,11 @@ _HTML_TEXT_SQL = """
           regexp_replace(
             regexp_replace(regexp_replace(regexp_replace(
               regexp_replace(regexp_replace(html,
-                '<script[^>]*>.*?</script>', ' ', 'g'),
-                '<style[^>]*>.*?</style>', ' ', 'g'),
-                '<nav[^>]*>.*?</nav>', ' ', 'g'),
-                '<footer[^>]*>.*?</footer>', ' ', 'g'),
-                '<title[^>]*>.*?</title>', ' ', 'g'),
+                '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                '(?is)<nav[^>]*>.*?</nav>', ' ', 'g'),
+                '(?is)<footer[^>]*>.*?</footer>', ' ', 'g'),
+                '(?is)<title[^>]*>.*?</title>', ' ', 'g'),
             '<[^>]+>', ' ', 'g'),
           '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '), '&amp;', '&'),
         '\\s+', ' ', 'g'))
@@ -179,7 +179,7 @@ def html_extract_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps AS (
       SELECT doc_id, scheme,
              regexp_replace(lower(regexp_extract(rest, '^([^/?#]+)', 1)),
-                            '^www\\.', '') AS host,
+                            '^(www\\.)+', '') AS host,
              regexp_replace(
                regexp_extract(regexp_replace(rest, '^[^/?#]+', ''),
                               '^([^?#]*)', 1),

@@ -371,26 +371,39 @@ def streaming_media_dedup_replay(
     "streaming_phash_store_replay",
     oracle=f"""
     WITH {_DHASH_CTE},
+    b AS (SELECT doc_id, dhash, doc_id % 3 AS k FROM dh),
+    intra AS (
+      -- within-batch pairs: earlier id is the surviving representative
+      SELECT x.doc_id AS stored_id, y.doc_id AS new_id,
+             CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming,
+             CAST(x.k AS BIGINT) AS phase
+      FROM b x JOIN b y ON x.k = y.k AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.dhash, y.dhash)) <= 6),
+    acc0 AS (
+      SELECT doc_id, dhash FROM b WHERE k = 0
+        AND doc_id NOT IN (SELECT new_id FROM intra WHERE phase = 0)),
     p1 AS (
-      SELECT a.doc_id AS stored_id, b.doc_id AS new_id,
-             CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
-      FROM dh a JOIN dh b ON a.doc_id % 3 = 0 AND b.doc_id % 3 = 1
-      WHERE bit_count(xor(a.dhash, b.dhash)) <= 6),
+      SELECT s.doc_id AS stored_id, n.doc_id AS new_id,
+             CAST(bit_count(xor(s.dhash, n.dhash)) AS BIGINT) AS hamming,
+             CAST(1 AS BIGINT) AS phase
+      FROM acc0 s JOIN b n ON n.k = 1
+      WHERE bit_count(xor(s.dhash, n.dhash)) <= 6),
     acc1 AS (
-      SELECT doc_id, dhash FROM dh
-      WHERE doc_id % 3 = 1
+      SELECT doc_id, dhash FROM b WHERE k = 1
+        AND doc_id NOT IN (SELECT new_id FROM intra WHERE phase = 1)
         AND doc_id NOT IN (SELECT new_id FROM p1)),
     store2 AS (
-      SELECT doc_id, dhash FROM dh WHERE doc_id % 3 = 0
+      SELECT doc_id, dhash FROM acc0
       UNION ALL SELECT doc_id, dhash FROM acc1),
     p2 AS (
-      SELECT a.doc_id AS stored_id, b.doc_id AS new_id,
-             CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
-      FROM store2 a JOIN dh b ON b.doc_id % 3 = 2
-      WHERE bit_count(xor(a.dhash, b.dhash)) <= 6)
-    SELECT stored_id, new_id, hamming, CAST(1 AS BIGINT) AS phase FROM p1
-    UNION ALL
-    SELECT stored_id, new_id, hamming, CAST(2 AS BIGINT) AS phase FROM p2
+      SELECT s.doc_id AS stored_id, n.doc_id AS new_id,
+             CAST(bit_count(xor(s.dhash, n.dhash)) AS BIGINT) AS hamming,
+             CAST(2 AS BIGINT) AS phase
+      FROM store2 s JOIN b n ON n.k = 2
+      WHERE bit_count(xor(s.dhash, n.dhash)) <= 6)
+    SELECT stored_id, new_id, hamming, phase FROM intra
+    UNION ALL SELECT stored_id, new_id, hamming, phase FROM p1
+    UNION ALL SELECT stored_id, new_id, hamming, phase FROM p2
     """,
 )
 def streaming_phash_store_replay(
@@ -404,19 +417,20 @@ def streaming_phash_store_replay(
     stream replays in three micro-batches (doc_id % 3 = 0, 1, 2), each
     batch runs PNG encode -> real codec decode -> 64-bit dHash INSIDE
     the stream, then foreachBatch rebuilds the store handle FROM DISK,
-    probes the batch (banded pigeonhole candidates over DISTINCT
-    hashes + exact Hamming verification, threshold 6), routes duplicate
-    pairs to the sink, and compacts the non-matching items back to
-    disk as that batch's append-only increment. No in-memory state
-    crosses micro-batch boundaries, so a process restart between any
-    two batches changes nothing — by construction. The oracle replays
-    both non-trivial probe rounds (batch 0 probes an empty store)
-    including the accept/reject routing at the batch-1 boundary, so a
-    hash match proves the dedup-at-ingest decisions AND the
-    cross-restart store semantics bit-exactly. Scale: probe cost per
-    batch is the phashstore plan (∝ increment x bucket collisions);
-    ingest appends only the increment's members and never-seen banded
-    hashes."""
+    finds duplicate pairs BOTH against the store (banded pigeonhole
+    candidates over DISTINCT hashes + exact Hamming verification,
+    threshold 6) AND within the batch itself (earlier id survives —
+    the stream_first_occurrence convention lifted to near-dups), and
+    compacts the surviving items back to disk as that batch's
+    append-only increment. No in-memory state crosses micro-batch
+    boundaries, so a process restart between any two batches changes
+    nothing — by construction. The oracle replays all three rounds'
+    intra-batch pairs plus both store-probe rounds including the
+    cascaded accept/reject routing at each boundary, so a hash match
+    proves the dedup-at-ingest decisions AND the cross-restart store
+    semantics bit-exactly. Scale: probe cost per batch is the
+    phashstore plan (∝ increment x bucket collisions); ingest appends
+    only the increment's members and never-seen banded hashes."""
     from ballista_extensions_spark.operators.imagedup import image_dhash
     from ballista_extensions_spark.operators.multimodal import (
         docs_as_png_media,
@@ -455,9 +469,8 @@ def streaming_phash_store_replay(
             "phash-store replay did not finish within 300s; store at "
             f"{store_dir} is partial and must not be graded"
         )
-    pairs = (
+    return (
         spark.read.option("recursiveFileLookup", "true")
         .schema("stored_id long, new_id long, hamming long, phase long")
         .parquet(os.path.join(store_dir, "pairs"))
     )
-    return pairs.filter(F.col("phase") > 0)

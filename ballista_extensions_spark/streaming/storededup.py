@@ -4,16 +4,26 @@
 state store, which lives and dies with the streaming checkpoint. This
 module instead keeps the state in the persisted perceptual-hash store
 (:mod:`operators.phashstore` layout, path-backed): every micro-batch
-builds a FRESH store handle purely from disk, probes the batch against
-it, routes duplicate pairs to the sink, and compacts the accepted
-items back to disk. Nothing survives in memory between batches — by
-construction, a process restart between any two micro-batches changes
-nothing, which is exactly the property VERDICT r10 #8 asked the
-streaming path to gain.
+builds a FRESH store handle purely from disk, finds duplicates both
+AGAINST the store and WITHIN the batch itself, routes every duplicate
+pair to the sink, and compacts the surviving items back to disk.
+Nothing survives in memory between batches — by construction, a
+process restart between any two micro-batches changes nothing, which
+is exactly the property VERDICT r10 #8 asked the streaming path to
+gain.
+
+Dedup semantics per batch (the stream_first_occurrence convention
+lifted to near-dups): an item is REJECTED iff it matches stored
+content (any hamming ≤ threshold pair with the store) or an
+earlier-id item of its own batch; intra-batch pairs report the
+earlier id in the ``stored_id`` column (it is the surviving
+representative). Rejected items are never compacted, but every pair
+they participate in is recorded.
 
 Layout under ``store_dir`` (append-only, one subdir per committed
 batch so foreachBatch's at-least-once delivery is idempotent — a
-re-run of batch k overwrites ONLY ``.../batch=k``):
+re-run of batch k overwrites ONLY ``.../batch=k`` and probes the
+store as of ``batch < k``, never its own prior output):
 
 - ``members/batch=k/`` — accepted (id, h) rows of batch k
 - ``banded/batch=k/``  — (h, band, slice) rows of batch k's
@@ -21,10 +31,13 @@ re-run of batch k overwrites ONLY ``.../batch=k``):
 - ``pairs/batch=k/``   — (stored_id, new_id, hamming, phase) findings
 
 Scale: the probe is the phashstore plan (banded pigeonhole candidates
-over DISTINCT hashes + exact verification); the path-backed store
-trades the bucketed tables' exchange-free store side for
-restart-by-construction — a production deployment points the same
-code at the bucketed-table store and compacts on a cadence instead.
+over DISTINCT hashes + exact verification) and every per-batch write
+is ∝ the increment — accepted members directly, banded rows only for
+hashes the store's (small) distinct-hash table has never seen. The
+path-backed store trades the bucketed tables' exchange-free store
+side for restart-by-construction — a production deployment points the
+same code at the bucketed-table store and compacts on a cadence
+instead.
 """
 
 from __future__ import annotations
@@ -42,21 +55,24 @@ def _read_or_empty(
     before_batch: int | None = None,
 ) -> DataFrame:
     """Parquet read of a ``batch=k`` partition tree; empty frame with
-    the right schema when no batch has committed yet (bootstrap).
-    ``before_batch`` restricts to partitions ``batch < before_batch``
-    — the store state as of BEFORE that batch, which is what makes an
-    at-least-once redelivery of batch k exactly idempotent (its probe
-    must not see its own prior output) and is a plain partition-prune
-    at scale."""
-    try:
-        has_files = any(
-            f.endswith(".parquet")
-            for _, _, files in os.walk(path)
-            for f in files
-        )
-    except OSError:
-        has_files = False
-    if not has_files:
+    the right schema ONLY when the directory does not exist yet
+    (bootstrap — no batch has ever committed). A directory that exists
+    but cannot be read must FAIL, not silently present an empty store:
+    probing an empty store accepts every duplicate and compaction
+    would corrupt the state permanently. ``before_batch`` restricts to
+    partitions ``batch < before_batch`` — the store state as of BEFORE
+    that batch, which is what makes an at-least-once redelivery of
+    batch k exactly idempotent, and is a plain partition-prune at
+    scale."""
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], schema)
+    if not any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(path)
+        for f in files
+    ):
+        # dir exists (a prior run created it) but holds no data files
+        # — walk errors propagate rather than masquerading as empty
         return spark.createDataFrame([], schema)
     df = spark.read.parquet(path)  # discovers the `batch` partition col
     if before_batch is not None:
@@ -67,13 +83,18 @@ def _read_or_empty(
 def phash_store_dedup_sink(
     store_dir: str, *, threshold: int = 6, bands: int = 8
 ):
-    """foreachBatch function: probe each hashed micro-batch (columns
-    ``id``, ``dhash``) against the path-backed store, record duplicate
-    pairs, compact the non-matching items in. Returns the callable for
-    ``writeStream.foreachBatch``."""
+    """foreachBatch function: find duplicate pairs of each hashed
+    micro-batch (columns ``id``, ``dhash``) against the path-backed
+    store AND within the batch, then compact the surviving items in.
+    Returns the callable for ``writeStream.foreachBatch``."""
+    from ballista_extensions_spark.operators.imagedup import (
+        _band_slices,
+        _members,
+        _validate_banding,
+        phash_near_dup_pairs,
+    )
     from ballista_extensions_spark.operators.phashstore import (
         PHashStore,
-        compact_into_phash_store,
         probe_phash_store,
     )
 
@@ -83,11 +104,9 @@ def phash_store_dedup_sink(
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        width, mask = _validate_banding(threshold, bands)
         # the whole point: the store handle is rebuilt from DISK every
-        # batch — no in-memory state crosses micro-batch boundaries.
-        # Restricting to partitions batch < batch_id makes redelivery
-        # idempotent: a re-run of batch k probes the store as of
-        # before k, never its own prior output.
+        # batch — no in-memory state crosses micro-batch boundaries
         store = PHashStore(
             members=_read_or_empty(
                 spark, members_dir, "id long, h long",
@@ -99,29 +118,43 @@ def phash_store_dedup_sink(
             ),
             bands=bands,
         )
-        batch = batch_df.localCheckpoint()
-        pairs = probe_phash_store(
-            store, batch, threshold=threshold
-        ).localCheckpoint()
-        pairs.withColumn("phase", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(pairs_dir, f"batch={batch_id}"))
-        # dedup-at-ingest: items matching stored content are REJECTED
+        batch = _members(batch_df, "id", "dhash").localCheckpoint()
+        store_pairs = probe_phash_store(
+            store, batch, threshold=threshold, hash_col="h"
+        )
+        # within-batch duplicates: the earlier id is the survivor and
+        # reports as stored_id (stream_first_occurrence's min-id
+        # convention lifted to near-dups)
+        intra_pairs = phash_near_dup_pairs(
+            batch, threshold=threshold, bands=bands, hash_col="h"
+        ).select(
+            F.col("id_a").alias("stored_id"),
+            F.col("id_b").alias("new_id"),
+            "hamming",
+        )
+        pairs = store_pairs.unionByName(intra_pairs).localCheckpoint()
+        pairs.withColumn(
+            "phase", F.lit(batch_id).cast("long")
+        ).write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"batch={batch_id}")
+        )
+        # dedup-at-ingest: any item that matched stored content or an
+        # earlier batch item is REJECTED; the increments are computed
+        # directly (∝ batch), never by subtracting the grown store.
         rejects = pairs.select(F.col("new_id").alias("id")).distinct()
-        grown = compact_into_phash_store(store, batch, reject_ids=rejects)
-        # persist ONLY this batch's increment (append-only ingest):
-        # the deltas vs the handle we read from disk. Materialize BOTH
-        # deltas before either write: on an at-least-once redelivery
-        # the overwrite of .../batch=k deletes files the lazy delta
-        # plan would still be reading (its store scan includes the
-        # prior batch=k output).
-        members_delta = grown.members.join(
-            store.members.select("id"), "id", "left_anti"
+        accepted = batch.join(rejects, "id", "left_anti").localCheckpoint()
+        fresh_h = (
+            accepted.select("h")
+            .distinct()
+            .join(store.banded.select("h").distinct(), "h", "left_anti")
+        )
+        banded_delta = _band_slices(
+            fresh_h, width, mask, bands
         ).localCheckpoint()
-        banded_delta = grown.banded.join(
-            store.banded.select("h").distinct(), "h", "left_anti"
-        ).localCheckpoint()
-        members_delta.write.mode("overwrite").parquet(
+        # both deltas are materialized above before either write: on an
+        # at-least-once redelivery the overwrite of .../batch=k deletes
+        # files a lazy plan reading the store tree would still need
+        accepted.write.mode("overwrite").parquet(
             os.path.join(members_dir, f"batch={batch_id}")
         )
         banded_delta.write.mode("overwrite").parquet(

@@ -94,6 +94,12 @@ def main() -> None:
     # (the shuffle gate's reference) stays intact.
     only = set(sys.argv[1:])
     subset_run = bool(only)
+    if only:
+        unknown = only - set(get_queries())
+        if unknown:
+            # a typo'd watch-item name must fail loudly, not silently
+            # bench an empty set
+            raise SystemExit(f"unknown query names: {sorted(unknown)}")
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     rows: dict[str, int] = {}

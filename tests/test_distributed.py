@@ -61,6 +61,28 @@ out["mix_rows"] = len(mix)
 ph = qs["image_signature_store_incremental"](spark, sf).collect()
 out["phash_rows"] = len(ph)
 out["phash_phases_valid"] = all(r.phase in (1, 2) for r in ph)
+# brute-force expected pair set from the SAME cluster's hashes: the
+# distributed result must equal it exactly (not just be non-crashing)
+from ballista_extensions_spark.io import load_table
+from ballista_extensions_spark.operators.imagedup import image_dhash
+from ballista_extensions_spark.operators.multimodal import docs_as_png_media
+hrows = image_dhash(
+    docs_as_png_media(load_table(spark, sf, "documents"))
+).collect()
+hs = {r.id: r.dhash for r in hrows if r.dhash is not None}
+def ham(a, b):
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+want = set()
+for a, ha in hs.items():
+    for b, hb in hs.items():
+        if ham(ha, hb) <= 6:
+            if a % 2 == 0 and b % 4 == 1:
+                want.add((a, b, ham(ha, hb), 1))
+            if (a % 2 == 0 or a % 4 == 1) and b % 4 == 3:
+                want.add((a, b, ham(ha, hb), 2))
+got_pairs = {(r.stored_id, r.new_id, r.hamming, r.phase) for r in ph}
+out["phash_exact"] = got_pairs == want
+out["phash_expected"] = len(want)
 spark.stop()
 print("RESULT:" + json.dumps(out))
 """
@@ -93,4 +115,8 @@ def test_queries_survive_scheduler_boundary():
     assert got["decode_errors"] == 0
     assert got["hh_rows"] == 30 and got["hh_sorted"]
     assert got["mix_rows"] > 0
-    assert got["phash_rows"] >= 0 and got["phash_phases_valid"]
+    assert got["phash_phases_valid"]
+    assert got["phash_exact"], (
+        f"distributed phash store pairs != brute force "
+        f"(got {got['phash_rows']}, want {got['phash_expected']})"
+    )

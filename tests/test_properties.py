@@ -711,8 +711,10 @@ _URLS = st.builds(
         + ("#" + frag if frag else "")
     ),
     scheme=st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
-    www=st.sampled_from(["", "www.", "WWW."]),
-    host=st.sampled_from(["ex.com", "Ex.COM", "a.b.ORG", "x9.net"]),
+    www=st.sampled_from(["", "www.", "WWW.", "www.www.", "WWW.Www."]),
+    host=st.sampled_from(
+        ["ex.com", "Ex.COM", "a.b.ORG", "x9.net", "www-cdn.ex.com"]
+    ),
     segs=st.lists(_SEG, min_size=0, max_size=3),
     slashes=st.integers(min_value=0, max_value=2),
     params=st.lists(
@@ -730,8 +732,10 @@ _URLS = st.builds(
 @given(urls=st.lists(_URLS, min_size=1, max_size=25))
 def test_url_normalize_is_idempotent_and_canonical(spark, urls):
     """normalize(normalize(u)) == normalize(u) (a canonicalizer must
-    be a fixpoint), the output never retains fragments, utm_ params,
-    uppercase scheme/host, a www. prefix, or trailing slashes."""
+    be a fixpoint — including stacked www. prefixes, which the r11
+    code review caught breaking it), the output never retains
+    fragments, utm_ params, uppercase scheme/host, a www. prefix, or
+    trailing slashes."""
     from ballista_extensions_spark.operators.webprep import url_normalize
 
     df = spark.createDataFrame([(u,) for u in urls], "url string")

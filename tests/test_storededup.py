@@ -97,11 +97,43 @@ def test_rerun_of_a_batch_is_idempotent(spark, store_dir):
 
 
 def test_bootstrap_empty_store(spark, store_dir):
-    """Batch 0 probes an empty store: no pairs, everything accepted."""
+    """Batch 0 against an empty store: distinct-content items are all
+    accepted with no pairs."""
+    far_a, far_b = 42, -(1 << 60) + 7  # hamming >> 6
     fn = phash_store_dedup_sink(store_dir, threshold=6)
-    fn(_mk(spark, [(1, 42), (2, 43)]), 0)
+    fn(_mk(spark, [(1, far_a), (2, far_b)]), 0)
     assert _pairs(spark, store_dir) == set()
     members = _read_or_empty(
         spark, os.path.join(store_dir, "members"), "id long, h long"
     ).count()
     assert members == 2
+
+
+def test_intra_batch_duplicates_are_found_and_not_compacted(
+    spark, store_dir
+):
+    """Code-review r11 regression: duplicates arriving WITHIN one
+    micro-batch must be paired (earlier id survives as stored_id) and
+    the later items must NOT be compacted into the store."""
+    rng = np.random.default_rng(11)
+    far = [int(v) for v in
+           rng.integers(-(1 << 63), 1 << 63, size=4, dtype=np.int64)]
+    fn = phash_store_dedup_sink(store_dir, threshold=6)
+    # batch 0: ids 1 and 2 share a hash, 3 is near (hamming 2) of 1,
+    # 4 is distinct
+    b0 = [(1, far[0]), (2, far[0]), (3, far[0] ^ 0b11), (4, far[1])]
+    fn(_mk(spark, b0), 0)
+    got = _pairs(spark, store_dir)
+    assert got == {(1, 2, 0, 0), (1, 3, 2, 0), (2, 3, 2, 0)}
+    members = {
+        r["id"]
+        for r in _read_or_empty(
+            spark, os.path.join(store_dir, "members"), "id long, h long"
+        ).collect()
+    }
+    assert members == {1, 4}  # 2 and 3 rejected, never compacted
+    # batch 1: a dup of the REJECTED item's content still matches the
+    # surviving representative from the store
+    fn(_mk(spark, [(10, far[0])]), 1)
+    assert (1, 10, 0, 1) in _pairs(spark, store_dir)
+    assert (2, 10, 0, 1) not in _pairs(spark, store_dir)

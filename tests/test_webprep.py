@@ -97,3 +97,34 @@ def test_fixture_urls_have_real_dup_structure(spark):
     out = url_dedup(docs_as_urls(d))
     assert out.count() < 400  # real collapsing happened
     assert out.agg(F.sum("n_dups")).collect()[0][0] == 400  # partition
+
+
+def test_url_normalize_review_edge_cases(spark):
+    """Code-review r11 regressions: stacked www. prefixes must strip
+    fully (fixpoint), schemeless inputs pass through unchanged, and a
+    host merely STARTING with 'www' (www-cdn) keeps its name."""
+    cases = {
+        "http://www.www.Ex.com/a": "http://ex.com/a",
+        "HTTP://WWW.www.WWW.ex.com/a": "http://ex.com/a",
+        "https://www-cdn.ex.com/a": "https://www-cdn.ex.com/a",
+        "ex.com/x?utm_a=1": "ex.com/x?utm_a=1",  # schemeless: as-is
+        "not a url at all": "not a url at all",
+    }
+    df = spark.createDataFrame(
+        [(u,) for u in cases], "url string"
+    ).select("url", url_normalize("url").alias("norm"))
+    got = {r["url"]: r["norm"] for r in df.collect()}
+    assert got == cases
+
+
+def test_html_text_multiline_and_uppercase_boilerplate(spark):
+    """Code-review r11 regression: script/style blocks spanning
+    newlines (virtually all real-world ones) and uppercase tags must
+    be removed WITH their content."""
+    html = (
+        "<HTML><HEAD><TITLE>T</TITLE><SCRIPT>\nvar x = 1;\nif(a&&b){}\n"
+        "</SCRIPT><style type='text/css'>\n.x{color:red}\n</style>"
+        "</HEAD><BODY><NAV>\nHome\n</NAV><p>real\ncontent</p>"
+        "<FOOTER>\nfoot\n</FOOTER></BODY></HTML>"
+    )
+    assert _one(spark, html_text, html) == "real content"
