@@ -735,3 +735,42 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def corpus_snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Crawl-to-crawl change detection: (doc_id, status, old_hash,
+    new_hash) for every document that is ``added`` (only in the new
+    snapshot), ``removed`` (only in the old) or ``changed`` (both, but
+    content hash differs) — unchanged documents are excluded, so the
+    output is ∝ the churn, not the corpus. This is the stage that
+    turns a re-crawl into an INCREMENT for the store operators
+    (sigstore/phashstore ingest the ``added`` + ``changed`` rows; the
+    ``removed`` rows drive retention/compaction decisions).
+
+    Scale: each side reduces to (id, md5) before the full-outer join —
+    8+32 bytes per document crosses the exchange, never the text; the
+    join key is the unique doc id, so no skew by construction."""
+    oh = old.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("old_hash"),
+    )
+    nh = new.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("new_hash"),
+    )
+    joined = oh.join(nh, "doc_id", "full_outer")
+    return joined.select(
+        "doc_id",
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        "old_hash",
+        "new_hash",
+    ).filter(F.col("status") != "unchanged")

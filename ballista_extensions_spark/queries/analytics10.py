@@ -342,3 +342,63 @@ def compression_contract_audit(
         ],
         schema="check_name string, passed boolean",
     )
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, md5(text) AS old_hash
+      FROM documents WHERE doc_id % 7 <> 0),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]'
+                      ELSE text END) AS new_hash
+      FROM documents WHERE doc_id % 5 <> 0),
+    j AS (
+      SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+             old_hash, new_hash
+      FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
+    SELECT doc_id,
+           CASE WHEN old_hash IS NULL THEN 'added'
+                WHEN new_hash IS NULL THEN 'removed'
+                WHEN old_hash <> new_hash THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           old_hash, new_hash
+    FROM j
+    WHERE (CASE WHEN old_hash IS NULL THEN 'added'
+                WHEN new_hash IS NULL THEN 'removed'
+                WHEN old_hash <> new_hash THEN 'changed'
+                ELSE 'unchanged' END) <> 'unchanged'
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-to-crawl snapshot diff (operators/dedup.py:
+    corpus_snapshot_diff): two deterministic snapshots of the corpus —
+    old = doc_id % 7 != 0 with original text, new = doc_id % 5 != 0
+    with every 11th document revised — reduce to (id, md5) per side
+    and full-outer join into (doc_id, added|removed|changed, hashes),
+    unchanged documents excluded so the output is ∝ churn. This is the
+    stage that turns a re-crawl into an INCREMENT for the store
+    operators (added+changed feed sigstore/phashstore ingest; removed
+    drives retention). The oracle replays both snapshot constructions
+    and the hash compare, so a match proves the diff row-exactly.
+    Scale: 40 bytes per document cross the exchange (id + md5, never
+    text); the join key is the unique doc id — no skew by
+    construction."""
+    from ballista_extensions_spark.operators.dedup import (
+        corpus_snapshot_diff as diff_op,
+    )
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    old = d.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    new = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" [rev2]")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return diff_op(old, new)

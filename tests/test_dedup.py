@@ -182,3 +182,28 @@ def test_near_dup_df_cap_survives_hot_shingle(spark):
     assert got == {(0, 300), (0, 301), (300, 301)}
     for r in pairs:
         assert r["jaccard"] == 1.0
+
+
+def test_corpus_snapshot_diff_statuses(spark):
+    """added/removed/changed classified exactly; unchanged excluded;
+    output carries both hashes for downstream routing."""
+    from ballista_extensions_spark.operators.dedup import (
+        corpus_snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["old_hash"] is None,
+                      r["new_hash"] is None)
+        for r in corpus_snapshot_diff(old, new).collect()
+    }
+    assert got == {
+        2: ("changed", False, False),
+        3: ("removed", False, True),
+        4: ("added", True, False),
+    }  # doc 1 unchanged -> excluded

@@ -198,7 +198,50 @@ def main() -> None:
         "token_len_quartiles": lambda d, e: _token_quartiles(d),
         # round-9 (directive #8): per-batch centroid drift
         "centroid_drift": lambda d, e: _drift(e),
+        # round-11: web-crawl prep + compression proxy + snapshot diff
+        "url_frontier_dedup": lambda d, e: _url_dedup(d),
+        "html_extract": lambda d, e: _html_extract(d),
+        "compression_ratio": lambda d, e: _compress(d),
+        "corpus_snapshot_diff": lambda d, e: _snap_diff(d),
     }
+
+    def _url_dedup(d):
+        from ballista_extensions_spark.operators.webprep import (
+            docs_as_urls,
+            url_dedup,
+        )
+
+        return url_dedup(docs_as_urls(d)).count()
+
+    def _html_extract(d):
+        from ballista_extensions_spark.operators.webprep import (
+            docs_as_html,
+            html_extract_stats,
+        )
+
+        return html_extract_stats(docs_as_html(d)).count()
+
+    def _compress(d):
+        from ballista_extensions_spark.operators.text import (
+            compression_stats,
+        )
+
+        return compression_stats(d).count()
+
+    def _snap_diff(d):
+        from ballista_extensions_spark.operators.dedup import (
+            corpus_snapshot_diff,
+        )
+
+        old_snap = d.filter(F.col("doc_id") % 7 != 0)
+        new_snap = d.filter(F.col("doc_id") % 5 != 0).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.col("text"), F.lit(" [rev2]")),
+            ).otherwise(F.col("text")),
+        )
+        return corpus_snapshot_diff(old_snap, new_snap).count()
 
     def _drift(em):
         from ballista_extensions_spark.operators.similarity import (
