@@ -402,3 +402,108 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return diff_op(old, new)
+
+
+@register(
+    "crawl_curation_pipeline",
+    oracle=f"""
+    WITH urls AS (
+      SELECT doc_id,
+             'Site' || CAST(doc_id % 50 AS VARCHAR)
+             || '.example.com/articles/'
+             || CAST(doc_id % 100 AS VARCHAR) AS norm_host_path
+      FROM documents),
+    frontier AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM urls GROUP BY lower(norm_host_path)),
+    survivors AS (
+      SELECT d.doc_id AS doc_id, d.text AS text, d.source AS source
+      FROM documents d JOIN frontier f ON f.doc_id = d.doc_id),
+    pages AS (
+      SELECT doc_id, source, {_HTML_PAGE_SQL} AS html FROM survivors),
+    ex AS (
+      SELECT doc_id, source, {_HTML_TEXT_SQL} AS txt,
+             CAST(length({_HTML_TEXT_SQL}) AS DOUBLE)
+               / CAST(length(html) AS DOUBLE) AS ratio
+      FROM pages),
+    gated AS (
+      SELECT doc_id, source, md5(txt) AS h
+      FROM ex WHERE ratio >= 0.5 AND length(txt) >= 100),
+    kept AS (
+      SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY h)
+    SELECT g.source,
+           CAST(COUNT(*) AS BIGINT) AS n_gated,
+           CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM gated g LEFT JOIN kept k ON k.doc_id = g.doc_id
+    GROUP BY g.source
+    """,
+)
+def crawl_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-11 crawl path END-TO-END in one plan — the
+    composition a corpus team actually runs, not isolated operators:
+    (1) URL frontier dedup picks one fetch per canonical
+    host+path (webprep.url_normalize's host/path core — the fixture
+    collapses doc_ids congruent mod 100), (2) surviving pages go
+    through HTML boilerplate extraction (webprep.html_text), (3) a
+    quality gate keeps pages whose retained-content ratio ≥ 0.5 and
+    extracted length ≥ 100, (4) exact content dedup by extracted-text
+    md5 keeps the min-id representative, and the result is a
+    per-source funnel report (gated vs kept). The oracle replays all
+    four stages — frontier grouping, the full regexp extraction chain,
+    the gate arithmetic and the md5 dedup — so a hash match proves the
+    whole composed pipeline row-exactly. Scale: two hash aggregations
+    (frontier key, content hash) with map-side combine + one broadcast
+    join of the (small) kept set; extraction is codegen'd projection
+    work between them; nothing materializes the corpus twice."""
+    from ballista_extensions_spark.operators.webprep import (
+        docs_as_html,
+        html_extract_stats,
+        html_text,
+    )
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    frontier = (
+        d.select(
+            "doc_id",
+            F.lower(
+                F.concat(
+                    F.lit("Site"),
+                    (F.col("doc_id") % 50).cast("string"),
+                    F.lit(".example.com/articles/"),
+                    (F.col("doc_id") % 100).cast("string"),
+                )
+            ).alias("key"),
+        )
+        .groupBy("key")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    pages = docs_as_html(d.join(frontier, "doc_id")).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    ex = pages.select(
+        "doc_id",
+        "source",
+        html_text("html").alias("txt"),
+        (
+            F.length(html_text("html")).cast("double")
+            / F.length("html").cast("double")
+        ).alias("ratio"),
+    )
+    gated = ex.filter(
+        (F.col("ratio") >= 0.5) & (F.length("txt") >= 100)
+    ).select("doc_id", "source", F.md5(F.col("txt")).alias("h"))
+    kept = gated.groupBy("h").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id", F.lit(True).alias("is_kept")
+    )
+    return (
+        gated.join(kept, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gated"),
+            F.sum(
+                F.when(F.col("is_kept"), 1).otherwise(0)
+            ).cast("long").alias("n_kept"),
+        )
+    )
