@@ -129,6 +129,111 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# Every name the driver's gate has graded in ANY round (r02-r10 union,
+# registered names only). Fresh-window priority: queries NOT in this
+# set have never been driver-validated at all and outrank
+# rotated-for-regrade names (formerly green, re-queued by age or plan
+# drift) — a bounded grading window must spend itself on never-graded
+# surface first.
+EVER_DRIVER_GRADED: frozenset[str] = frozenset({
+    "ab_test_value_by_type", "acctbal_zscore_outliers",
+    "agg_argmax_customer", "agg_orders_by_priority", "ann_contract_audit",
+    "ann_cosine_topk", "ann_hamming_sign_topk", "ann_index_incremental",
+    "ann_ivf_topk", "ann_lsh_topk", "ann_recall_report", "array_functions",
+    "asof_join_forward_views", "asof_join_purchases", "audio_decode_meta",
+    "audio_energy_fingerprints", "audio_near_dup_energy",
+    "audio_resample_checksum", "av_demux_meta", "bigram_lm_counts",
+    "bitwise_agg_keys", "bloom_prejoin_revenue", "bpe_merge_candidates",
+    "brand_year_revenue", "cdc_merge_orders", "cdc_two_batch_merge",
+    "chunk_documents", "concurrent_open_orders", "contamination_check",
+    "contrastive_pairs", "corpus_shift_by_source", "corpus_stats_by_lang",
+    "corpus_vocabulary", "cross_source_dup_matrix", "cube_orders",
+    "cumulative_revenue_scalable", "curation_pipeline_lsh",
+    "curation_pipeline_summary", "custkey_overlap_sketch",
+    "customer_order_gap_stats", "customer_percent_rank_scalable",
+    "customer_rank_change", "customer_rank_scalable",
+    "customer_repeat_rate_by_nation", "customer_rfm_segments_demo",
+    "customer_rfm_segments_scalable", "dataset_split", "date_functions",
+    "dedup_components", "dedup_exact", "dedup_exact_normalized",
+    "dedup_keep_best", "dedup_near_minhash", "dedup_probabilistic_audit",
+    "dedup_shrinkage_by_source", "dedup_simhash",
+    "deterministic_mode_priority", "distinct_segments_by_nation",
+    "doc_char_class_profile", "doc_fingerprint", "doc_length_histogram",
+    "docs_quality_quartiles", "domain_mix_resample",
+    "dup_cluster_size_histogram", "edit_distance_neighbors",
+    "embedding_centroids", "embedding_drift_report",
+    "embedding_dup_clusters", "embedding_near_dup", "embedding_norms",
+    "embedding_quantize_int8", "event_funnel", "event_transition_matrix",
+    "events_gapfill_hourly", "events_hourly_rollup", "events_json_extract",
+    "events_lag_lead", "events_out_of_order_stats", "events_sessionize",
+    "events_top_hour_per_user", "events_user_p95_value",
+    "events_value_mad_anomalies", "explode_outer_tokens", "explode_unnest",
+    "filtered_agg_orders", "fk_integrity_audit", "group_sample_customers",
+    "grouping_sets_revenue", "heavy_hitter_tokens", "hourly_anomaly_flags",
+    "image_contamination_check", "image_dhash_fingerprints",
+    "image_dup_clusters", "image_near_dup_phash", "incremental_dedup",
+    "incremental_near_dup_lsh", "join_cross", "join_full_outer",
+    "join_inner", "join_left_agg", "join_left_anti", "join_left_mark",
+    "join_left_semi", "join_right", "join_right_anti", "join_right_semi",
+    "key_skew_report", "knn_label_accuracy", "lang_diversity_by_source",
+    "lang_id_heuristic", "lateral_top_customers", "latest_event_per_user",
+    "lineitem_price_equidepth_hist", "mad_order_prices",
+    "media_kind_routing", "media_mixed_decode", "median_order_price",
+    "multimodal_binary_meta", "multimodal_decode_jpeg",
+    "multimodal_decode_meta", "multimodal_decode_png",
+    "multimodal_decode_real", "near_dup_char_ngram", "near_dup_lsh_verified",
+    "near_dup_pairs_exact", "near_dup_threshold_sweep",
+    "ngram_novelty_scores", "ntile_customer_quartiles",
+    "null_and_regex_functions", "null_safe_arithmetic",
+    "null_safe_join_segments", "orderkey_islands",
+    "orders_interarrival_median", "orders_priority_scd2",
+    "orders_rolling_7d_revenue", "orders_running_share",
+    "orders_seasonality_index", "pack_token_bins", "pagerank_trade_graph",
+    "part_price_size_skyline", "percentile_disc_prices",
+    "phrase_locate_spans", "pii_density_by_source", "pii_scrub",
+    "pit_priority_revenue", "pivot_segment_revenue", "posexplode_tokens",
+    "pretrain_mixture_pipeline", "price_buckets",
+    "price_percentiles_scalable", "price_quantile_sketch_rollup",
+    "profile_documents", "proportional_token_allocation",
+    "pyudf_text_metrics", "q10_returned_items", "q11_important_stock",
+    "q12_shipping_horizon", "q13_customer_order_distribution",
+    "q14_promo_revenue_share", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue", "q1_pricing_summary",
+    "q20_excess_suppliers", "q21_waiting_suppliers",
+    "q22_global_sales_opportunity", "q2_cheapest_supplier",
+    "q3_shipping_priority", "q4_order_priority_exists",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_nation_volume",
+    "q8_market_share", "q9_product_profit", "quality_filter_chain",
+    "range_join_bursts", "rare_token_fraction", "repetition_stats",
+    "retention_cohorts", "revenue_gini_customers",
+    "revenue_trend_by_segment", "rollup_revenue", "salted_join_revenue",
+    "sample_by_segment", "sample_contract_audit", "sample_lineitem",
+    "scan_project_alias", "session_funnel", "set_except_all_lineitems",
+    "set_except_nations", "set_intersect_all_keys", "set_intersect_nations",
+    "set_union_nations", "shipping_delay_deciles_by_priority",
+    "signature_store_incremental", "sketch_contract_audit",
+    "sketch_distinct_users", "sketch_rollup_custkeys",
+    "sliding_hour_value_sums", "sort_limit_expensive_orders",
+    "source_lang_crosstab", "source_quality_stats", "span_dedup_report",
+    "split_leakage_audit", "stats_corr_covar", "streaming_dedup_replay",
+    "streaming_gapfill_replay", "streaming_heavy_hitters_replay",
+    "streaming_media_dedup_replay", "string_agg_segments",
+    "string_functions", "supplier_pareto_8020",
+    "temperature_sampling_weights", "text_stats_quality", "text_token_count",
+    "text_token_count_bpe", "tfidf_top_terms", "token_budget_selection_demo",
+    "token_budget_selection_scalable", "token_cooccurrence_topk",
+    "token_len_quartiles_by_lang", "token_length_histogram",
+    "top_decile_docs", "unpivot_balances", "video_decode_meta",
+    "video_frame_sample", "video_keyframe_fingerprints",
+    "video_near_dup_keyframe", "weighted_median_price",
+    "weighted_sample_parts", "window_rank_family", "window_running_totals",
+    "window_top3_orders_per_customer", "window_value_functions",
+    "winsorized_mean_price", "year_over_year_revenue",
+    "year_spine_order_counts",
+})
+
+
 # Queries whose last driver grade was hash_match=False and that were
 # fixed this round: they jump the queue so the fix is re-graded even if
 # the fresh window overflows.
@@ -153,6 +258,7 @@ def _graded_last_order() -> list[str]:
     names = list(QUERIES)
     fresh = [n for n in names if n not in PRIOR_DRIVER_GRADED]
     fresh.sort(key=lambda n: n not in ORACLES)  # stable: oracles first
+    fresh.sort(key=lambda n: n in EVER_DRIVER_GRADED)  # never-graded first
     fresh.sort(key=lambda n: n not in REGRADE_FIRST)  # stable: fixes first
     seen = [n for n in names if n in PRIOR_DRIVER_GRADED]
     return fresh + seen
