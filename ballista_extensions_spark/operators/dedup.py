@@ -774,3 +774,99 @@ def corpus_snapshot_diff(
         "old_hash",
         "new_hash",
     ).filter(F.col("status") != "unchanged")
+
+
+def exact_span_scrub(
+    df: DataFrame,
+    n: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring span dedup at token granularity — the
+    "deduplicating training data" rewrite (Lee et al. 2022,
+    arXiv:2107.06499, re-expressed on DataFrame ops): any n-token span
+    occurring more than once in the corpus keeps only its globally
+    FIRST occurrence (min (doc_id, pos)); every other occurrence's
+    token positions are scrubbed from their documents, and each
+    document is rebuilt from its surviving tokens. Output: (doc_id,
+    n_before, n_after, clean_text) for EVERY document (unchanged docs
+    pass through, short docs have no spans by construction).
+
+    Scale: shingle hashing is a narrow arrays pass (one md5 per
+    position); the global first-occurrence aggregation and the
+    covered-position anti-join shuffle (doc, pos) pairs — 16 B rows,
+    never text; the rebuild is one per-doc sort-free aggregation
+    (array_sort over collected (pos, tok) structs, local to each
+    group). Spans are hashed with md5 over the joined tokens; md5
+    collisions are negligible and acceptable for dedup semantics, the
+    same contract as :func:`dedup_exact`."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("arr"),
+    ).localCheckpoint(eager=False)
+    sh = (
+        toks.filter(F.size("arr") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(arr) - {n}), i -> "
+                    f"struct(i AS pos, md5(concat_ws(' ', "
+                    f"slice(arr, i + 1, {n}))) AS h))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.pos").alias("pos"),
+                F.col("s.h").alias("h"))
+    )
+    firsts = (
+        sh.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
+        .filter(F.col("c") >= 2)
+        .select("h", "first")
+    )
+    removable = sh.join(firsts, "h").filter(
+        ~(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+    )
+    covered = removable.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+        ).alias("pos"),
+    ).distinct()
+    tokens = toks.select(
+        "doc_id", F.posexplode("arr").alias("pos", "tok")
+    )
+    kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, tok))), "
+                "x -> x.tok)"
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        toks.select(
+            "doc_id", F.size("arr").cast("long").alias("n_before")
+        )
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_before",
+            F.coalesce(F.col("n_after"), F.lit(0).cast("long")).alias(
+                "n_after"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias(
+                "clean_text"
+            ),
+        )
+    )

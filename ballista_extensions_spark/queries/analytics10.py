@@ -507,3 +507,74 @@ def crawl_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_kept"),
         )
     )
+
+
+@register(
+    "exact_span_scrub",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    sh AS (
+      -- constant series bound (max fixture tokens ~2100) + WHERE
+      -- filter: DuckDB's generate_series rejects lateral bounds
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(arr[i + 1:i + 10], ' ')) AS h
+      FROM toks, generate_series(0, 4095) t(i)
+      WHERE i <= len(arr) - 10),
+    marked AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY h
+                                ORDER BY doc_id, pos) AS rn,
+             COUNT(*) OVER (PARTITION BY h) AS c
+      FROM sh),
+    removable AS (
+      SELECT doc_id, pos FROM marked WHERE c >= 2 AND rn > 1),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + j AS pos
+      FROM removable, generate_series(0, 9) u(j)),
+    tokens AS (
+      SELECT doc_id, i - 1 AS pos, arr[i] AS tok
+      FROM toks, generate_series(1, 4096) t(i)
+      WHERE i <= len(arr)),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM tokens t LEFT JOIN covered c
+        ON c.doc_id = t.doc_id AND c.pos = t.pos
+      WHERE c.doc_id IS NULL),
+    rebuilt AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_after,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id)
+    SELECT tk.doc_id,
+           CAST(len(tk.arr) AS BIGINT) AS n_before,
+           COALESCE(r.n_after, 0) AS n_after,
+           md5(COALESCE(r.clean_text, '')) AS clean_md5
+    FROM toks tk LEFT JOIN rebuilt r ON r.doc_id = tk.doc_id
+    """,
+)
+def exact_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup, corpus-wide (operators/dedup.py:
+    exact_span_scrub — the Lee et al. 2022 'deduplicating training
+    data' rewrite): every 10-token span occurring more than once keeps
+    only its globally first occurrence; all other occurrences' token
+    positions are scrubbed and each document is rebuilt from its
+    survivors. Output per document: token counts before/after and the
+    md5 of the rebuilt text, so a hash match proves the scrub
+    TOKEN-EXACTLY on every document — which spans were found, which
+    occurrence won, and the exact rebuilt string. ~2k duplicated span
+    occurrences exist at sf0.01, so the operator does real work.
+    Scale: shingle hashing is a narrow arrays pass; the global
+    first-occurrence agg and covered-position anti-join move (doc,
+    pos) pairs, never text; rebuild is one per-doc aggregation."""
+    from ballista_extensions_spark.operators.dedup import (
+        exact_span_scrub as scrub_op,
+    )
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    out = scrub_op(d, n=10)
+    return out.select(
+        "doc_id",
+        "n_before",
+        "n_after",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )

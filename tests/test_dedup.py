@@ -207,3 +207,32 @@ def test_corpus_snapshot_diff_statuses(spark):
         3: ("removed", False, True),
         4: ("added", True, False),
     }  # doc 1 unchanged -> excluded
+
+
+def test_exact_span_scrub_planted_spans(spark):
+    """Lee-et-al-style span scrub: a 10-token span repeated across
+    docs keeps only its first occurrence; within-doc repeats scrub
+    too; overlapping repeated windows scrub their union; short and
+    unique docs pass through unchanged."""
+    from ballista_extensions_spark.operators.dedup import exact_span_scrub
+
+    span = " ".join(f"s{i}" for i in range(10))
+    uniq = lambda p, k: " ".join(f"{p}{i}" for i in range(k))  # noqa: E731
+    rows = [
+        (1, f"{uniq('a', 5)} {span} {uniq('b', 5)}"),   # first occ: kept
+        (2, f"{uniq('c', 5)} {span} {uniq('d', 5)}"),   # later: scrubbed
+        (3, f"{span} {span}"),                           # within-doc repeat
+        (4, uniq("e", 30)),                              # unique: unchanged
+        (5, "tiny doc"),                                 # < n tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in exact_span_scrub(df, n=10).collect()}
+    assert (got[1]["n_before"], got[1]["n_after"]) == (20, 20)
+    assert got[1]["clean_text"] == rows[0][1]
+    assert (got[2]["n_before"], got[2]["n_after"]) == (20, 10)
+    assert got[2]["clean_text"] == f"{uniq('c', 5)} {uniq('d', 5)}"
+    # doc 3: spans at pos 0..10 all duplicated (the repeat makes every
+    # window non-unique vs doc 1's first occurrence) -> fully scrubbed
+    assert got[3]["n_after"] == 0 and got[3]["clean_text"] == ""
+    assert got[4]["clean_text"] == rows[3][1]
+    assert got[5]["clean_text"] == "tiny doc"
