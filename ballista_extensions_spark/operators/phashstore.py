@@ -166,11 +166,19 @@ def compact_into_phash_store(
     set is never rescanned, just anti-joined). ``reject_ids`` (one
     column ``id``) removes near-dups of stored content before the
     merge. With ``table_prefix`` the merged state rewrites the
-    bucketed tables — a per-bucket merge at scale."""
+    bucketed tables — a per-bucket merge at scale.
+
+    Idempotent under at-least-once redelivery (ADVICE r11): ids
+    already in the store are anti-joined out of the increment, so
+    re-compacting the same batch is a no-op in BOTH the in-memory and
+    table-backed forms — the store is keyed by id and the first
+    compaction of an id wins (a later row reusing an id is dropped,
+    the same first-wins contract as ``storededup``'s replay path)."""
     width, mask = _validate_banding(0, store.bands)
     bm = _members(batch_hashes, id_col, hash_col)
     if reject_ids is not None:
         bm = bm.join(reject_ids, "id", "left_anti")
+    bm = bm.join(store.members.select("id"), "id", "left_anti")
     fresh_h = (
         bm.select("h")
         .distinct()

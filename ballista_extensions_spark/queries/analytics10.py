@@ -443,7 +443,9 @@ def crawl_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-11 crawl path END-TO-END in one plan — the
     composition a corpus team actually runs, not isolated operators:
     (1) URL frontier dedup picks one fetch per canonical
-    host+path (webprep.url_normalize's host/path core — the fixture
+    host+path key (built directly here in the lowercase host+path
+    shape ``webprep.url_normalize`` emits — ``url_frontier_dedup`` is
+    the query that exercises the normalizer itself; the fixture
     collapses doc_ids congruent mod 100), (2) surviving pages go
     through HTML boilerplate extraction (webprep.html_text), (3) a
     quality gate keeps pages whose retained-content ratio ≥ 0.5 and

@@ -100,6 +100,15 @@ def main() -> None:
             # a typo'd watch-item name must fail loudly, not silently
             # bench an empty set
             raise SystemExit(f"unknown query names: {sorted(unknown)}")
+        shadowed = only & EXCLUDE
+        if shadowed:
+            # a requested-but-excluded name would pass the unknown check
+            # yet be silently skipped by the sweep loop below — a
+            # watch-item re-bench must not report nothing without saying
+            # why (ADVICE r11)
+            raise SystemExit(
+                f"requested names are in EXCLUDE: {sorted(shadowed)}"
+            )
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     rows: dict[str, int] = {}

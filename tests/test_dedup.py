@@ -236,3 +236,25 @@ def test_exact_span_scrub_planted_spans(spark):
     assert got[3]["n_after"] == 0 and got[3]["clean_text"] == ""
     assert got[4]["clean_text"] == rows[3][1]
     assert got[5]["clean_text"] == "tiny doc"
+
+
+def test_span_scrub_oracle_token_cap_holds():
+    """The exact_span_scrub oracle replays token positions with a
+    constant generate_series bound (DuckDB rejects lateral bounds);
+    a document exceeding it would make the oracle silently drop spans
+    and grade the engine red through no fault of its own (ADVICE r11).
+    Pin the invariant: every graded/benched corpus stays well under
+    the bound."""
+    import os
+
+    import duckdb
+
+    cap = 4096  # must match the generate_series bounds in analytics10.py
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        mx, = duckdb.sql(
+            f"SELECT max(len(string_split(text, ' '))) FROM '{path}'"
+        ).fetchone()
+        assert mx < cap, f"{sf}: max tokens {mx} >= oracle cap {cap}"

@@ -38,7 +38,7 @@ def corpus():
     # new items: 3 exact dups of stored, 3 near (hamming 2), rest far
     new = [(100, base[0]), (101, base[1]), (102, base[2]),
            (103, base[3] ^ 0b11), (104, base[4] ^ (1 << 40) ^ 1),
-           (105, base[5] ^ (1 << 63 - 1) ^ (1 << 7)),
+           (105, base[5] ^ (1 << 62) ^ (1 << 7)),
            (106, None)]
     new += [(110 + k, base[40 + k]) for k in range(10)]
     return stored, new
@@ -90,6 +90,34 @@ def test_compact_reject_ids_and_distinct_banding(spark, corpus):
     assert len(banded) == len({r["h"] for r in banded}) * 8
     # NULL-hash rows never enter the store
     assert all(r["h"] is not None for r in grown.members.collect())
+
+
+def test_compact_redelivery_is_idempotent(spark, corpus):
+    """At-least-once redelivery (ADVICE r11): re-compacting the SAME
+    increment must not append duplicate member rows — in-memory and
+    table-backed alike — so later probes emit each pair once."""
+    stored, new = corpus
+    n_new = len([1 for _, h in new if h is not None])
+    for prefix in (None, "phash_idem_store"):
+        store = PS.build_phash_store(
+            _mk(spark, stored), bands=8, table_prefix=prefix, buckets=4
+        )
+        once = PS.compact_into_phash_store(
+            store, _mk(spark, new), table_prefix=prefix, buckets=4
+        )
+        twice = PS.compact_into_phash_store(
+            once, _mk(spark, new), table_prefix=prefix, buckets=4
+        )
+        assert twice.members.count() == len(stored) + n_new
+        probe = [(300, stored[6][1])]
+        pairs = PS.probe_phash_store(
+            twice, _mk(spark, probe), threshold=6
+        ).collect()
+        keys = [(r["stored_id"], r["new_id"]) for r in pairs]
+        assert len(keys) == len(set(keys))
+        assert (6, 300) in keys
+    for t in ("phash_idem_store_members", "phash_idem_store_banded"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_probe_threshold_validation(spark, corpus):
