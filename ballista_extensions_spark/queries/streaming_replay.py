@@ -474,3 +474,125 @@ def streaming_phash_store_replay(
         .schema("stored_id long, new_id long, hamming long, phase long")
         .parquet(os.path.join(store_dir, "pairs"))
     )
+
+
+def _sigstore_oracle() -> str:
+    from ballista_extensions_spark.queries.analytics6 import (
+        _TOKS,
+        _shingles_sql,
+    )
+
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {_shingles_sql(_TOKS)} AS s FROM documents),
+    post AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+    stop AS (
+      -- frozen at bootstrap: batch 0's own postings, df > 100
+      SELECT tok FROM post WHERE doc_id % 3 = 0
+      GROUP BY tok HAVING COUNT(*) > 100),
+    cap AS (
+      SELECT doc_id, doc_id % 3 AS k, tok FROM post p
+      WHERE NOT EXISTS (SELECT 1 FROM stop WHERE stop.tok = p.tok)),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM cap GROUP BY doc_id),
+    j AS (
+      SELECT a.doc_id AS da, a.k AS ka, b.doc_id AS db, b.k AS kb,
+             CAST(COUNT(*) AS DOUBLE) AS i
+      FROM cap a JOIN cap b ON a.tok = b.tok
+        AND (a.k < b.k OR (a.k = b.k AND a.doc_id < b.doc_id))
+      GROUP BY a.doc_id, a.k, b.doc_id, b.k),
+    jac AS (
+      SELECT da, ka, db, kb, i / (sa.sz + sb.sz - i) AS jaccard
+      FROM j JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      WHERE i / (sa.sz + sb.sz - i) >= 0.35),
+    intra AS (
+      SELECT da AS stored_id, db AS new_id, jaccard,
+             CAST(ka AS BIGINT) AS phase
+      FROM jac WHERE ka = kb),
+    acc0 AS (
+      SELECT doc_id FROM sh WHERE doc_id % 3 = 0
+        AND doc_id NOT IN (SELECT new_id FROM intra WHERE phase = 0)),
+    p1 AS (
+      SELECT da AS stored_id, db AS new_id, jaccard
+      FROM jac WHERE ka = 0 AND kb = 1
+        AND da IN (SELECT doc_id FROM acc0)),
+    acc1 AS (
+      SELECT doc_id FROM sh WHERE doc_id % 3 = 1
+        AND doc_id NOT IN (SELECT new_id FROM intra WHERE phase = 1)
+        AND doc_id NOT IN (SELECT new_id FROM p1)),
+    p2 AS (
+      SELECT da AS stored_id, db AS new_id, jaccard
+      FROM jac WHERE kb = 2 AND ka < 2
+        AND ((ka = 0 AND da IN (SELECT doc_id FROM acc0))
+          OR (ka = 1 AND da IN (SELECT doc_id FROM acc1))))
+    SELECT stored_id, new_id, jaccard, phase FROM intra
+    UNION ALL SELECT stored_id, new_id, jaccard, CAST(1 AS BIGINT) FROM p1
+    UNION ALL SELECT stored_id, new_id, jaccard, CAST(2 AS BIGINT) FROM p2
+    """
+
+
+@register("streaming_sigstore_replay", oracle=_sigstore_oracle())
+def streaming_sigstore_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RESTART-SURVIVABLE streaming TEXT dedup, oracle-checked — the
+    MinHash sigstore twin of streaming_phash_store_replay (VERDICT r11
+    directive #6): the documents stream replays in three micro-batches
+    (doc_id % 3 = 0, 1, 2) through streaming/storededup.py's
+    sigstore_dedup_sink. Batch 0 bootstraps the store and FREEZES the
+    stop list from its own postings (sigstore's build-time contract);
+    every batch rebuilds the store handle FROM DISK (partition-pruned
+    to batch < k), finds near-dup pairs against the store AND within
+    itself (banded MinHash candidates, EXACT df-capped 3-gram Jaccard
+    >= 0.35 verification, earlier id survives), and compacts accepted
+    signatures back as its append-only increment. No in-memory state
+    crosses micro-batch boundaries, so a process restart between any
+    two batches changes nothing — and at-least-once redelivery of a
+    batch overwrites only its own partitions while probing the store
+    as of BEFORE itself (idempotence pytest:
+    tests/test_storededup.py). The oracle replays the frozen stop,
+    all three intra rounds and both cascaded store-probe rounds with
+    exact Jaccard, so a hash match proves banding recall 1.0 on this
+    corpus, bit-exact verification AND the cross-restart accept/reject
+    routing. Scale: candidate cost per batch ∝ batch × bucket
+    collisions (only batch band rows drive the join); writes ∝ the
+    increment."""
+    from ballista_extensions_spark.streaming.storededup import (
+        sigstore_dedup_sink,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    slices = [
+        d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == k) for k in range(3)
+    ]
+    stage = _stage_dir("sigstore_dedup", sf_dir)
+    in_dir = os.path.join(stage, "in")
+    os.makedirs(in_dir)
+    _write_ordered_slices(slices, in_dir)
+    store_dir = os.path.join(stage, "store")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sigstore_dedup_sink(store_dir, threshold=0.35))
+        .option("checkpointLocation", os.path.join(stage, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    q.stop()
+    if not finished:
+        raise TimeoutError(
+            "sigstore replay did not finish within 300s; store at "
+            f"{store_dir} is partial and must not be graded"
+        )
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema(
+            "stored_id long, new_id long, jaccard double, phase long"
+        )
+        .parquet(os.path.join(store_dir, "pairs"))
+    )

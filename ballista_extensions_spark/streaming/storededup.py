@@ -80,6 +80,141 @@ def _read_or_empty(
     return df.drop("batch")
 
 
+def sigstore_dedup_sink(
+    store_dir: str,
+    *,
+    threshold: float = 0.35,
+    n: int = 3,
+    max_df: int = 100,
+    bands: int = 64,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch function: restart-survivable streaming TEXT dedup —
+    the MinHash signature-store mirror of :func:`phash_store_dedup_sink`
+    (VERDICT r11 directive #6). Each micro-batch (columns ``doc_id``,
+    ``text``) rebuilds the :mod:`operators.sigstore` state purely from
+    disk, finds near-duplicate pairs against the store AND within the
+    batch (banded candidates, exact df-capped Jaccard verification,
+    earlier id survives), routes every pair to the sink, and compacts
+    the surviving signatures back as that batch's append-only
+    increment.
+
+    The stop list follows sigstore's frozen-at-build contract: the
+    FIRST batch ever committed computes it from its own postings
+    (df > max_df) and writes it once; every later batch signs under
+    that frozen list (no corpus rescan). Layout under ``store_dir``
+    mirrors the phash sink — ``stop|bands|sets|pairs/batch=k/`` — so
+    an at-least-once redelivery of batch k overwrites only its own
+    partitions and reads the store as of ``batch < k``: idempotent by
+    construction. Scale: candidate cost ∝ batch × bucket collisions
+    (only BATCH band rows drive the join); per-batch writes ∝ the
+    increment's accepted signatures."""
+    from ballista_extensions_spark.operators.dedup import (
+        _minhash_band_buckets,
+        _verify_capped_jaccard,
+        _word_postings,
+    )
+    from ballista_extensions_spark.operators.sigstore import (
+        SignatureStore,
+        batch_signatures,
+        ingest_against_store,
+    )
+
+    stop_dir = os.path.join(store_dir, "stop")
+    bands_dir = os.path.join(store_dir, "bands")
+    sets_dir = os.path.join(store_dir, "sets")
+    pairs_dir = os.path.join(store_dir, "pairs")
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(
+            F.col(id_col).alias(id_col), F.col(text_col)
+        ).localCheckpoint()
+        stop = _read_or_empty(
+            spark, stop_dir, "s string", before_batch=batch_id
+        )
+        if stop.isEmpty():
+            # bootstrap: freeze the stop list from the first committed
+            # batch's own postings (sigstore's build-time contract); a
+            # redelivery of this batch recomputes it identically
+            stop = (
+                _word_postings(batch, text_col, id_col, n)
+                .groupBy("s")
+                .agg(F.count(F.lit(1)).alias("df_s"))
+                .filter(F.col("df_s") > max_df)
+                .select("s")
+                .localCheckpoint()
+            )
+            stop.write.mode("overwrite").parquet(
+                os.path.join(stop_dir, f"batch={batch_id}")
+            )
+        store = SignatureStore(
+            bands=_read_or_empty(
+                spark, bands_dir, "doc long, bkey long",
+                before_batch=batch_id,
+            ),
+            sets=_read_or_empty(
+                spark, sets_dir, "doc long, shset array<string>",
+                before_batch=batch_id,
+            ),
+            stop=stop,
+        )
+        bsig = batch_signatures(
+            store, batch, text_col=text_col, id_col=id_col, n=n,
+            bands=bands, rows_per_band=rows_per_band,
+        )
+        bsig = SignatureStore(
+            bands=bsig.bands.localCheckpoint(),
+            sets=bsig.sets.localCheckpoint(),
+            stop=stop,
+        )
+        store_pairs = ingest_against_store(
+            store, bsig, threshold=threshold
+        ).select(
+            F.col("doc_stored").alias("stored_id"),
+            F.col("doc_new").alias("new_id"),
+            "jaccard",
+        )
+        nb = bsig.bands
+        intra_cands = (
+            nb.select(F.col("doc").alias("doc_a"), "bkey")
+            .join(nb.select(F.col("doc").alias("doc_b"), "bkey"), "bkey")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        intra_pairs = _verify_capped_jaccard(
+            intra_cands, bsig.sets, threshold, spark
+        ).select(
+            F.col("doc_a").alias("stored_id"),
+            F.col("doc_b").alias("new_id"),
+            "jaccard",
+        )
+        pairs = store_pairs.unionByName(intra_pairs).localCheckpoint()
+        pairs.withColumn(
+            "phase", F.lit(batch_id).cast("long")
+        ).write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"batch={batch_id}")
+        )
+        rejects = pairs.select(F.col("new_id").alias("doc")).distinct()
+        keep_bands = bsig.bands.join(
+            rejects, "doc", "left_anti"
+        ).localCheckpoint()
+        keep_sets = bsig.sets.join(
+            rejects, "doc", "left_anti"
+        ).localCheckpoint()
+        keep_bands.write.mode("overwrite").parquet(
+            os.path.join(bands_dir, f"batch={batch_id}")
+        )
+        keep_sets.write.mode("overwrite").parquet(
+            os.path.join(sets_dir, f"batch={batch_id}")
+        )
+
+    return fn
+
+
 def phash_store_dedup_sink(
     store_dir: str, *, threshold: int = 6, bands: int = 8
 ):

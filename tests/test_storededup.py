@@ -137,3 +137,95 @@ def test_intra_batch_duplicates_are_found_and_not_compacted(
     fn(_mk(spark, [(10, far[0])]), 1)
     assert (1, 10, 0, 1) in _pairs(spark, store_dir)
     assert (2, 10, 0, 1) not in _pairs(spark, store_dir)
+
+
+# ---- sigstore (text MinHash) sink: the r12 mirror ----
+
+from ballista_extensions_spark.streaming.storededup import (  # noqa: E402
+    sigstore_dedup_sink,
+)
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _jpairs(spark, store_dir):
+    return {
+        (r["stored_id"], r["new_id"], round(r["jaccard"], 6), r["phase"])
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .schema("stored_id long, new_id long, jaccard double, phase long")
+        .parquet(os.path.join(store_dir, "pairs"))
+        .collect()
+    }
+
+
+def _sig_corpus():
+    uniq = lambda p: " ".join(f"{p}{i}" for i in range(12))  # noqa: E731
+    a, b, c = uniq("a"), uniq("b"), uniq("c")
+    return a, b, c
+
+
+def test_sigstore_cross_batch_state_from_disk(spark, store_dir):
+    a, b, c = _sig_corpus()
+    fn = sigstore_dedup_sink(store_dir, threshold=0.35)
+    fn(_mkdocs(spark, [(1, a), (2, b)]), 0)
+    assert _jpairs(spark, store_dir) == set()
+    # batch 1: exact text dup of stored 1, near-dup of stored 2
+    # (shares all but the last shingles), and fresh content
+    near_b = b + " tail"
+    fn(_mkdocs(spark, [(10, a), (11, near_b), (12, c)]), 1)
+    got = _jpairs(spark, store_dir)
+    assert (1, 10, 1.0, 1) in got
+    assert any(p[:2] == (2, 11) and p[3] == 1 for p in got)
+    # rejected dups never compacted: batch 2 dup of 10's content still
+    # matches the ORIGINAL representative, not 10
+    fn(_mkdocs(spark, [(20, a)]), 2)
+    got = _jpairs(spark, store_dir)
+    assert (1, 20, 1.0, 2) in got
+    assert not any(p[0] == 10 for p in got)
+    # the accepted fresh item is probe-able store content
+    fn(_mkdocs(spark, [(30, c)]), 3)
+    assert (12, 30, 1.0, 3) in _jpairs(spark, store_dir)
+
+
+def test_sigstore_redelivery_is_idempotent(spark, store_dir):
+    a, b, _ = _sig_corpus()
+    fn = sigstore_dedup_sink(store_dir, threshold=0.35)
+    fn(_mkdocs(spark, [(1, a)]), 0)
+    b1 = [(10, a), (11, b)]
+    fn(_mkdocs(spark, b1), 1)
+    pairs_once = _jpairs(spark, store_dir)
+    sets_once = sorted(
+        r["doc"]
+        for r in _read_or_empty(
+            spark, os.path.join(store_dir, "sets"),
+            "doc long, shset array<string>",
+        ).collect()
+    )
+    fn(_mkdocs(spark, b1), 1)  # at-least-once redelivery
+    assert _jpairs(spark, store_dir) == pairs_once == {(1, 10, 1.0, 1)}
+    assert sorted(
+        r["doc"]
+        for r in _read_or_empty(
+            spark, os.path.join(store_dir, "sets"),
+            "doc long, shset array<string>",
+        ).collect()
+    ) == sets_once == [1, 11]
+
+
+def test_sigstore_intra_batch_and_frozen_stop(spark, store_dir):
+    a, b, _ = _sig_corpus()
+    fn = sigstore_dedup_sink(store_dir, threshold=0.35, max_df=2)
+    # batch 0: intra-batch dup (earlier id survives) + a shingle set
+    # heavy enough (df 3 > max_df 2) to enter the FROZEN stop list
+    fn(_mkdocs(spark, [(1, a), (2, a), (3, a)]), 0)
+    got = _jpairs(spark, store_dir)
+    # a's shingles are stopped at bootstrap -> the three copies have
+    # EMPTY capped sets: no pairs, nothing banded
+    assert got == set()
+    # batch 1: content 'a' is invisible under the frozen stop (no
+    # postings survive), content 'b' is fresh and accepted
+    fn(_mkdocs(spark, [(10, a), (11, b), (12, b)]), 1)
+    got = _jpairs(spark, store_dir)
+    assert got == {(11, 12, 1.0, 1)}  # intra pair on the fresh content
