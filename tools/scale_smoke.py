@@ -208,9 +208,15 @@ def main() -> None:
         # size — the operator's 100-TB control), span scrub, and the
         # composed crawl-curation chain
         "semantic_dedup": lambda d, e: _semdedup(e),
-        "exact_span_scrub": lambda d, e: D.exact_span_scrub(
-            d, n=10
-        ).count(),
+        # aggregate over the rebuilt text / token counts: a bare
+        # count() lets Catalyst prune the heavy rebuild expressions
+        # out of the plan and times a hollow shell
+        "exact_span_scrub": lambda d, e: D.exact_span_scrub(d, n=10)
+        .agg(
+            F.sum(F.length("clean_text")).alias("b"),
+            F.sum("n_after").alias("t"),
+        )
+        .collect()[0]["t"],
         "crawl_curation_pipeline": lambda d, e: _crawl(d),
         "bpe_tokenize": lambda d, e: _bpe(d),
     }
@@ -285,7 +291,9 @@ def main() -> None:
             bpe_token_counts,
         )
 
-        return bpe_token_counts(d, FROZEN_MERGES).count()
+        return bpe_token_counts(d, FROZEN_MERGES).agg(
+            F.sum("n_tokens").alias("t")
+        ).collect()[0]["t"]
 
     def _url_dedup(d):
         from ballista_extensions_spark.operators.webprep import (
