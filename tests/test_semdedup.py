@@ -127,3 +127,51 @@ def test_all_unique_corpus_keeps_everything(spark):
     )
     out = SD.semantic_dedup(df, lattice_centroids(3, 6), tau=0.5).collect()
     assert len(out) == 6 and all(r["kept"] for r in out)
+
+
+def test_trained_quantizer_semantic_recall(spark):
+    """Quality path (the annstore correctness/quality split): under
+    TRAINED centroids on a clustered corpus, SemDeDup must co-cell —
+    and therefore drop — (nearly) all planted semantic duplicates.
+    The frozen lattice proves mechanics; this proves the trained
+    quantizer actually concentrates semantic neighborhoods into
+    cells, which is the assumption SemDeDup's within-cell restriction
+    rests on (Abbas et al. 2023 §3)."""
+    from ballista_extensions_spark.operators.annstore import (
+        train_centroids,
+    )
+
+    rng = np.random.default_rng(5)
+    dim, n_clusters, per = 16, 6, 30
+    centers = rng.normal(scale=5.0, size=(n_clusters, dim))
+    rows = []
+    for c in range(n_clusters):
+        # noise wide enough that same-cluster members stay BELOW tau
+        # (cos ~0.95) while planted scaled copies sit at cos ~1.0
+        pts = centers[c] + rng.normal(scale=1.5, size=(per, dim))
+        rows += [
+            (c * 1000 + i, [float(x) for x in pts[i]])
+            for i in range(per)
+        ]
+    # plant one scaled near-copy (cosine ~1) per cluster's first item
+    planted_ids = []
+    for c in range(n_clusters):
+        pid = c * 1000 + 500
+        planted_ids.append(pid)
+        src = dict(rows)[c * 1000 + 0]
+        rows.append((pid, [x * 1.02 for x in src]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cents = train_centroids(df, n_clusters, seed=42)
+    got = {
+        r["vec_id"]: r["kept"]
+        for r in SD.semantic_dedup(df, cents, tau=0.995).collect()
+    }
+    dropped_planted = sum(not got[p] for p in planted_ids)
+    # every planted duplicate shares a well-separated cluster with its
+    # source; a trained quantizer must co-cell and drop them all
+    assert dropped_planted == len(planted_ids)
+    # and the pruning is not degenerate: distinct cluster members at
+    # tau=0.995 survive
+    assert sum(got.values()) >= n_clusters * per * 0.9
