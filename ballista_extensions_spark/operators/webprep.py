@@ -182,3 +182,64 @@ def url_dedup(
             F.count(F.lit(1)).cast("long").alias("n_dups"),
         )
     )
+
+
+def crawl_curation_funnel(d: DataFrame) -> DataFrame:
+    """The composed crawl-curation chain over a documents frame
+    (doc_id, text, source) — the ONE body behind the
+    ``crawl_curation_pipeline`` query AND tools/scale_smoke.py's
+    amplified-corpus measurement (a hand-copied smoke body had already
+    diverged once; code-review r12). Stages: (1) URL frontier dedup on
+    the canonical lowercase host+path key (the shape
+    :func:`url_normalize` emits; the fixture collapses doc_ids
+    congruent mod 100), (2) HTML boilerplate extraction
+    (:func:`html_text`), (3) quality gate (retained-content ratio
+    ≥ 0.5, extracted length ≥ 100), (4) exact content dedup by
+    extracted-text md5 keeping the min-id representative; output is
+    the per-source funnel (n_gated, n_kept). Scale: two map-combined
+    hash aggregations + one broadcast-able kept-set join; extraction
+    is codegen'd projection work between them."""
+    frontier = (
+        d.select(
+            "doc_id",
+            F.lower(
+                F.concat(
+                    F.lit("Site"),
+                    (F.col("doc_id") % 50).cast("string"),
+                    F.lit(".example.com/articles/"),
+                    (F.col("doc_id") % 100).cast("string"),
+                )
+            ).alias("key"),
+        )
+        .groupBy("key")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    pages = docs_as_html(d.join(frontier, "doc_id")).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    ex = pages.select(
+        "doc_id",
+        "source",
+        html_text("html").alias("txt"),
+        (
+            F.length(html_text("html")).cast("double")
+            / F.length("html").cast("double")
+        ).alias("ratio"),
+    )
+    gated = ex.filter(
+        (F.col("ratio") >= 0.5) & (F.length("txt") >= 100)
+    ).select("doc_id", "source", F.md5(F.col("txt")).alias("h"))
+    kept = gated.groupBy("h").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id", F.lit(True).alias("is_kept")
+    )
+    return (
+        gated.join(kept, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gated"),
+            F.sum(
+                F.when(F.col("is_kept"), 1).otherwise(0)
+            ).cast("long").alias("n_kept"),
+        )
+    )

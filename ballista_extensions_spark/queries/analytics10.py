@@ -443,10 +443,10 @@ def crawl_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-11 crawl path END-TO-END in one plan — the
     composition a corpus team actually runs, not isolated operators:
     (1) URL frontier dedup picks one fetch per canonical
-    host+path key (built directly here in the lowercase host+path
-    shape ``webprep.url_normalize`` emits — ``url_frontier_dedup`` is
-    the query that exercises the normalizer itself; the fixture
-    collapses doc_ids congruent mod 100), (2) surviving pages go
+    host+path key (built in the lowercase host+path shape
+    ``webprep.url_normalize`` emits — ``url_frontier_dedup`` is the
+    query that exercises the normalizer itself; the fixture collapses
+    doc_ids congruent mod 100), (2) surviving pages go
     through HTML boilerplate extraction (webprep.html_text), (3) a
     quality gate keeps pages whose retained-content ratio ≥ 0.5 and
     extracted length ≥ 100, (4) exact content dedup by extracted-text
@@ -454,61 +454,20 @@ def crawl_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source funnel report (gated vs kept). The oracle replays all
     four stages — frontier grouping, the full regexp extraction chain,
     the gate arithmetic and the md5 dedup — so a hash match proves the
-    whole composed pipeline row-exactly. Scale: two hash aggregations
-    (frontier key, content hash) with map-side combine + one broadcast
-    join of the (small) kept set; extraction is codegen'd projection
-    work between them; nothing materializes the corpus twice."""
+    whole composed pipeline row-exactly. The plan body is
+    ``webprep.crawl_curation_funnel`` — the SAME function
+    tools/scale_smoke.py measures on the amplified corpus, so the
+    recorded exponent can never drift from what this query runs.
+    Scale: two hash aggregations (frontier key, content hash) with
+    map-side combine + one broadcast join of the (small) kept set;
+    extraction is codegen'd projection work between them; nothing
+    materializes the corpus twice."""
     from ballista_extensions_spark.operators.webprep import (
-        docs_as_html,
-        html_extract_stats,
-        html_text,
+        crawl_curation_funnel,
     )
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    frontier = (
-        d.select(
-            "doc_id",
-            F.lower(
-                F.concat(
-                    F.lit("Site"),
-                    (F.col("doc_id") % 50).cast("string"),
-                    F.lit(".example.com/articles/"),
-                    (F.col("doc_id") % 100).cast("string"),
-                )
-            ).alias("key"),
-        )
-        .groupBy("key")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    pages = docs_as_html(d.join(frontier, "doc_id")).join(
-        d.select("doc_id", "source"), "doc_id"
-    )
-    ex = pages.select(
-        "doc_id",
-        "source",
-        html_text("html").alias("txt"),
-        (
-            F.length(html_text("html")).cast("double")
-            / F.length("html").cast("double")
-        ).alias("ratio"),
-    )
-    gated = ex.filter(
-        (F.col("ratio") >= 0.5) & (F.length("txt") >= 100)
-    ).select("doc_id", "source", F.md5(F.col("txt")).alias("h"))
-    kept = gated.groupBy("h").agg(F.min("doc_id").alias("doc_id")).select(
-        "doc_id", F.lit(True).alias("is_kept")
-    )
-    return (
-        gated.join(kept, "doc_id", "left")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_gated"),
-            F.sum(
-                F.when(F.col("is_kept"), 1).otherwise(0)
-            ).cast("long").alias("n_kept"),
-        )
-    )
+    return crawl_curation_funnel(d)
 
 
 @register(

@@ -80,6 +80,31 @@ def _read_or_empty(
     return df.drop("batch")
 
 
+def _committed_before(path: str, before_batch: int) -> bool:
+    """True iff some partition ``batch=j`` with ``j < before_batch``
+    holds committed data files. This is the bootstrap sentinel for
+    state that may be LEGITIMATELY EMPTY (a frozen stop list with no
+    heavy shingles): row-count emptiness would conflate 'committed
+    empty' with 'never committed' and re-bootstrap on every batch
+    (code-review r12)."""
+    if not os.path.isdir(path):
+        return False
+    for d in os.listdir(path):
+        if not d.startswith("batch="):
+            continue
+        try:
+            j = int(d.split("=", 1)[1])
+        except ValueError:
+            continue
+        if j < before_batch and any(
+            f.endswith(".parquet") or f == "_SUCCESS"
+            for _, _, files in os.walk(os.path.join(path, d))
+            for f in files
+        ):
+            return True
+    return False
+
+
 def sigstore_dedup_sink(
     store_dir: str,
     *,
@@ -135,10 +160,13 @@ def sigstore_dedup_sink(
         stop = _read_or_empty(
             spark, stop_dir, "s string", before_batch=batch_id
         )
-        if stop.isEmpty():
+        if not _committed_before(stop_dir, batch_id):
             # bootstrap: freeze the stop list from the first committed
             # batch's own postings (sigstore's build-time contract); a
-            # redelivery of this batch recomputes it identically
+            # redelivery of this batch recomputes it identically. The
+            # sentinel is PARTITION EXISTENCE, not row count — a
+            # committed stop with zero heavy shingles is a valid
+            # frozen state, not a reason to re-bootstrap
             stop = (
                 _word_postings(batch, text_col, id_col, n)
                 .groupBy("s")
@@ -199,12 +227,23 @@ def sigstore_dedup_sink(
             os.path.join(pairs_dir, f"batch={batch_id}")
         )
         rejects = pairs.select(F.col("new_id").alias("doc")).distinct()
-        keep_bands = bsig.bands.join(
-            rejects, "doc", "left_anti"
-        ).localCheckpoint()
-        keep_sets = bsig.sets.join(
-            rejects, "doc", "left_anti"
-        ).localCheckpoint()
+        # first-wins id guard (the phashstore compaction contract,
+        # code-review r12): a doc id the store already holds signatures
+        # for must not be compacted a second time — duplicate shset
+        # rows would fan out every later verification join on that id.
+        # Ids whose first occurrence produced NO signatures (empty
+        # capped set) hold no store state to collide with.
+        stored_ids = store.sets.select("doc")
+        keep_bands = (
+            bsig.bands.join(rejects, "doc", "left_anti")
+            .join(stored_ids, "doc", "left_anti")
+            .localCheckpoint()
+        )
+        keep_sets = (
+            bsig.sets.join(rejects, "doc", "left_anti")
+            .join(stored_ids, "doc", "left_anti")
+            .localCheckpoint()
+        )
         keep_bands.write.mode("overwrite").parquet(
             os.path.join(bands_dir, f"batch={batch_id}")
         )

@@ -229,3 +229,44 @@ def test_sigstore_intra_batch_and_frozen_stop(spark, store_dir):
     fn(_mkdocs(spark, [(10, a), (11, b), (12, b)]), 1)
     got = _jpairs(spark, store_dir)
     assert got == {(11, 12, 1.0, 1)}  # intra pair on the fresh content
+
+
+def test_sigstore_empty_frozen_stop_is_not_rebootstrapped(
+    spark, store_dir
+):
+    """Code-review r12: a committed-but-EMPTY stop list (no heavy
+    shingles in the bootstrap batch) is valid frozen state; later
+    batches must NOT re-bootstrap and freeze a stop from their own
+    postings — the sentinel is partition existence, not row count."""
+    a, b, _ = _sig_corpus()
+    fn = sigstore_dedup_sink(store_dir, threshold=0.35, max_df=2)
+    fn(_mkdocs(spark, [(1, a)]), 0)  # stop frozen EMPTY (df 1 <= 2)
+    # batch 1: 4 copies of fresh content — df 4 > max_df WITHIN the
+    # batch; under the frozen empty stop they must still pair up
+    # (a re-bootstrap would stop their shingles and find nothing)
+    fn(_mkdocs(spark, [(10, b), (11, b), (12, b), (13, b)]), 1)
+    got = _jpairs(spark, store_dir)
+    assert {(x, y) for x, y, _, p in got if p == 1} == {
+        (x, y) for x in (10, 11, 12) for y in (11, 12, 13) if x < y
+    }
+
+
+def test_sigstore_reused_id_is_not_compacted_twice(spark, store_dir):
+    """Code-review r12: an id the store already holds signatures for
+    must not gain a second shset row (first-wins, the phashstore
+    compaction contract) — duplicate rows would fan out every later
+    verification join on that id."""
+    a, b, c = _sig_corpus()
+    fn = sigstore_dedup_sink(store_dir, threshold=0.35)
+    fn(_mkdocs(spark, [(7, a)]), 0)
+    fn(_mkdocs(spark, [(7, b)]), 1)  # id reuse, dissimilar content
+    sets = _read_or_empty(
+        spark, os.path.join(store_dir, "sets"),
+        "doc long, shset array<string>",
+    ).collect()
+    assert [r["doc"] for r in sets] == [7]  # exactly one row
+    # and it is the FIRST occurrence's content: textX pairs, textY not
+    fn(_mkdocs(spark, [(20, a), (21, b)]), 2)
+    got = _jpairs(spark, store_dir)
+    assert (7, 20, 1.0, 2) in got
+    assert not any(p[:2] == (7, 21) for p in got)

@@ -234,56 +234,15 @@ def main() -> None:
         ).count()
 
     def _crawl(d):
-        # the crawl_curation_pipeline query body over the amplified
-        # frame: frontier dedup -> HTML extract -> quality gate ->
-        # exact content dedup -> per-source funnel
+        # the SAME body as the crawl_curation_pipeline query (shared
+        # via webprep.crawl_curation_funnel — a hand-copied smoke body
+        # diverged once; code-review r12), materialized fully
         from ballista_extensions_spark.operators.webprep import (
-            docs_as_html,
-            html_text,
+            crawl_curation_funnel,
         )
 
-        frontier = (
-            d.select(
-                "doc_id",
-                F.lower(
-                    F.concat(
-                        F.lit("Site"),
-                        (F.col("doc_id") % 50).cast("string"),
-                        F.lit(".example.com/articles/"),
-                        (F.col("doc_id") % 100).cast("string"),
-                    )
-                ).alias("key"),
-            )
-            .groupBy("key")
-            .agg(F.min("doc_id").alias("doc_id"))
-            .select("doc_id")
-        )
-        pages = docs_as_html(d.join(frontier, "doc_id")).join(
-            d.select("doc_id", "source"), "doc_id"
-        )
-        ex = pages.select(
-            "doc_id",
-            "source",
-            html_text("html").alias("txt"),
-            (
-                F.length(html_text("html")).cast("double")
-                / F.length("html").cast("double")
-            ).alias("ratio"),
-        )
-        gated = ex.filter(
-            (F.col("ratio") >= 0.5) & (F.length("txt") >= 100)
-        ).select("doc_id", "source", F.md5(F.col("txt")).alias("h"))
-        kept = (
-            gated.groupBy("h")
-            .agg(F.min("doc_id").alias("doc_id"))
-            .select("doc_id", F.lit(True).alias("is_kept"))
-        )
-        return (
-            gated.join(kept, "doc_id", "left")
-            .groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_gated"))
-            .count()
-        )
+        rows = crawl_curation_funnel(d).collect()
+        return sum(r["n_gated"] for r in rows)
 
     def _bpe(d):
         from ballista_extensions_spark.operators.bpe import (
