@@ -204,9 +204,18 @@ def fingerprint_rolling(text_col: str, prime: int = 1_000_000_007, base: int = 3
     JVM-side aggregate over sequence(1, length) — O(n) per row, narrow.
     """
     norm = normalize_sql(text_col)
+    # Fold over split(norm, '') — NOT sequence(1, length) with
+    # substring(norm, i, 1) in the lambda: an expression referenced
+    # inside a higher-order lambda re-evaluates per ELEMENT, so the
+    # normalize chain ran once per character and the hash was O(n²)
+    # per document (doc_fingerprint benched 11.7 s at sf0.1 once the
+    # round-12 noop materialization exposed it; 0.35 s after). With
+    # the norm inside split() it evaluates once per row. split('')
+    # yields [''] for the empty string and ascii('') = 0, which folds
+    # to the same 0 the empty sequence produced.
     return F.expr(
-        f"aggregate(sequence(1, length({norm})), 0L, "
-        f"(acc, i) -> (acc * {base} + ascii(substring({norm}, i, 1))) % {prime})"
+        f"aggregate(transform(split({norm}, ''), c -> ascii(c)), 0L, "
+        f"(acc, x) -> (acc * {base} + x) % {prime})"
     )
 
 

@@ -56,6 +56,15 @@ def main() -> None:
             )
         return out.repartition(64).localCheckpoint()
 
+    def _mat(df):
+        # Materialize through the noop sink: .count() wraps the plan
+        # in Aggregate(count(1)) and Catalyst prunes projection-only
+        # operator bodies (and final joins to unique-key aggregates)
+        # out of the timed plan entirely — the exponent then measures
+        # a hollow shell (found round 12; bench.py fixed the same way)
+        df.write.format("noop").mode("overwrite").save()
+        return True
+
     docs10 = amplify(docs1, "doc_id", n_docs)
     emb10 = amplify(emb1, "vec_id", n_emb)
     ev10 = amplify(ev1, "event_id", n_ev)
@@ -169,9 +178,9 @@ def main() -> None:
         "dedup_components": lambda d, e: dedup_by_components(
             d, D.near_dup_pairs_exact(d, threshold=0.35, probe_mod=1)
         ).count(),
-        "repetition_stats": lambda d, e: T.repetition_stats(d).count(),
+        "repetition_stats": lambda d, e: _mat(T.repetition_stats(d)),
         "rare_token_fraction": lambda d, e: T.rare_token_fraction(d).count(),
-        "quantize_int8": lambda d, e: S.quantize_int8(e).count(),
+        "quantize_int8": lambda d, e: _mat(S.quantize_int8(e)),
         "lsh_ann_topk": lambda d, e: S.lsh_topk(
             e, e.filter(F.col("vec_id") % 199 == 0), dim=64, k=10
         ).count(),
@@ -208,6 +217,7 @@ def main() -> None:
         # size — the operator's 100-TB control), span scrub, and the
         # composed crawl-curation chain
         "semantic_dedup": lambda d, e: _semdedup(e),
+        "semantic_dedup_trained": lambda d, e: _semdedup(e, trained=True),
         # aggregate over the rebuilt text / token counts: a bare
         # count() lets Catalyst prune the heavy rebuild expressions
         # out of the plan and times a hollow shell
@@ -221,17 +231,35 @@ def main() -> None:
         "bpe_tokenize": lambda d, e: _bpe(d),
     }
 
-    def _semdedup(em):
+    def _semdedup(em, trained=False):
+        # trained=True is the PRODUCTION configuration: k-means cells
+        # adapt to the data so cell sizes stay balanced; the lattice
+        # variant (the oracle-checkable correctness twin) assigns by
+        # data-independent points and skews, so its exponent leans on
+        # the distinct-vector collapse alone
         from ballista_extensions_spark.operators import semdedup as SD
         from ballista_extensions_spark.operators.annstore import (
             lattice_centroids,
+            train_centroids,
         )
 
         n = em.count()
         n_lists = max(8, n // 125)  # ~125 vectors/cell at every scale
-        return SD.semantic_dedup(
-            em, lattice_centroids(n_lists, 64), tau=0.4
-        ).count()
+        if trained:
+            cents = train_centroids(em, n_lists, seed=42)
+            return (
+                SD.semantic_dedup(em, cents, tau=0.4)
+                .agg(F.sum(F.col("kept").cast("int")).alias("k"))
+                .collect()[0]["k"]
+            )
+        # aggregate over kept: a bare count() lets Catalyst remove the
+        # final join-to-distinct entirely (unique-per-key aggregate)
+        # and would time assignment only, never the pairwise stage
+        return (
+            SD.semantic_dedup(em, lattice_centroids(n_lists, 64), tau=0.4)
+            .agg(F.sum(F.col("kept").cast("int")).alias("k"))
+            .collect()[0]["k"]
+        )
 
     def _crawl(d):
         # the SAME body as the crawl_curation_pipeline query (shared
@@ -268,7 +296,7 @@ def main() -> None:
             html_extract_stats,
         )
 
-        return html_extract_stats(docs_as_html(d)).count()
+        return _mat(html_extract_stats(docs_as_html(d)))
 
     def _compress(d):
         from ballista_extensions_spark.operators.text import (
