@@ -431,14 +431,22 @@ def token_budget_select(
     exact=True: one global running-total window — a single-task sort,
     exact, fine to ~10^8 (id, score) rows.
 
-    exact=False is the 100 TB path: binary-search the score cutoff
-    whose tail token mass fits the budget (~log2(1/cutoff_error)
-    aggregate jobs, each a map-side-combined filter-sum over a
-    checkpointed narrow projection), then one filter keeps docs above
-    the cutoff — no global sort anywhere. Selection differs from the
-    exact path only at the cutoff boundary (score ties straddling the
-    budget); the pytest contract asserts the symmetric difference is
-    confined to boundary scores.
+    exact=False is the 100 TB path, row-identical to exact=True for
+    EVERY input (round-12 fix: the old binary-search variant dropped
+    the undecided boundary band, under-filling on ties — the sf0.001
+    selfcheck caught it): ONE map-side-combined score-histogram
+    aggregate (``cutoff_buckets`` buckets, bounded driver state) finds
+    the boundary bucket b* — everything in higher buckets fits
+    outright, everything in lower buckets provably cannot be reached
+    by the budget prefix — then only bucket b*'s rows are ordered
+    ((score DESC, id), range-partitioned ``distributed_cumsum``, no
+    single-task window) to fill the exact prefix. A corpus-sized
+    boundary bucket means a corpus-sized near-tie block, which no
+    budget-prefix contract can avoid ordering; the distributed prefix
+    keeps even that case partition-parallel. Replaces the former
+    ~24-sequential-probe binary search (one aggregate job per probe);
+    ``cutoff_error`` is retained for signature compatibility and
+    ignored — the histogram path is exact regardless.
     """
     toks = tokens(F.col(text_col))
     scored = df.select(
@@ -458,46 +466,57 @@ def token_budget_select(
         return scored.withColumn(
             "cum_tokens", F.sum("n_tokens").over(w).cast("long")
         ).filter(F.col("cum_tokens") <= budget)
-    # Scale path: binary-search the score cutoff. Each probe is one
-    # aggregate job; the scored frame is localCheckpoint'd so probes and
-    # the final filter rescan a materialized narrow projection, not the
-    # raw corpus (executor blocks are freed by the context cleaner when
-    # the returned DataFrame is GC'd — no unpersist lifecycle to manage).
-    scored = scored.localCheckpoint()
-    lo, hi = 0.0, 1.0
-    for _ in range(max(1, int(-__import__("math").log2(cutoff_error)))):
-        mid = (lo + hi) / 2
-        mass = (
-            scored.filter(F.col("score") >= mid)
-            .agg(F.sum("n_tokens"))
-            .first()[0]
-            or 0
-        )
-        if mass > budget:
-            lo = mid  # too much data above this cutoff -> raise it
-        else:
-            hi = mid
-    # The loop only guarantees mass(hi) <= budget if some probe landed
-    # on hi; when every probed cutoff overflowed (e.g. a giant tie-block
-    # at score 1.0), hi is still its initial 1.0 and unverified. Verify
-    # once, and if even the top tie-block overflows the budget, trim it
-    # deterministically (by id) with one running total over the
-    # boundary-score docs only — a window over a single score's rows,
-    # not a global sort.
-    sel = scored.filter(F.col("score") >= hi)
-    final_mass = sel.agg(F.sum("n_tokens")).first()[0] or 0
-    if final_mass > budget:
-        from pyspark.sql.window import Window
+    # Scale path. The scored frame is localCheckpoint'd so the
+    # histogram pass and the final filters rescan a materialized
+    # narrow projection, not the raw corpus (executor blocks are freed
+    # by the context cleaner when the returned DataFrame is GC'd).
+    from ballista_extensions_spark.operators.prefix import (
+        distributed_cumsum,
+    )
 
-        w = Window.orderBy(F.col(id_col)).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
+    buckets = 4096
+    scored = scored.localCheckpoint().withColumn(
+        "__b",
+        F.least(
+            F.floor(F.col("score") * buckets).cast("long"),
+            F.lit(buckets - 1),
+        ),
+    )
+    hist = {
+        r["__b"]: r["m"]
+        for r in scored.groupBy("__b")
+        .agg(F.sum("n_tokens").alias("m"))
+        .collect()
+    }  # <= `buckets` rows of driver state, independent of corpus size
+    acc, bstar = 0, None
+    for b in sorted(hist, reverse=True):
+        if acc + hist[b] > budget:
+            bstar = b
+            break
+        acc += hist[b]
+    if bstar is None:
+        # the whole corpus fits the budget
+        return scored.select(id_col, "n_tokens", "score")
+    # bucket invariants: mass(__b > b*) = acc <= budget (accepted
+    # outright); mass(__b >= b*) > budget, so nothing below b* can
+    # ever be reached by the prefix — bucket b* is the complete
+    # undecided band
+    base = scored.filter(F.col("__b") > bstar)
+    band = scored.filter(F.col("__b") == bstar)
+    # running total over the band in (score DESC, id) order via the
+    # range-partitioned distributed prefix — no single-task global
+    # window even when the band degenerates to the whole corpus
+    band_sel = (
+        distributed_cumsum(
+            band.withColumn("__ns", -F.col("score")),
+            ["__ns", id_col],
+            "n_tokens",
+            out_col="__cum",
         )
-        sel = (
-            sel.withColumn("__cum", F.sum("n_tokens").over(w))
-            .filter(F.col("__cum") <= budget)
-            .drop("__cum")
-        )
-    return sel.select(id_col, "n_tokens", "score")
+        .filter(F.col("__cum") + F.lit(int(acc)) <= budget)
+        .drop("__cum", "__ns")
+    )
+    return base.unionByName(band_sel).select(id_col, "n_tokens", "score")
 
 
 def compression_stats(

@@ -1315,10 +1315,10 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-killer on a fact-scale corpus. It exists as the readable
     reference semantics and the pytest cross-check for the scalable
     twin; the undecorated name ``token_budget_selection_scalable``
-    (operators/text.py:token_budget_select exact=False) binary-searches
-    a score cutoff with map-side-combined aggregate probes — same
-    selection up to boundary ties, zero global sort — and is the form
-    to copy at scale."""
+    (operators/text.py:token_budget_select exact=False) finds the
+    boundary score bucket with ONE map-side-combined histogram
+    aggregate and orders only that bucket's rows — row-identical
+    selection, zero global sort — and is the form to copy at scale."""
     return T.token_budget_select(
         load_table(spark, sf_dir, "documents"), 20000, exact=True
     )
@@ -1346,25 +1346,21 @@ def token_budget_selection_scalable(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The 100 TB token-budget path, driver-graded against the SAME
-    running-total oracle as token_budget_selection_demo: binary-search the
-    score cutoff whose tail token mass fits the budget (~20 map-side-
-    combined aggregate probes over a localCheckpoint'd narrow (id,
-    n_tokens, score) projection), then ONE filter keeps docs above the
-    cutoff — zero global sort, zero single-task window anywhere
-    (operators/text.py:token_budget_select exact=False).
-
-    Oracle-exactness condition: the cutoff search selects exactly the
-    window prefix whenever the boundary is not a score tie and the
-    score gap at the boundary exceeds cutoff_error (the pytest
-    boundary contract, tests/test_text.py, characterizes the tie
-    case). cutoff_error=1e-7 (~24 probes) is far below the boundary
-    gap at the graded budget, so the selection is row-identical to
-    the oracle's window form."""
+    running-total oracle as token_budget_selection_demo: ONE map-side-
+    combined score-histogram aggregate (4096 buckets, bounded driver
+    state) finds the boundary bucket — higher buckets fit outright,
+    lower buckets provably cannot be reached — and only the boundary
+    bucket's rows are ordered via the range-partitioned distributed
+    prefix to fill the exact budget prefix. Zero global sort, zero
+    single-task window anywhere (operators/text.py:token_budget_select
+    exact=False), and since round 12 the selection is ROW-IDENTICAL to
+    the oracle's window form for every input, boundary ties included
+    (the former binary-search variant dropped the undecided band;
+    the sf0.001 selfcheck caught the 5-doc under-fill)."""
     return T.token_budget_select(
         load_table(spark, sf_dir, "documents"),
         20000,
         exact=False,
-        cutoff_error=1e-7,
     )
 
 
