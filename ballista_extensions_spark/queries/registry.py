@@ -97,7 +97,7 @@ PRIOR_DRIVER_GRADED: frozenset[str] = frozenset({
     "string_functions", "supplier_pareto_8020",
     "temperature_sampling_weights", "text_stats_quality", "text_token_count",
     "text_token_count_bpe", "tfidf_top_terms", "token_budget_selection_demo",
-    "token_budget_selection_scalable", "token_cooccurrence_topk",
+     "token_cooccurrence_topk",
     "token_len_quartiles_by_lang", "token_length_histogram",
     "top_decile_docs", "unpivot_balances", "url_frontier_dedup",
     "video_decode_meta", "video_frame_sample", "video_keyframe_fingerprints",
@@ -235,9 +235,10 @@ EVER_DRIVER_GRADED: frozenset[str] = frozenset({
 
 # Explicit re-grade priority within the fresh (not-in-PRIOR) group,
 # oldest-evidence-first (VERDICT r11 directive #4). Order: (a) queries
-# whose implementation changed this round (exact_span_scrub's binary
-# shingle key; the two phashstore queries behind the idempotent-
-# compaction fix), (b) the 4 queries whose plans drifted with r11's
+# whose implementation changed this round (the token-budget histogram
+# rewrite; exact_span_scrub's binary shingle key; the two phashstore
+# queries behind the idempotent-compaction fix), (b) the 4 queries
+# whose plans drifted with r11's
 # banded-Hamming restructure but missed r11's window (latest grade r10,
 # never re-graded after the drift), (c) the 22 names whose latest grade
 # is r06, (d) the alphabetically-first 20 of the r07 cohort. Fresh
@@ -245,6 +246,7 @@ EVER_DRIVER_GRADED: frozenset[str] = frozenset({
 # via the never-graded sort; listed names that overflow the window are
 # all >= r07 already.
 ROTATION_ORDER: tuple[str, ...] = (
+    "token_budget_selection_scalable",
     "exact_span_scrub", "image_signature_store_incremental",
     "streaming_phash_store_replay", "audio_near_dup_energy",
     "image_contamination_check", "image_near_dup_phash",
