@@ -423,10 +423,15 @@ def token_budget_select(
     text_col: str = "text",
     id_col: str = "doc_id",
     exact: bool = True,
-    cutoff_error: float = 0.001,
+    buckets: int = 4096,
 ) -> DataFrame:
     """Select the best-scoring documents whose cumulative token count
-    fits ``budget`` (score = distinct-token ratio; any scorer slots in).
+    fits ``budget`` (score = distinct-token ratio; any scorer slots
+    in). Documents with NULL text are excluded up front — they hold no
+    tokens, and letting them through poisons BOTH paths (non-ANSI
+    ``size(null)`` is -1, which breaks running totals and histogram
+    invariants alike; ANSI NULLs would crash the bucket sort —
+    code-review r12).
 
     exact=True: one global running-total window — a single-task sort,
     exact, fine to ~10^8 (id, score) rows.
@@ -435,21 +440,19 @@ def token_budget_select(
     EVERY input (round-12 fix: the old binary-search variant dropped
     the undecided boundary band, under-filling on ties — the sf0.001
     selfcheck caught it): ONE map-side-combined score-histogram
-    aggregate (``cutoff_buckets`` buckets, bounded driver state) finds
-    the boundary bucket b* — everything in higher buckets fits
-    outright, everything in lower buckets provably cannot be reached
-    by the budget prefix — then only bucket b*'s rows are ordered
+    aggregate (``buckets`` buckets, bounded driver state) finds the
+    boundary bucket b* — everything in higher buckets fits outright,
+    everything in lower buckets provably cannot be reached by the
+    budget prefix — then only bucket b*'s rows are ordered
     ((score DESC, id), range-partitioned ``distributed_cumsum``, no
     single-task window) to fill the exact prefix. A corpus-sized
     boundary bucket means a corpus-sized near-tie block, which no
     budget-prefix contract can avoid ordering; the distributed prefix
     keeps even that case partition-parallel. Replaces the former
-    ~24-sequential-probe binary search (one aggregate job per probe);
-    ``cutoff_error`` is retained for signature compatibility and
-    ignored — the histogram path is exact regardless.
+    ~24-sequential-probe binary search (one aggregate job per probe).
     """
     toks = tokens(F.col(text_col))
-    scored = df.select(
+    scored = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
         (
@@ -474,7 +477,6 @@ def token_budget_select(
         distributed_cumsum,
     )
 
-    buckets = 4096
     scored = scored.localCheckpoint().withColumn(
         "__b",
         F.least(

@@ -97,7 +97,7 @@ PRIOR_DRIVER_GRADED: frozenset[str] = frozenset({
     "string_functions", "supplier_pareto_8020",
     "temperature_sampling_weights", "text_stats_quality", "text_token_count",
     "text_token_count_bpe", "tfidf_top_terms", "token_budget_selection_demo",
-     "token_cooccurrence_topk",
+    "token_cooccurrence_topk",
     "token_len_quartiles_by_lang", "token_length_histogram",
     "top_decile_docs", "unpivot_balances", "url_frontier_dedup",
     "video_decode_meta", "video_frame_sample", "video_keyframe_fingerprints",

@@ -131,7 +131,9 @@ def main() -> None:
             # (BENCH_r03 rc=1: a testdata schema change crashed query #28
             # and lost the timings of the 27 already-measured queries).
             try:
-                df = fn(spark, sf_dir)
+                from pyspark.sql import Observation
+                from pyspark.sql import functions as F
+
                 # Materialize through the noop sink, NOT count():
                 # count() wraps the plan in Aggregate(count(1)), and
                 # Catalyst then legally prunes whole operator bodies —
@@ -143,8 +145,16 @@ def main() -> None:
                 # noop write consumes every row and column, so the
                 # timing measures the operator (found round 12). The
                 # driver's correctness gate collects rows and was
-                # never affected.
+                # never affected. The row count for the artifact rides
+                # the SAME execution as an observed metric — no extra
+                # plan run, and the count describes the run actually
+                # timed (matters for sampling queries).
+                obs = Observation()
+                df = fn(spark, sf_dir).observe(
+                    obs, F.count(F.lit(1)).alias("n")
+                )
                 df.write.format("noop").mode("overwrite").save()
+                n = int(obs.get["n"])
             except Exception as e:  # noqa: BLE001 — record, keep sweeping
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
                 print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
@@ -153,9 +163,6 @@ def main() -> None:
             sh1 = shuffle_totals(spark)
             if sh0[0] >= 0 and sh1[0] >= 0:
                 sh_samples.append((sh1[0] - sh0[0], sh1[1] - sh0[1]))
-            if rep == reps - 1:
-                # row count for the artifact, outside the timed window
-                n = df.count()
         # drop references to per-query frames and let the ContextCleaner
         # release lazily-checkpointed blocks before the next query's
         # timing window

@@ -167,3 +167,24 @@ def test_token_budget_select_giant_tie_block(spark):
     e = sorted(r["doc_id"] for r in exact.collect())
     f = sorted(r["doc_id"] for r in fast.collect())
     assert e == f == list(range(7))  # 7 docs x 4 tokens = 28 <= 30
+
+
+def test_token_budget_select_null_text_excluded(spark):
+    """Code-review r12: NULL-text docs must be excluded from BOTH
+    paths — under the non-ANSI session size(null) is -1, which made
+    the scale path overshoot the budget and diverge from exact."""
+    from ballista_extensions_spark.operators.text import token_budget_select
+
+    rows = [(0, "a b c d e f g h i j"), (1, None), (2, "k l m")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # both real docs score 1.0; prefix order is (score DESC, id) so
+    # doc 0 (10 tokens) leads and doc 2's running total includes it.
+    # Before the fix the NULL doc contributed n_tokens = -1 to the
+    # scale path's histogram and made it overshoot/diverge.
+    for budget, want in ((9, []), (10, [0]), (13, [0, 2])):
+        exact = token_budget_select(df, budget, exact=True)
+        fast = token_budget_select(df, budget, exact=False)
+        e = sorted(r["doc_id"] for r in exact.collect())
+        f = sorted(r["doc_id"] for r in fast.collect())
+        assert e == f == want, (budget, e, f)
+        assert sum(r["n_tokens"] for r in fast.collect()) <= budget

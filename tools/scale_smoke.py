@@ -245,18 +245,16 @@ def main() -> None:
 
         n = em.count()
         n_lists = max(8, n // 125)  # ~125 vectors/cell at every scale
-        if trained:
-            cents = train_centroids(em, n_lists, seed=42)
-            return (
-                SD.semantic_dedup(em, cents, tau=0.4)
-                .agg(F.sum(F.col("kept").cast("int")).alias("k"))
-                .collect()[0]["k"]
-            )
+        cents = (
+            train_centroids(em, n_lists, seed=42)
+            if trained
+            else lattice_centroids(n_lists, 64)
+        )
         # aggregate over kept: a bare count() lets Catalyst remove the
         # final join-to-distinct entirely (unique-per-key aggregate)
         # and would time assignment only, never the pairwise stage
         return (
-            SD.semantic_dedup(em, lattice_centroids(n_lists, 64), tau=0.4)
+            SD.semantic_dedup(em, cents, tau=0.4)
             .agg(F.sum(F.col("kept").cast("int")).alias("k"))
             .collect()[0]["k"]
         )
