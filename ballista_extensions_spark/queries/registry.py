@@ -96,7 +96,7 @@ PRIOR_DRIVER_GRADED: frozenset[str] = frozenset({
     "streaming_heavy_hitters_replay", "streaming_media_dedup_replay",
     "string_functions", "supplier_pareto_8020",
     "temperature_sampling_weights", "text_stats_quality", "text_token_count",
-    "text_token_count_bpe", "tfidf_top_terms", "token_budget_selection_demo",
+    "text_token_count_bpe", "tfidf_top_terms", 
     "token_cooccurrence_topk",
     "token_len_quartiles_by_lang", "token_length_histogram",
     "top_decile_docs", "unpivot_balances", "url_frontier_dedup",
@@ -246,7 +246,7 @@ EVER_DRIVER_GRADED: frozenset[str] = frozenset({
 # via the never-graded sort; listed names that overflow the window are
 # all >= r07 already.
 ROTATION_ORDER: tuple[str, ...] = (
-    "token_budget_selection_scalable",
+    "token_budget_selection_scalable", "token_budget_selection_demo",
     "exact_span_scrub", "image_signature_store_incremental",
     "streaming_phash_store_replay", "audio_near_dup_energy",
     "image_contamination_check", "image_near_dup_phash",
