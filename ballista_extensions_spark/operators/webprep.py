@@ -184,32 +184,49 @@ def url_dedup(
     )
 
 
-def crawl_curation_funnel(d: DataFrame) -> DataFrame:
+def docs_fixture_frontier_key(id_col: str = "doc_id") -> Column:
+    """Fixture adapter (the ``docs_as_html`` discipline): the canonical
+    lowercase host+path key :func:`docs_as_urls`' messy URLs normalize
+    to — ``url_normalize(docs_as_urls(...))`` strips scheme noise,
+    www., tracking params, slashes and fragments down to exactly this
+    host+path, so deriving it arithmetically keeps the composed-funnel
+    oracle replayable without re-running the normalizer chain. Collapses
+    doc_ids congruent (mod 50, mod 100). Real crawls pass
+    ``url_normalize(url_col)`` to :func:`crawl_curation_funnel`
+    instead (ADVICE r12 — the funnel takes the key as an input)."""
+    i = F.col(id_col)
+    return F.lower(
+        F.concat(
+            F.lit("Site"),
+            (i % 50).cast("string"),
+            F.lit(".example.com/articles/"),
+            (i % 100).cast("string"),
+        )
+    )
+
+
+def crawl_curation_funnel(d: DataFrame, frontier_key: Column) -> DataFrame:
     """The composed crawl-curation chain over a documents frame
     (doc_id, text, source) — the ONE body behind the
     ``crawl_curation_pipeline`` query AND tools/scale_smoke.py's
     amplified-corpus measurement (a hand-copied smoke body had already
-    diverged once; code-review r12). Stages: (1) URL frontier dedup on
-    the canonical lowercase host+path key (the shape
-    :func:`url_normalize` emits; the fixture collapses doc_ids
-    congruent mod 100), (2) HTML boilerplate extraction
-    (:func:`html_text`), (3) quality gate (retained-content ratio
-    ≥ 0.5, extracted length ≥ 100), (4) exact content dedup by
-    extracted-text md5 keeping the min-id representative; output is
-    the per-source funnel (n_gated, n_kept). Scale: two map-combined
-    hash aggregations + one broadcast-able kept-set join; extraction
-    is codegen'd projection work between them."""
+    diverged once; code-review r12). ``frontier_key`` is the canonical
+    URL key column the frontier dedups on — a real crawl passes
+    ``url_normalize(url_col)``; the fixture callers pass
+    :func:`docs_fixture_frontier_key` (ADVICE r12: the key is an
+    input, not synthesis baked into the operator). Stages: (1) URL
+    frontier dedup keeping the min-id fetch per canonical key, (2)
+    HTML boilerplate extraction (:func:`html_text`), (3) quality gate
+    (retained-content ratio ≥ 0.5, extracted length ≥ 100), (4) exact
+    content dedup by extracted-text md5 keeping the min-id
+    representative; output is the per-source funnel (n_gated, n_kept).
+    Scale: two map-combined hash aggregations + one broadcast-able
+    kept-set join; extraction is codegen'd projection work between
+    them."""
     frontier = (
         d.select(
             "doc_id",
-            F.lower(
-                F.concat(
-                    F.lit("Site"),
-                    (F.col("doc_id") % 50).cast("string"),
-                    F.lit(".example.com/articles/"),
-                    (F.col("doc_id") % 100).cast("string"),
-                )
-            ).alias("key"),
+            frontier_key.alias("key"),
         )
         .groupBy("key")
         .agg(F.min("doc_id").alias("doc_id"))

@@ -464,10 +464,11 @@ def crawl_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes the corpus twice."""
     from ballista_extensions_spark.operators.webprep import (
         crawl_curation_funnel,
+        docs_fixture_frontier_key,
     )
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    return crawl_curation_funnel(d)
+    return crawl_curation_funnel(d, docs_fixture_frontier_key())
 
 
 @register(

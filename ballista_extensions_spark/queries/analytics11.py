@@ -20,8 +20,13 @@ from ballista_extensions_spark.queries.registry import register
 # keep-first-by-id at cosine >= 0.4 (the corpus's natural near-dup band
 # tops out at ~0.51, so real non-planted pairs participate), plus one
 # deterministically planted semantic duplicate per vec_id % 7 == 0
-# (0.999-scaled copy, cosine ~1.0 — same direction, so it lands in its
-# original's cell and MUST be dropped).
+# (0.999-scaled copy, cosine ~1.0). L2 lattice quantization is NOT
+# scale-invariant, so "the copy lands in its original's cell" is a
+# FIXTURE-VERIFIED property (every planted copy is confirmed dropped by
+# tests/test_semdedup.py at all tested scales), not a guarantee of the
+# quantizer; likewise the +100000 planted-id offset assumes
+# max(vec_id) < 100000, asserted at every tested scale in the same test
+# (ADVICE r12 — ids would silently collide past that).
 _SEM_LISTS, _SEM_DIM, _SEM_TAU = 16, 64, 0.4
 
 

@@ -1292,7 +1292,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
              CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE)
                / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS score
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
          ranked AS (
       SELECT doc_id, n_tokens, score,
              SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
@@ -1332,7 +1332,7 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
              CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE)
                / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS score
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
          ranked AS (
       SELECT doc_id, n_tokens, score,
              SUM(n_tokens) OVER (ORDER BY score DESC, doc_id

@@ -175,3 +175,39 @@ def test_trained_quantizer_semantic_recall(spark):
     # and the pruning is not degenerate: distinct cluster members at
     # tau=0.995 survive
     assert sum(got.values()) >= n_clusters * per * 0.9
+
+
+def test_fixture_planted_ids_and_cells_hold_at_every_scale(spark):
+    """Fixture-guarantee audit for the semantic_dedup_cells query
+    (ADVICE r12): the +100000 planted-id offset assumes
+    max(vec_id) < 100000, and "a 0.999-scaled copy lands in its
+    original's cell" is only empirically true (L2 lattice quantization
+    is not scale-invariant). Assert both at every shipped scale: ids
+    cannot collide, and every planted copy co-cells with its original
+    and is dropped."""
+    import os
+
+    from ballista_extensions_spark.queries.analytics11 import (
+        semantic_dedup_cells,
+    )
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = os.path.join("/root/testdata", sf)
+        if not os.path.isdir(sf_dir):
+            continue
+        mx = (
+            spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+            .agg(F.max("vec_id"))
+            .first()[0]
+        )
+        assert mx < 100000, f"{sf}: planted-id offset collides (max={mx})"
+        out = semantic_dedup_cells(spark, sf_dir)
+        planted = out.filter(F.col("vec_id") >= 100000)
+        n_planted = planted.count()
+        assert n_planted == (mx // 7) + 1
+        # every planted 0.999-scaled copy must have been dropped, which
+        # requires it to share a cell with its original (cosine ~1.0)
+        assert planted.filter(F.col("kept")).count() == 0, (
+            f"{sf}: a planted duplicate survived — the scaled copy no "
+            "longer co-cells with its original under the frozen lattice"
+        )

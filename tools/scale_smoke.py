@@ -265,9 +265,10 @@ def main() -> None:
         # diverged once; code-review r12), materialized fully
         from ballista_extensions_spark.operators.webprep import (
             crawl_curation_funnel,
+            docs_fixture_frontier_key,
         )
 
-        rows = crawl_curation_funnel(d).collect()
+        rows = crawl_curation_funnel(d, docs_fixture_frontier_key()).collect()
         return sum(r["n_gated"] for r in rows)
 
     def _bpe(d):
