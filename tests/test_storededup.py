@@ -270,3 +270,153 @@ def test_sigstore_reused_id_is_not_compacted_twice(spark, store_dir):
     got = _jpairs(spark, store_dir)
     assert (7, 20, 1.0, 2) in got
     assert not any(p[:2] == (7, 21) for p in got)
+
+
+# ------------------------------------------------------- semdedup sink
+
+
+def _mkv(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _vpairs(spark, store_dir):
+    return {
+        (r["stored_id"], r["new_id"], r["phase"])
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .schema("stored_id long, new_id long, cosine double, phase long")
+        .parquet(os.path.join(store_dir, "pairs"))
+        .collect()
+    }
+
+
+def _sem_fixture():
+    """4-dim corpus under a 2-cell quantizer: axis-aligned groups so
+    cell routing and cosine matches are hand-checkable."""
+    from ballista_extensions_spark.operators.annstore import (
+        train_centroids,
+    )
+
+    cents = ((1.0, 0.0, 0.0, 0.0), (0.0, 1.0, 0.0, 0.0))
+    a = [1.0, 0.05, 0.0, 0.0]     # cell 0
+    b = [0.05, 1.0, 0.0, 0.0]     # cell 1
+    return cents, a, b
+
+
+def test_semdedup_sink_cross_batch_state_from_disk(spark, store_dir):
+    from ballista_extensions_spark.streaming.storededup import (
+        semdedup_store_sink,
+    )
+
+    cents, a, b = _sem_fixture()
+    fn = semdedup_store_sink(store_dir, cents, tau=0.9)
+    fn(_mkv(spark, [(1, a), (2, b)]), 0)
+    # batch 1: near-copy of 1 (same cell 0, cos ~1), orthogonal fresh
+    a2 = [0.99, 0.06, 0.0, 0.0]
+    c = [0.0, 0.05, 1.0, 0.0]     # cell 1 (closer to e2? no: dot-wise
+    # nearest centroid by L2: c is far from both; argmin still routes
+    # deterministically), cosine vs b ~0.05 -> accepted
+    fn(_mkv(spark, [(10, a2), (11, c)]), 1)
+    got = _vpairs(spark, store_dir)
+    assert (1, 10, 1) in got
+    assert all(p[1] != 11 for p in got)
+    # accepted members on disk: 1, 2, 11 (10 rejected)
+    members = _read_or_empty(
+        spark, os.path.join(store_dir, "members"),
+        "vec_id long, embedding array<double>, cell int",
+    )
+    assert {r["vec_id"] for r in members.collect()} == {1, 2, 11}
+
+
+def test_semdedup_sink_redelivery_is_idempotent(spark, store_dir):
+    from ballista_extensions_spark.streaming.storededup import (
+        semdedup_store_sink,
+    )
+
+    cents, a, b = _sem_fixture()
+    fn = semdedup_store_sink(store_dir, cents, tau=0.9)
+    fn(_mkv(spark, [(1, a), (2, b)]), 0)
+    a2 = [0.99, 0.06, 0.0, 0.0]
+    fn(_mkv(spark, [(10, a2)]), 1)
+    before_pairs = _vpairs(spark, store_dir)
+    before_members = {
+        (r["vec_id"], r["cell"])
+        for r in _read_or_empty(
+            spark, os.path.join(store_dir, "members"),
+            "vec_id long, embedding array<double>, cell int",
+        ).collect()
+    }
+    fn(_mkv(spark, [(10, a2)]), 1)  # at-least-once redelivery
+    assert _vpairs(spark, store_dir) == before_pairs
+    after_members = {
+        (r["vec_id"], r["cell"])
+        for r in _read_or_empty(
+            spark, os.path.join(store_dir, "members"),
+            "vec_id long, embedding array<double>, cell int",
+        ).collect()
+    }
+    assert after_members == before_members
+
+
+def test_semdedup_sink_intra_batch_keep_first(spark, store_dir):
+    from ballista_extensions_spark.streaming.storededup import (
+        semdedup_store_sink,
+    )
+
+    cents, a, b = _sem_fixture()
+    fn = semdedup_store_sink(store_dir, cents, tau=0.9)
+    a3 = [0.98, 0.04, 0.0, 0.0]
+    fn(_mkv(spark, [(5, a), (6, a3), (7, b)]), 0)
+    got = _vpairs(spark, store_dir)
+    assert (5, 6, 0) in got          # earlier id survives
+    members = _read_or_empty(
+        spark, os.path.join(store_dir, "members"),
+        "vec_id long, embedding array<double>, cell int",
+    )
+    assert {r["vec_id"] for r in members.collect()} == {5, 7}
+    with pytest.raises(ValueError, match="tau"):
+        semdedup_store_sink(store_dir, cents, tau=0.0)
+
+
+def test_semdedup_sink_probe_is_cell_equijoin_no_cartesian(
+    spark, store_dir, tmp_path
+):
+    """The SemDeDup scale contract holds inside the sink: the
+    store-vs-batch pairwise stage is an equi-join on cell, never a
+    cartesian product."""
+    from ballista_extensions_spark.operators.annstore import assign_cells
+    from ballista_extensions_spark.operators.similarity import (
+        dot_sql,
+        norm_sql,
+    )
+    from ballista_extensions_spark.plans import executed_plan
+    from ballista_extensions_spark.streaming.storededup import (
+        semdedup_store_sink,
+    )
+
+    cents, a, b = _sem_fixture()
+    fn = semdedup_store_sink(store_dir, cents, tau=0.9)
+    fn(_mkv(spark, [(1, a), (2, b)]), 0)
+    store = _read_or_empty(
+        spark, os.path.join(store_dir, "members"),
+        "vec_id long, embedding array<double>, cell int",
+        before_batch=1,
+    )
+    batch = assign_cells(_mkv(spark, [(10, a)]), cents)
+    s = store.select(
+        F.col("vec_id").alias("__id_a"),
+        F.col("embedding").alias("__va"),
+        F.expr(norm_sql("embedding")).alias("__na"),
+        "cell",
+    )
+    bb = batch.select(
+        F.col("vec_id").alias("__id_b"),
+        F.col("embedding").alias("__vb"),
+        F.expr(norm_sql("embedding")).alias("__nb"),
+        "cell",
+    )
+    cos = F.expr(dot_sql("__va", "__vb")) / (F.col("__na") * F.col("__nb"))
+    plan = executed_plan(
+        s.join(bb, "cell").filter(cos >= F.lit(0.9))
+    )
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan

@@ -51,6 +51,7 @@ EAGER_EXCLUDED = frozenset({
     "streaming_heavy_hitters_replay",
     "streaming_media_dedup_replay",
     "streaming_phash_store_replay",
+    "streaming_semdedup_replay",
     "streaming_sigstore_replay",
 })
 
