@@ -205,7 +205,11 @@ def docs_fixture_frontier_key(id_col: str = "doc_id") -> Column:
     )
 
 
-def crawl_curation_funnel(d: DataFrame, frontier_key: Column) -> DataFrame:
+def crawl_curation_funnel(
+    d: DataFrame,
+    frontier_key: Column,
+    classifier_gate: Column | None = None,
+) -> DataFrame:
     """The composed crawl-curation chain over a documents frame
     (doc_id, text, source) — the ONE body behind the
     ``crawl_curation_pipeline`` query AND tools/scale_smoke.py's
@@ -217,12 +221,16 @@ def crawl_curation_funnel(d: DataFrame, frontier_key: Column) -> DataFrame:
     input, not synthesis baked into the operator). Stages: (1) URL
     frontier dedup keeping the min-id fetch per canonical key, (2)
     HTML boilerplate extraction (:func:`html_text`), (3) quality gate
-    (retained-content ratio ≥ 0.5, extracted length ≥ 100), (4) exact
-    content dedup by extracted-text md5 keeping the min-id
+    (retained-content ratio ≥ 0.5, extracted length ≥ 100) — plus,
+    when ``classifier_gate`` is given, the trained classifier stage
+    (VERDICT r12 #3): a boolean Column evaluated against the
+    extracted-text column ``txt`` (the DCLM-style model gate, e.g.
+    ``F.expr(qualityclassifier.quality_logit_sql("txt")) >= 0``), (4)
+    exact content dedup by extracted-text md5 keeping the min-id
     representative; output is the per-source funnel (n_gated, n_kept).
     Scale: two map-combined hash aggregations + one broadcast-able
-    kept-set join; extraction is codegen'd projection work between
-    them."""
+    kept-set join; extraction and the classifier are codegen'd
+    projection work between them."""
     frontier = (
         d.select(
             "doc_id",
@@ -244,9 +252,12 @@ def crawl_curation_funnel(d: DataFrame, frontier_key: Column) -> DataFrame:
             / F.length("html").cast("double")
         ).alias("ratio"),
     )
-    gated = ex.filter(
-        (F.col("ratio") >= 0.5) & (F.length("txt") >= 100)
-    ).select("doc_id", "source", F.md5(F.col("txt")).alias("h"))
+    gate = (F.col("ratio") >= 0.5) & (F.length("txt") >= 100)
+    if classifier_gate is not None:
+        gate = gate & classifier_gate
+    gated = ex.filter(gate).select(
+        "doc_id", "source", F.md5(F.col("txt")).alias("h")
+    )
     kept = gated.groupBy("h").agg(F.min("doc_id").alias("doc_id")).select(
         "doc_id", F.lit(True).alias("is_kept")
     )

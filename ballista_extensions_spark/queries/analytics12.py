@@ -15,6 +15,10 @@ from ballista_extensions_spark.operators.bpe_stream import (
     stream_string_sql,
     stream_string_sql_duckdb,
 )
+from ballista_extensions_spark.queries.analytics10 import (
+    _HTML_PAGE_SQL,
+    _HTML_TEXT_SQL,
+)
 from ballista_extensions_spark.queries.registry import register
 
 # longest token the frozen vocabulary can produce — the token-count
@@ -236,4 +240,111 @@ def tokenizer_fertility_by_lang(
             F.sum("n_tokens").cast("double")
             / F.sum("n_words").cast("double")
         ).alias("fertility"),
+    )
+
+
+from ballista_extensions_spark.operators.qualityclassifier import (  # noqa: E402
+    quality_logit_sql,
+    quality_logit_sql_duckdb,
+)
+
+_LOGIT_DOC_DUCK = quality_logit_sql_duckdb("text")
+
+
+@register(
+    "quality_classifier_scores",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(lower(regexp_replace(
+                coalesce(text, ''), '[^a-zA-Z0-9]+', '#', 'g')), '#'),
+                w -> w <> '')) AS BIGINT) AS n_words,
+           {_LOGIT_DOC_DUCK} AS logit,
+           {_LOGIT_DOC_DUCK} >= 0 AS passes
+    FROM documents
+    """,
+)
+def quality_classifier_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The DCLM/CCNet-style quality-classifier gate (VERDICT r12 #3,
+    operators/qualityclassifier.py): every document scored by the
+    FROZEN hashed-bag-of-words linear model — per-token polynomial
+    feature hash, one broadcast weight-array lookup, mean-pool, bias —
+    and gated on logit >= 0. The frozen weights are the deterministic
+    logistic-regression output of tools/train_quality_weights.py
+    (distilling the Gopher/C4 stopword-density heuristic at 0.966
+    train accuracy; pinned by pytest). The oracle replays the ENTIRE
+    hash+dot arithmetic — char-fold token hash, left-fold weight sum,
+    the one double division — so a hash match proves every score to
+    the last bit. No sigmoid in the output: the gate thresholds the
+    logit (monotone), keeping transcendentals out of the cross-engine
+    hash. Scale: one codegen'd narrow pass, no shuffle, no UDF."""
+    from ballista_extensions_spark.operators.qualityclassifier import (
+        quality_scores,
+    )
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return quality_scores(d)
+
+
+@register(
+    "crawl_curation_pipeline_classified",
+    oracle=f"""
+    WITH urls AS (
+      SELECT doc_id,
+             'Site' || CAST(doc_id % 50 AS VARCHAR)
+             || '.example.com/articles/'
+             || CAST(doc_id % 100 AS VARCHAR) AS norm_host_path
+      FROM documents),
+    frontier AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM urls GROUP BY lower(norm_host_path)),
+    survivors AS (
+      SELECT d.doc_id AS doc_id, d.text AS text, d.source AS source
+      FROM documents d JOIN frontier f ON f.doc_id = d.doc_id),
+    pages AS (
+      SELECT doc_id, source, {_HTML_PAGE_SQL} AS html FROM survivors),
+    ex AS (
+      SELECT doc_id, source, {_HTML_TEXT_SQL} AS txt,
+             CAST(length({_HTML_TEXT_SQL}) AS DOUBLE)
+               / CAST(length(html) AS DOUBLE) AS ratio
+      FROM pages),
+    gated AS (
+      SELECT doc_id, source, md5(txt) AS h
+      FROM ex WHERE ratio >= 0.5 AND length(txt) >= 100
+        AND {quality_logit_sql_duckdb("txt")} >= 0),
+    kept AS (
+      SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY h)
+    SELECT g.source,
+           CAST(COUNT(*) AS BIGINT) AS n_gated,
+           CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM gated g LEFT JOIN kept k ON k.doc_id = g.doc_id
+    GROUP BY g.source
+    """,
+)
+def crawl_curation_pipeline_classified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The crawl-curation funnel WITH the trained classifier stage
+    enabled (VERDICT r12 #3's integration ask): same composed chain as
+    crawl_curation_pipeline — frontier dedup, HTML extraction, the
+    rule gate — plus the frozen hashed-BoW model gating on the
+    EXTRACTED text (logit >= 0) before content dedup, exactly where
+    DCLM/CCNet put their classifier (after boilerplate removal, before
+    dedup bookkeeping). One body: webprep.crawl_curation_funnel with
+    classifier_gate; the oracle replays all four rule stages AND the
+    classifier's hash+dot arithmetic over the extracted text, so the
+    hash proves the composed pipeline with the model inline. Scale:
+    the classifier adds one codegen'd projection — no new shuffle."""
+    from ballista_extensions_spark.operators.webprep import (
+        crawl_curation_funnel,
+        docs_fixture_frontier_key,
+    )
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return crawl_curation_funnel(
+        d,
+        docs_fixture_frontier_key(),
+        classifier_gate=F.expr(quality_logit_sql("txt")) >= 0,
     )
