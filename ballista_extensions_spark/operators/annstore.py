@@ -88,11 +88,17 @@ def train_centroids(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> Centroids:
     """Quality quantizer: k-means over a bounded deterministic sample
     (the ``ivf_topk`` recipe — fit_cap smallest xxhash64(id, seed)
     values, so the same corpus yields the same centroids whatever its
-    partitioning; training cost is O(cap) regardless of corpus size)."""
+    partitioning; training cost is O(cap) regardless of corpus size).
+    ``refine_iters > 0`` follows with that many FULL-CORPUS Lloyd
+    iterations as distributed aggregations
+    (:func:`refine_centroids_distributed`) so the final quantizer does
+    not depend on sample luck — the VERDICT r12 #5 path; driver state
+    stays k x dim throughout."""
     import numpy as np
 
     from ballista_extensions_spark.operators.similarity import _kmeans_lloyd
@@ -113,7 +119,93 @@ def train_centroids(
             "ann quantizer: non-finite centroid — corpus embeddings "
             "contain NaN/Inf; clean them upstream"
         )
-    return tuple(tuple(float(x) for x in c) for c in cents)
+    out = tuple(tuple(float(x) for x in c) for c in cents)
+    if refine_iters > 0:
+        out, _ = refine_centroids_distributed(
+            corpus, out, iters=refine_iters, id_col=id_col, vec_col=vec_col
+        )
+    return out
+
+
+def refine_centroids_distributed(
+    corpus: DataFrame,
+    centroids: Centroids,
+    *,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[Centroids, list[float]]:
+    """Full-corpus Lloyd refinement of a (sampled-)trained quantizer
+    (VERDICT r12 directive #5): ``train_centroids`` fits k-means on a
+    bounded driver-collected sample — standard practice, but at 100 TB
+    centroid quality should not depend on sample luck. Each iteration
+    here is ONE distributed aggregation: assign every vector to its
+    nearest centroid (the codegen'd ``assign_cells`` pass), then
+    groupBy(cell) with ``dim`` AVG aggregates (map-side combined — the
+    shuffle carries k x dim partial sums per task, never vectors) and
+    collect the k x dim new means; the driver holds ONLY the centroid
+    table, exactly like the frozen path. Cells that lose all members
+    keep their previous centroid (the standard empty-cell rule).
+
+    Also returns the per-iteration ASSIGNMENT CHURN (fraction of
+    vectors whose cell changed), computed in the same narrow pass that
+    evaluates both quantizers side by side — no join, no second
+    shuffle. Churn is the convergence/quality monitor a production
+    pipeline reports next to drift (``similarity.centroid_drift``).
+
+    Float caveat (why this is the QUALITY path, like train_centroids
+    itself): AVG over doubles accumulates in partition order, so means
+    can differ in final ulps across cluster layouts — fine for a
+    quantizer (any fixed centroid set is valid; correctness queries
+    use the integer-lattice quantizer the oracle regenerates)."""
+    if iters < 1:
+        raise ValueError(f"refine: iters must be >= 1, got {iters}")
+    dim = len(centroids[0])
+    base = corpus.select(
+        F.col(id_col), F.expr(as_double(vec_col)).alias("__v")
+    )
+    cents = centroids
+    churn: list[float] = []
+    for _ in range(iters):
+        assigned = assign_cells(
+            base, cents, id_col=id_col, vec_col="__v"
+        )
+        rows = (
+            assigned.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.avg(F.col("__v").getItem(i)).alias(f"d{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        means = {
+            int(r["cell"]): tuple(float(r[f"d{i}"]) for i in range(dim))
+            for r in rows
+        }
+        new_cents = tuple(
+            means.get(j, cents[j]) for j in range(len(cents))
+        )
+        # churn: both argmins evaluated in ONE narrow projection
+        old_lit = _cents_lit(cents)
+        new_lit = _cents_lit(new_cents)
+        moved = base.select(
+            (
+                F.expr(
+                    f"array_position({_dists_sql('__v', old_lit)}, "
+                    f"array_min({_dists_sql('__v', old_lit)}))"
+                )
+                != F.expr(
+                    f"array_position({_dists_sql('__v', new_lit)}, "
+                    f"array_min({_dists_sql('__v', new_lit)}))"
+                )
+            ).cast("int").alias("__m")
+        ).agg(F.avg("__m")).first()[0]
+        churn.append(float(moved or 0.0))
+        cents = new_cents
+    return cents, churn
 
 
 def _cents_lit(centroids: Centroids) -> str:

@@ -211,3 +211,50 @@ def test_fixture_planted_ids_and_cells_hold_at_every_scale(spark):
             f"{sf}: a planted duplicate survived — the scaled copy no "
             "longer co-cells with its original under the frozen lattice"
         )
+
+
+def test_refined_quantizer_semantic_recall_and_churn(spark):
+    """VERDICT r12 #5: distributed Lloyd refinement after sampled
+    k-means — trained-quantizer SemDeDup recall must stay green, churn
+    must be reported per iteration and be non-degenerate (bounded in
+    [0,1], and the corpus must settle: final-iteration churn small)."""
+    from ballista_extensions_spark.operators.annstore import (
+        refine_centroids_distributed,
+        train_centroids,
+    )
+
+    rng = np.random.default_rng(5)
+    dim, n_clusters, per = 16, 6, 30
+    centers = rng.normal(scale=5.0, size=(n_clusters, dim))
+    rows = []
+    for c in range(n_clusters):
+        pts = centers[c] + rng.normal(scale=1.5, size=(per, dim))
+        rows += [
+            (c * 1000 + i, [float(x) for x in pts[i]])
+            for i in range(per)
+        ]
+    planted_ids = []
+    for c in range(n_clusters):
+        pid = c * 1000 + 500
+        planted_ids.append(pid)
+        src = dict(rows)[c * 1000 + 0]
+        rows.append((pid, [x * 1.02 for x in src]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    sampled = train_centroids(df, n_clusters, seed=42)
+    refined, churn = refine_centroids_distributed(
+        df, sampled, iters=2
+    )
+    assert len(churn) == 2 and all(0.0 <= c <= 1.0 for c in churn)
+    assert churn[-1] <= 0.1  # well-separated clusters settle fast
+    got = {
+        r["vec_id"]: r["kept"]
+        for r in SD.semantic_dedup(df, refined, tau=0.995).collect()
+    }
+    assert sum(not got[p] for p in planted_ids) == len(planted_ids)
+    assert sum(got.values()) >= n_clusters * per * 0.9
+    # the train_centroids(refine_iters=...) path is the same centroids
+    assert train_centroids(df, n_clusters, seed=42, refine_iters=2) == refined
+    with pytest.raises(ValueError, match="iters"):
+        refine_centroids_distributed(df, sampled, iters=0)
