@@ -23,87 +23,96 @@ ORACLES: dict[str, str] = {}
 # every query gets a driver-green row instead of the same prefix being
 # re-graded forever.
 #
-# Round-12 rotation (VERDICT r11 directive #4): union of latest green
-# grades r02..r11, EXCLUDING the ROTATION_ORDER cohort below (the
-# queries re-graded this round). After r12's ~50-name window every
-# registered query's latest driver grade is >= r07.
+# Round-13 rotation (VERDICT r12 directive #4): union of latest green
+# grades r02..r12, EXCLUDING the ROTATION_ORDER cohort below (the
+# queries re-graded this round). After r13's ~50-name window every
+# registered query's latest driver grade is >= r08.
 PRIOR_DRIVER_GRADED: frozenset[str] = frozenset({
-    "acctbal_zscore_outliers", "agg_argmax_customer",
-    "agg_orders_by_priority", "ann_contract_audit", "ann_cosine_topk",
-    "ann_index_incremental", "ann_ivf_topk", "ann_lsh_topk",
-    "ann_recall_report", "array_functions", "asof_join_forward_views",
-    "asof_join_purchases", "audio_decode_meta", "audio_energy_fingerprints",
+    "ab_test_value_by_type", "acctbal_zscore_outliers",
+    "agg_argmax_customer", "agg_orders_by_priority", "ann_contract_audit",
+    "ann_hamming_sign_topk", "ann_index_incremental", "array_functions",
+    "asof_join_forward_views", "asof_join_purchases", "audio_decode_meta",
+    "audio_energy_fingerprints", "audio_near_dup_energy",
     "audio_resample_checksum", "av_demux_meta", "bigram_lm_counts",
-    "bitwise_agg_keys", "bpe_merge_candidates", "brand_year_revenue",
-    "cdc_two_batch_merge", "chunk_documents", "compression_contract_audit",
+    "bitwise_agg_keys", "bloom_prejoin_revenue", "bpe_merge_candidates",
+    "bpe_tokenize_counts", "brand_year_revenue", "cdc_merge_orders",
+    "chunk_documents", "compression_contract_audit",
     "compression_quality_stats", "concurrent_open_orders",
     "contamination_check", "contrastive_pairs", "corpus_shift_by_source",
     "corpus_snapshot_diff", "corpus_stats_by_lang", "corpus_vocabulary",
     "crawl_curation_pipeline", "cross_source_dup_matrix", "cube_orders",
     "cumulative_revenue_scalable", "curation_pipeline_lsh",
-    "curation_pipeline_summary", "customer_order_gap_stats",
-    "customer_percent_rank_scalable", "customer_rank_scalable",
-    "customer_repeat_rate_by_nation", "customer_rfm_segments_demo",
+    "curation_pipeline_summary", "custkey_overlap_sketch",
+    "customer_rank_change", "customer_rank_scalable",
     "customer_rfm_segments_scalable", "dataset_split", "date_functions",
-    "dedup_components", "dedup_keep_best", "dedup_probabilistic_audit",
-    "dedup_shrinkage_by_source", "deterministic_mode_priority",
-    "distinct_segments_by_nation", "doc_char_class_profile",
-    "doc_length_histogram", "docs_quality_quartiles", "domain_mix_resample",
+    "dedup_exact", "dedup_exact_normalized", "dedup_keep_best",
+    "dedup_near_minhash", "dedup_probabilistic_audit", "dedup_simhash",
+    "deterministic_mode_priority", "distinct_segments_by_nation",
+    "doc_char_class_profile", "doc_fingerprint", "doc_length_histogram",
+    "docs_quality_quartiles", "domain_mix_resample",
     "dup_cluster_size_histogram", "edit_distance_neighbors",
-    "embedding_centroids", "embedding_drift_report", "embedding_near_dup",
-    "embedding_quantize_int8", "event_funnel", "events_gapfill_hourly",
-    "events_hourly_rollup", "events_json_extract", "events_lag_lead",
-    "events_out_of_order_stats", "events_sessionize",
-    "events_top_hour_per_user", "events_user_p95_value",
-    "events_value_mad_anomalies", "explode_outer_tokens", "explode_unnest",
-    "filtered_agg_orders", "group_sample_customers", "grouping_sets_revenue",
+    "embedding_centroids", "embedding_drift_report",
+    "embedding_dup_clusters", "embedding_norms",
+    "embedding_quantize_int8", "event_funnel", "event_transition_matrix",
+    "events_gapfill_hourly", "events_hourly_rollup",
+    "events_json_extract", "events_lag_lead", "events_out_of_order_stats",
+    "events_sessionize", "events_top_hour_per_user",
+    "events_value_mad_anomalies", "exact_span_scrub",
+    "explode_outer_tokens", "explode_unnest", "filtered_agg_orders",
+    "fk_integrity_audit", "group_sample_customers",
+    "grouping_sets_revenue", "heavy_hitter_tokens",
     "hourly_anomaly_flags", "html_extract_quality",
-    "image_dhash_fingerprints", "image_dup_clusters", "incremental_dedup",
-    "incremental_near_dup_lsh", "join_cross", "join_full_outer", "join_inner",
-    "join_left_agg", "join_left_anti", "join_left_mark", "join_left_semi",
-    "join_right", "join_right_anti", "join_right_semi", "key_skew_report",
-    "knn_label_accuracy", "lang_diversity_by_source", "lateral_top_customers",
-    "latest_event_per_user", "mad_order_prices", "media_kind_routing",
-    "media_mixed_decode", "median_order_price", "multimodal_decode_jpeg",
+    "image_contamination_check", "image_dhash_fingerprints",
+    "image_dup_clusters", "image_near_dup_phash",
+    "image_signature_store_incremental", "incremental_dedup",
+    "incremental_near_dup_lsh", "join_cross", "join_full_outer",
+    "join_inner", "join_left_agg", "join_left_anti", "join_left_mark",
+    "join_left_semi", "join_right", "join_right_anti", "join_right_semi",
+    "key_skew_report", "knn_label_accuracy", "lang_id_heuristic",
+    "lateral_top_customers", "latest_event_per_user",
+    "lineitem_price_equidepth_hist", "mad_order_prices",
+    "media_kind_routing", "media_mixed_decode", "median_order_price",
+    "multimodal_binary_meta", "multimodal_decode_jpeg",
     "multimodal_decode_meta", "multimodal_decode_png",
     "multimodal_decode_real", "near_dup_lsh_verified",
-    "near_dup_threshold_sweep", "null_and_regex_functions",
-    "null_safe_arithmetic", "null_safe_join_segments",
-    "orders_interarrival_median", "orders_priority_scd2",
-    "orders_running_share", "orders_seasonality_index",
-    "pagerank_trade_graph", "part_price_size_skyline",
-    "percentile_disc_prices", "phrase_locate_spans", "pii_density_by_source",
-    "pii_scrub", "pit_priority_revenue", "pivot_segment_revenue",
-    "price_buckets", "profile_documents", "proportional_token_allocation",
-    "pyudf_text_metrics", "q10_returned_items", "q11_important_stock",
-    "q12_shipping_horizon", "q13_customer_order_distribution",
-    "q14_promo_revenue_share", "q15_top_supplier", "q16_supplier_part_counts",
+    "near_dup_threshold_sweep", "ngram_novelty_scores",
+    "null_and_regex_functions", "null_safe_arithmetic",
+    "null_safe_join_segments", "orderkey_islands", "orders_priority_scd2",
+    "orders_running_share", "pack_token_bins", "pagerank_trade_graph",
+    "percentile_disc_prices", "phrase_locate_spans", "pii_scrub",
+    "pivot_segment_revenue", "posexplode_tokens",
+    "pretrain_mixture_pipeline", "price_buckets",
+    "price_percentiles_scalable", "price_quantile_sketch_rollup",
+    "profile_documents", "q13_customer_order_distribution",
+    "q15_top_supplier", "q16_supplier_part_counts",
     "q17_small_quantity_revenue", "q18_large_orders",
-    "q19_disjunctive_revenue", "q1_pricing_summary", "q20_excess_suppliers",
+    "q19_disjunctive_revenue", "q20_excess_suppliers",
     "q21_waiting_suppliers", "q22_global_sales_opportunity",
-    "q2_cheapest_supplier", "q3_shipping_priority",
-    "q4_order_priority_exists", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "q9_product_profit", "quality_filter_chain", "rare_token_fraction",
-    "repetition_stats", "retention_cohorts", "revenue_gini_customers",
-    "rollup_revenue", "salted_join_revenue", "sample_by_segment",
-    "sample_contract_audit", "sample_lineitem", "scan_project_alias",
-    "session_funnel", "shipping_delay_deciles_by_priority",
+    "q2_cheapest_supplier", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "quality_filter_chain", "range_join_bursts",
+    "rare_token_fraction", "repetition_stats", "retention_cohorts",
+    "revenue_trend_by_segment", "rollup_revenue", "salted_join_revenue",
+    "sample_by_segment", "sample_contract_audit", "sample_lineitem",
+    "scan_project_alias", "semantic_dedup_cells", "session_funnel",
+    "set_except_all_lineitems", "set_except_nations",
+    "set_intersect_all_keys", "set_intersect_nations",
+    "set_union_nations", "shipping_delay_deciles_by_priority",
     "signature_store_incremental", "sketch_contract_audit",
-    "sketch_distinct_users", "sliding_hour_value_sums",
-    "source_lang_crosstab", "source_quality_stats", "split_leakage_audit",
-    "stats_corr_covar", "streaming_dedup_replay", "streaming_gapfill_replay",
-    "streaming_heavy_hitters_replay", "streaming_media_dedup_replay",
-    "string_functions", "supplier_pareto_8020",
-    "temperature_sampling_weights", "text_stats_quality", "text_token_count",
-    "text_token_count_bpe", "tfidf_top_terms", 
-    "token_cooccurrence_topk",
-    "token_len_quartiles_by_lang", "token_length_histogram",
-    "top_decile_docs", "unpivot_balances", "url_frontier_dedup",
-    "video_decode_meta", "video_frame_sample", "video_keyframe_fingerprints",
-    "weighted_median_price", "weighted_sample_parts", "window_rank_family",
-    "window_running_totals", "window_value_functions",
-    "winsorized_mean_price", "year_over_year_revenue",
+    "sketch_distinct_users", "sketch_rollup_custkeys",
+    "sliding_hour_value_sums", "sort_limit_expensive_orders",
+    "source_lang_crosstab", "source_quality_stats", "span_dedup_report",
+    "split_leakage_audit", "stats_corr_covar",
+    "streaming_media_dedup_replay", "streaming_phash_store_replay",
+    "streaming_sigstore_replay", "string_agg_segments",
+    "string_functions", "temperature_sampling_weights", "tfidf_top_terms",
+    "token_budget_selection_demo", "token_budget_selection_scalable",
+    "token_cooccurrence_topk", "token_len_quartiles_by_lang",
+    "token_length_histogram", "top_decile_docs", "unpivot_balances",
+    "url_frontier_dedup", "video_decode_meta", "video_frame_sample",
+    "video_keyframe_fingerprints", "video_near_dup_keyframe",
+    "weighted_sample_parts", "window_rank_family",
+    "window_running_totals", "window_top3_orders_per_customer",
+    "window_value_functions", "year_over_year_revenue",
     "year_spine_order_counts"
 })
 
@@ -125,26 +134,27 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Every name the driver's gate has graded in ANY round (r02-r10 union,
+# Every name the driver's gate has graded in ANY round (r02-r12 union,
 # registered names only). Fresh-window priority: queries NOT in this
 # set have never been driver-validated at all and outrank
 # rotated-for-regrade names (formerly green, re-queued by age or plan
 # drift) — a bounded grading window must spend itself on never-graded
 # surface first.
 EVER_DRIVER_GRADED: frozenset[str] = frozenset({
-    "ab_test_value_by_type", "acctbal_zscore_outliers", "agg_argmax_customer",
-    "agg_orders_by_priority", "ann_contract_audit", "ann_cosine_topk",
-    "ann_hamming_sign_topk", "ann_index_incremental", "ann_ivf_topk",
-    "ann_lsh_topk", "ann_recall_report", "array_functions",
-    "asof_join_forward_views", "asof_join_purchases", "audio_decode_meta",
-    "audio_energy_fingerprints", "audio_near_dup_energy",
-    "audio_resample_checksum", "av_demux_meta", "bigram_lm_counts",
-    "bitwise_agg_keys", "bloom_prejoin_revenue", "bpe_merge_candidates",
-    "brand_year_revenue", "cdc_merge_orders", "cdc_two_batch_merge",
-    "chunk_documents", "compression_contract_audit",
-    "compression_quality_stats", "concurrent_open_orders",
-    "contamination_check", "contrastive_pairs", "corpus_shift_by_source",
-    "corpus_snapshot_diff", "corpus_stats_by_lang", "corpus_vocabulary",
+    "ab_test_value_by_type", "acctbal_zscore_outliers",
+    "agg_argmax_customer", "agg_orders_by_priority", "ann_contract_audit",
+    "ann_cosine_topk", "ann_hamming_sign_topk", "ann_index_incremental",
+    "ann_ivf_topk", "ann_lsh_topk", "ann_recall_report",
+    "array_functions", "asof_join_forward_views", "asof_join_purchases",
+    "audio_decode_meta", "audio_energy_fingerprints",
+    "audio_near_dup_energy", "audio_resample_checksum", "av_demux_meta",
+    "bigram_lm_counts", "bitwise_agg_keys", "bloom_prejoin_revenue",
+    "bpe_merge_candidates", "bpe_tokenize_counts", "brand_year_revenue",
+    "cdc_merge_orders", "cdc_two_batch_merge", "chunk_documents",
+    "compression_contract_audit", "compression_quality_stats",
+    "concurrent_open_orders", "contamination_check", "contrastive_pairs",
+    "corpus_shift_by_source", "corpus_snapshot_diff",
+    "corpus_stats_by_lang", "corpus_vocabulary",
     "crawl_curation_pipeline", "cross_source_dup_matrix", "cube_orders",
     "cumulative_revenue_scalable", "curation_pipeline_lsh",
     "curation_pipeline_summary", "custkey_overlap_sketch",
@@ -159,28 +169,30 @@ EVER_DRIVER_GRADED: frozenset[str] = frozenset({
     "doc_char_class_profile", "doc_fingerprint", "doc_length_histogram",
     "docs_quality_quartiles", "domain_mix_resample",
     "dup_cluster_size_histogram", "edit_distance_neighbors",
-    "embedding_centroids", "embedding_drift_report", "embedding_dup_clusters",
-    "embedding_near_dup", "embedding_norms", "embedding_quantize_int8",
-    "event_funnel", "event_transition_matrix", "events_gapfill_hourly",
-    "events_hourly_rollup", "events_json_extract", "events_lag_lead",
-    "events_out_of_order_stats", "events_sessionize",
-    "events_top_hour_per_user", "events_user_p95_value",
-    "events_value_mad_anomalies", "exact_span_scrub", "explode_outer_tokens",
-    "explode_unnest", "filtered_agg_orders", "fk_integrity_audit",
-    "group_sample_customers", "grouping_sets_revenue", "heavy_hitter_tokens",
+    "embedding_centroids", "embedding_drift_report",
+    "embedding_dup_clusters", "embedding_near_dup", "embedding_norms",
+    "embedding_quantize_int8", "event_funnel", "event_transition_matrix",
+    "events_gapfill_hourly", "events_hourly_rollup",
+    "events_json_extract", "events_lag_lead", "events_out_of_order_stats",
+    "events_sessionize", "events_top_hour_per_user",
+    "events_user_p95_value", "events_value_mad_anomalies",
+    "exact_span_scrub", "explode_outer_tokens", "explode_unnest",
+    "filtered_agg_orders", "fk_integrity_audit", "group_sample_customers",
+    "grouping_sets_revenue", "heavy_hitter_tokens",
     "hourly_anomaly_flags", "html_extract_quality",
     "image_contamination_check", "image_dhash_fingerprints",
     "image_dup_clusters", "image_near_dup_phash",
     "image_signature_store_incremental", "incremental_dedup",
-    "incremental_near_dup_lsh", "join_cross", "join_full_outer", "join_inner",
-    "join_left_agg", "join_left_anti", "join_left_mark", "join_left_semi",
-    "join_right", "join_right_anti", "join_right_semi", "key_skew_report",
-    "knn_label_accuracy", "lang_diversity_by_source", "lang_id_heuristic",
-    "lateral_top_customers", "latest_event_per_user",
-    "lineitem_price_equidepth_hist", "mad_order_prices", "media_kind_routing",
-    "media_mixed_decode", "median_order_price", "multimodal_binary_meta",
-    "multimodal_decode_jpeg", "multimodal_decode_meta",
-    "multimodal_decode_png", "multimodal_decode_real", "near_dup_char_ngram",
+    "incremental_near_dup_lsh", "join_cross", "join_full_outer",
+    "join_inner", "join_left_agg", "join_left_anti", "join_left_mark",
+    "join_left_semi", "join_right", "join_right_anti", "join_right_semi",
+    "key_skew_report", "knn_label_accuracy", "lang_diversity_by_source",
+    "lang_id_heuristic", "lateral_top_customers", "latest_event_per_user",
+    "lineitem_price_equidepth_hist", "mad_order_prices",
+    "media_kind_routing", "media_mixed_decode", "median_order_price",
+    "multimodal_binary_meta", "multimodal_decode_jpeg",
+    "multimodal_decode_meta", "multimodal_decode_png",
+    "multimodal_decode_real", "near_dup_char_ngram",
     "near_dup_lsh_verified", "near_dup_pairs_exact",
     "near_dup_threshold_sweep", "ngram_novelty_scores",
     "ntile_customer_quartiles", "null_and_regex_functions",
@@ -196,37 +208,40 @@ EVER_DRIVER_GRADED: frozenset[str] = frozenset({
     "profile_documents", "proportional_token_allocation",
     "pyudf_text_metrics", "q10_returned_items", "q11_important_stock",
     "q12_shipping_horizon", "q13_customer_order_distribution",
-    "q14_promo_revenue_share", "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q18_large_orders",
-    "q19_disjunctive_revenue", "q1_pricing_summary", "q20_excess_suppliers",
-    "q21_waiting_suppliers", "q22_global_sales_opportunity",
-    "q2_cheapest_supplier", "q3_shipping_priority",
-    "q4_order_priority_exists", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "q9_product_profit", "quality_filter_chain", "range_join_bursts",
-    "rare_token_fraction", "repetition_stats", "retention_cohorts",
-    "revenue_gini_customers", "revenue_trend_by_segment", "rollup_revenue",
-    "salted_join_revenue", "sample_by_segment", "sample_contract_audit",
-    "sample_lineitem", "scan_project_alias", "session_funnel",
+    "q14_promo_revenue_share", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue", "q1_pricing_summary",
+    "q20_excess_suppliers", "q21_waiting_suppliers",
+    "q22_global_sales_opportunity", "q2_cheapest_supplier",
+    "q3_shipping_priority", "q4_order_priority_exists",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_nation_volume",
+    "q8_market_share", "q9_product_profit", "quality_filter_chain",
+    "range_join_bursts", "rare_token_fraction", "repetition_stats",
+    "retention_cohorts", "revenue_gini_customers",
+    "revenue_trend_by_segment", "rollup_revenue", "salted_join_revenue",
+    "sample_by_segment", "sample_contract_audit", "sample_lineitem",
+    "scan_project_alias", "semantic_dedup_cells", "session_funnel",
     "set_except_all_lineitems", "set_except_nations",
-    "set_intersect_all_keys", "set_intersect_nations", "set_union_nations",
-    "shipping_delay_deciles_by_priority", "signature_store_incremental",
-    "sketch_contract_audit", "sketch_distinct_users",
-    "sketch_rollup_custkeys", "sliding_hour_value_sums",
-    "sort_limit_expensive_orders", "source_lang_crosstab",
-    "source_quality_stats", "span_dedup_report", "split_leakage_audit",
-    "stats_corr_covar", "streaming_dedup_replay", "streaming_gapfill_replay",
-    "streaming_heavy_hitters_replay", "streaming_media_dedup_replay",
-    "streaming_phash_store_replay", "string_agg_segments", "string_functions",
-    "supplier_pareto_8020", "temperature_sampling_weights",
-    "text_stats_quality", "text_token_count", "text_token_count_bpe",
-    "tfidf_top_terms", "token_budget_selection_demo",
-    "token_budget_selection_scalable", "token_cooccurrence_topk",
-    "token_len_quartiles_by_lang", "token_length_histogram",
-    "top_decile_docs", "unpivot_balances", "url_frontier_dedup",
-    "video_decode_meta", "video_frame_sample", "video_keyframe_fingerprints",
-    "video_near_dup_keyframe", "weighted_median_price",
-    "weighted_sample_parts", "window_rank_family", "window_running_totals",
+    "set_intersect_all_keys", "set_intersect_nations",
+    "set_union_nations", "shipping_delay_deciles_by_priority",
+    "signature_store_incremental", "sketch_contract_audit",
+    "sketch_distinct_users", "sketch_rollup_custkeys",
+    "sliding_hour_value_sums", "sort_limit_expensive_orders",
+    "source_lang_crosstab", "source_quality_stats", "span_dedup_report",
+    "split_leakage_audit", "stats_corr_covar", "streaming_dedup_replay",
+    "streaming_gapfill_replay", "streaming_heavy_hitters_replay",
+    "streaming_media_dedup_replay", "streaming_phash_store_replay",
+    "streaming_sigstore_replay", "string_agg_segments",
+    "string_functions", "supplier_pareto_8020",
+    "temperature_sampling_weights", "text_stats_quality",
+    "text_token_count", "text_token_count_bpe", "tfidf_top_terms",
+    "token_budget_selection_demo", "token_budget_selection_scalable",
+    "token_cooccurrence_topk", "token_len_quartiles_by_lang",
+    "token_length_histogram", "top_decile_docs", "unpivot_balances",
+    "url_frontier_dedup", "video_decode_meta", "video_frame_sample",
+    "video_keyframe_fingerprints", "video_near_dup_keyframe",
+    "weighted_median_price", "weighted_sample_parts",
+    "window_rank_family", "window_running_totals",
     "window_top3_orders_per_customer", "window_value_functions",
     "winsorized_mean_price", "year_over_year_revenue",
     "year_spine_order_counts"
@@ -234,40 +249,31 @@ EVER_DRIVER_GRADED: frozenset[str] = frozenset({
 
 
 # Explicit re-grade priority within the fresh (not-in-PRIOR) group,
-# oldest-evidence-first (VERDICT r11 directive #4). Order: (a) queries
-# whose implementation changed this round (the token-budget histogram
-# rewrite; exact_span_scrub's binary shingle key; the two phashstore
-# queries behind the idempotent-compaction fix), (b) the 4 queries
-# whose plans drifted with r11's
-# banded-Hamming restructure but missed r11's window (latest grade r10,
-# never re-graded after the drift), (c) the 22 names whose latest grade
-# is r06, (d) the alphabetically-first 20 of the r07 cohort. Fresh
-# names NOT listed here (this round's new queries) outrank all of it
-# via the never-graded sort; listed names that overflow the window are
-# all >= r07 already.
+# oldest-evidence-first (VERDICT r12 directive #4). Order: (a) the 25
+# names whose latest grade is r07 (the oldest cohort — regrading them
+# lifts the registry-wide minimum to r08), then (b) the
+# alphabetically-first 19 of the 41-name r08 cohort to fill the ~50
+# window behind this round's 6 never-graded queries (6+25+19=50).
 ROTATION_ORDER: tuple[str, ...] = (
-    "token_budget_selection_scalable", "token_budget_selection_demo",
-    "exact_span_scrub", "image_signature_store_incremental",
-    "streaming_phash_store_replay", "audio_near_dup_energy",
-    "image_contamination_check", "image_near_dup_phash",
-    "video_near_dup_keyframe", "ab_test_value_by_type",
-    "custkey_overlap_sketch", "embedding_dup_clusters",
-    "ngram_novelty_scores", "orderkey_islands", "pack_token_bins",
-    "posexplode_tokens", "pretrain_mixture_pipeline",
-    "price_percentiles_scalable", "price_quantile_sketch_rollup",
-    "range_join_bursts", "revenue_trend_by_segment",
-    "set_except_all_lineitems", "set_except_nations",
-    "set_intersect_all_keys", "set_intersect_nations", "set_union_nations",
-    "sketch_rollup_custkeys", "sort_limit_expensive_orders",
-    "span_dedup_report", "string_agg_segments",
-    "window_top3_orders_per_customer", "ann_hamming_sign_topk",
-    "bloom_prejoin_revenue", "cdc_merge_orders", "customer_rank_change",
-    "dedup_exact", "dedup_exact_normalized", "dedup_near_minhash",
-    "dedup_simhash", "doc_fingerprint", "embedding_norms",
-    "event_transition_matrix", "fk_integrity_audit", "heavy_hitter_tokens",
-    "lang_id_heuristic", "lineitem_price_equidepth_hist",
-    "multimodal_binary_meta", "near_dup_char_ngram", "near_dup_pairs_exact",
-    "ntile_customer_quartiles", "orders_rolling_7d_revenue"
+    "near_dup_char_ngram", "near_dup_pairs_exact",
+    "ntile_customer_quartiles", "orders_rolling_7d_revenue",
+    "part_price_size_skyline", "pit_priority_revenue",
+    "proportional_token_allocation", "pyudf_text_metrics",
+    "q10_returned_items", "q14_promo_revenue_share", "q1_pricing_summary",
+    "q3_shipping_priority", "q4_order_priority_exists",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "revenue_gini_customers", "streaming_dedup_replay",
+    "streaming_gapfill_replay", "streaming_heavy_hitters_replay",
+    "supplier_pareto_8020", "text_stats_quality", "text_token_count",
+    "text_token_count_bpe", "weighted_median_price",
+    "winsorized_mean_price", "ann_cosine_topk", "ann_ivf_topk",
+    "ann_lsh_topk", "ann_recall_report", "cdc_two_batch_merge",
+    "customer_order_gap_stats", "customer_percent_rank_scalable",
+    "customer_repeat_rate_by_nation", "customer_rfm_segments_demo",
+    "dedup_components", "dedup_shrinkage_by_source", "embedding_near_dup",
+    "events_user_p95_value", "lang_diversity_by_source",
+    "orders_interarrival_median", "orders_seasonality_index",
+    "pii_density_by_source", "q11_important_stock", "q12_shipping_horizon",
 )
 
 
