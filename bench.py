@@ -195,6 +195,21 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # Tier annotation (VERDICT r12 directive #6): replay/audit queries
+    # pay a fixed multi-job evidence cost that is flat in row count;
+    # separating the subtotals keeps per-row movement visible instead
+    # of being masked by the fixed ~45s replay/audit block.
+    from ballista_extensions_spark.queries.registry import query_tier
+
+    tiers = {name: query_tier(name) for name in timings}
+    tier_totals = {
+        "fixed_evidence": round(
+            sum(v for k, v in timings.items()
+                if tiers[k] == "fixed_evidence"), 3),
+        "per_row": round(
+            sum(v for k, v in timings.items()
+                if tiers[k] == "per_row"), 3),
+    }
     full = {
         "metric": "total_wall_sec_all_queries",
         "value": round(sum(timings.values()), 3),
@@ -205,6 +220,8 @@ def main() -> None:
         "rows": rows,
         "shuffle_read_write_bytes": shuffle,
         "errors": errors,
+        "tiers": tiers,
+        "tier_totals_sec": tier_totals,
         "sf": sf_val,
     }
     if not subset_run:
@@ -226,6 +243,7 @@ def main() -> None:
         "queries": shown,
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "tier_totals_sec": tier_totals,
         "full": "BENCH_FULL.json",
         "sf": sf_val,
     }

@@ -59,3 +59,17 @@ def test_gate_red_on_injected_change(spark):
         assert name in drifted_graded_names(spark, names={name})
     finally:
         registry.QUERIES[name] = orig
+
+
+def test_fixed_evidence_tier_names_are_registered():
+    """Every name in the bench cost-tier classification must be a
+    registered query — a renamed replay/audit must not silently fall
+    back to the per_row tier."""
+    unknown = registry.FIXED_EVIDENCE - set(registry.QUERIES)
+    assert not unknown, f"FIXED_EVIDENCE names not registered: {sorted(unknown)}"
+    # the classifier is total over the registry
+    for name in registry.QUERIES:
+        assert registry.query_tier(name) in ("fixed_evidence", "per_row")
+    # spot-check both tiers
+    assert registry.query_tier("streaming_sigstore_replay") == "fixed_evidence"
+    assert registry.query_tier("q1_pricing_summary") == "per_row"
