@@ -1,0 +1,154 @@
+"""Round-13 data-selection queries: DSIR importance resampling and
+the hashed n-gram LM quality buckets (operators/dsir.py — Xie et al.
+arXiv:2302.03169; Wenzek et al. arXiv:1911.00359 §4.3). Every query
+is hash-graded: the frozen tables are literals, the in-engine
+arithmetic is hash + left-fold dot product, and the DuckDB oracles
+replay the identical fold bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ballista_extensions_spark.io import ensure_parallelism, load_table
+from ballista_extensions_spark.operators.dsir import (
+    FROZEN_DSIR_RATIOS,
+    ce_bucket_sql,
+    dsir_logweights,
+    dsir_select,
+    feature_fold_sql_duckdb,
+    lm_ce_scores,
+    lm_ce_sql_duckdb,
+    n_feats_sql_duckdb,
+)
+from ballista_extensions_spark.queries.registry import register
+
+_FOLD_DUCK = feature_fold_sql_duckdb("text", FROZEN_DSIR_RATIOS)
+_NF_DUCK = n_feats_sql_duckdb("text")
+_CE_DUCK = lm_ce_sql_duckdb("text")
+
+#: selection size for the hash-graded top-k queries — small enough
+#: that TakeOrderedAndProject's driver-side merge is trivially bounded,
+#: large enough to exercise cross-partition merging at every sf
+_K_SELECT = 100
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_NF_DUCK} AS BIGINT) AS n_feats,
+           {_FOLD_DUCK} AS logweight
+    FROM documents
+    """,
+)
+def dsir_importance_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document DSIR importance log-weight under the frozen
+    target/raw hashed bigram models (operators/dsir.py): ``Σ_f
+    count_f(doc) · (log p_t(f) − log p_r(f))`` — the paper's §3
+    estimator with the quality-gate slice as target. One narrow
+    codegen'd projection: cost ∝ corpus tokens, ZERO shuffle, no
+    driver state, no UDF; the 1024-double ratio table rides the plan
+    as one array literal. NULL/empty documents fold to weight 0.0 in
+    both engines (no tokens — no evidence)."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return dsir_logweights(d)
+
+
+@register(
+    "dsir_select_topk",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_NF_DUCK} AS BIGINT) AS n_feats,
+           {_FOLD_DUCK} AS logweight
+    FROM documents
+    ORDER BY logweight DESC, doc_id
+    LIMIT {_K_SELECT}
+    """,
+)
+def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR selection step: top-k (k=100) documents by importance
+    weight, ties broken by doc_id — the deterministic (zero-noise)
+    limit of the paper's Gumbel resampling, which is what a
+    reproducible curation pipeline actually ships. Spark plans the
+    orderBy+limit as TakeOrderedAndProject: each partition keeps its
+    local top-k and only k rows reach the driver — no global sort
+    shuffle, the same plan at 100 TB."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return dsir_select(d, _K_SELECT)
+
+
+@register(
+    "lm_ce_quality_buckets",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, {_CE_DUCK} AS ce FROM documents),
+    bucketed AS (
+      SELECT doc_id, ce, {ce_bucket_sql("ce")} AS bucket FROM scored)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(ce) AS min_ce,
+           MAX(ce) AS max_ce
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def lm_ce_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality buckets (Wenzek et al.
+    §4.3): per-document cross-entropy under the frozen hashed-ngram
+    target LM, bucketed by the frozen train-corpus tercile cutoffs
+    (CCNet keeps 'head', optionally 'middle'). min/max are
+    order-independent aggregates, so the hash never touches a
+    shuffle-ordered double sum. Scale: one projection + one 3-group
+    aggregation — map-side combined, shuffle carries 3 rows per
+    partition."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    scored = lm_ce_scores(d)
+    return scored.select(
+        "doc_id", "ce", F.expr(ce_bucket_sql("ce")).alias("bucket")
+    ).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("ce").alias("min_ce"),
+        F.max("ce").alias("max_ce"),
+    )
+
+
+@register(
+    "dsir_selection_shift",
+    oracle=f"""
+    WITH weighted AS (
+      SELECT doc_id, source, {_FOLD_DUCK} AS logweight
+      FROM documents),
+    selected AS (
+      SELECT doc_id FROM weighted
+      ORDER BY logweight DESC, doc_id LIMIT {_K_SELECT})
+    SELECT w.source,
+           CAST(COUNT(*) AS BIGINT) AS n_corpus,
+           CAST(SUM(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_selected
+    FROM weighted w LEFT JOIN selected s ON s.doc_id = w.doc_id
+    GROUP BY w.source
+    """,
+)
+def dsir_selection_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resampling's distribution shift, the evidence table a
+    curation run reports next to corpus_shift_by_source: per source,
+    corpus size vs how many documents DSIR's top-k keeps. Plan
+    shape: the k-row selection is BROADCAST back against the corpus
+    (k = 100 rows however big the corpus), so the join adds
+    no shuffle beyond the 1-per-source aggregation rows."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    sel = dsir_select(d, _K_SELECT).select("doc_id")
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(sel.withColumn("sel", F.lit(1))), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_corpus"),
+            F.sum(F.coalesce(F.col("sel"), F.lit(0)))
+            .cast("long")
+            .alias("n_selected"),
+        )
+    )

@@ -229,7 +229,45 @@ def main() -> None:
         .collect()[0]["t"],
         "crawl_curation_pipeline": lambda d, e: _crawl(d),
         "bpe_tokenize": lambda d, e: _bpe(d),
+        # round-13 (VERDICT r12 directives #1, #3): the Arrow-batched
+        # rank-priority applier at the 384-merge frozen vocab (the plan
+        # shape that survives a 32k production vocabulary), and the
+        # hashed-BoW quality-classifier gate (one codegen'd narrow pass)
+        "bpe_large_vocab": lambda d, e: _bpe_stream(d),
+        "quality_classifier": lambda d, e: _quality(d),
+        # round-13: DSIR importance scoring (one narrow projection —
+        # the aggregate defeats column pruning of the fold expression)
+        "dsir_weights": lambda d, e: _dsir(d),
     }
+
+    def _dsir(d):
+        from ballista_extensions_spark.operators.dsir import dsir_logweights
+
+        return dsir_logweights(d).agg(
+            F.sum("n_feats").alias("nf"),
+            F.min("logweight").alias("lo"),
+            F.max("logweight").alias("hi"),
+        ).collect()[0]["nf"]
+
+    def _bpe_stream(d):
+        from ballista_extensions_spark.operators.bpe_stream import (
+            FROZEN_STREAM_MERGES,
+            bpe_stream_token_counts,
+        )
+
+        return bpe_stream_token_counts(d, FROZEN_STREAM_MERGES).agg(
+            F.sum("n_tokens").alias("t")
+        ).collect()[0]["t"]
+
+    def _quality(d):
+        from ballista_extensions_spark.operators.qualityclassifier import (
+            quality_scores,
+        )
+
+        return quality_scores(d).agg(
+            F.sum(F.col("passes").cast("long")).alias("p"),
+            F.sum("n_words").alias("w"),
+        ).collect()[0]["w"]
 
     def _semdedup(em, trained=False):
         # trained=True is the PRODUCTION configuration: k-means cells
