@@ -89,18 +89,22 @@ def py_words(text: str | None) -> list[str]:
 
 
 def py_feature_fold(text: str | None, table: tuple[float, ...]) -> float:
-    """Python mirror of the in-engine fold: LEFT-fold unigram
-    contributions in document order, then bigram contributions, then
-    add the two partial sums — the exact association order both SQL
-    spellings use, so tests can assert bit-equality."""
+    """Python mirror of the in-engine fold: ONE left-fold in document
+    order with interleaved contributions — for token i, add its
+    unigram bucket, then (if i > 0) the bigram bucket with the
+    previous token: ``((s + u_i) + b_i)``. This is the exact
+    association order both SQL spellings use (the Spark fold carries
+    (sum, prev) in a struct accumulator; the DuckDB oracle folds the
+    interleaved contribution list), so tests assert bit-equality."""
     words = py_words(text)
-    uni = 0.0
+    s = 0.0
+    prev: str | None = None
     for w in words:
-        uni = uni + table[uni_bucket(w)]
-    bi = 0.0
-    for a, b in zip(words, words[1:]):
-        bi = bi + table[bi_bucket(a, b)]
-    return uni + bi
+        s = s + table[uni_bucket(w)]
+        if prev is not None:
+            s = s + table[bi_bucket(prev, w)]
+        prev = w
+    return s
 
 
 def py_n_feats(text: str | None) -> int:
@@ -138,74 +142,119 @@ _TOK_HASH_DUCK = (
 )
 
 
-def _bigrams_spark(words: str) -> str:
-    # sequence(1, 0) in Spark steps BACKWARD ([1, 0]); guard the
-    # single-token document explicitly
-    return (
-        f"CASE WHEN size({words}) < 2 THEN array() "
-        f"ELSE transform(sequence(1, size({words}) - 1), "
-        f"i -> concat(element_at({words}, i), '#', "
-        f"element_at({words}, i + 1))) END"
-    )
+# bigram-text hash of the previous token carried in the accumulator
+# ('prev#current' — '#' cannot occur inside a token)
+_BI_HASH_SPARK = _TOK_HASH_SPARK.replace(
+    "split(t, '')", "split(concat(acc.p, '#', t), '')"
+)
 
 
-def _bigrams_duck(words: str) -> str:
-    # generate_series(1, 0) is empty in DuckDB — no guard needed
-    return (
-        f"list_transform(generate_series(1, len({words}) - 1), "
-        f"i -> {words}[i] || '#' || {words}[i + 1])"
-    )
-
-
-def feature_fold_sql(col_sql: str, table: tuple[float, ...]) -> str:
+def feature_fold_sql(words_sql: str, table: tuple[float, ...]) -> str:
     """Spark SQL fragment: Σ_f count_f(doc) · table[f] over hashed
-    unigram+bigram features of a text expression — the shared scoring
-    kernel for both the DSIR log-weight (table = frozen log ratios)
-    and the LM cross-entropy (table = frozen log-probs)."""
-    words = _WORDS_SQL.format(col=col_sql)
+    unigram+bigram features, given a WORDS-ARRAY expression (pass a
+    materialized column reference, not the split expression — an
+    indexed-lambda form that re-references the words expression
+    per element re-evaluates the whole split per token, which round
+    13 measured as a 60x quadratic blowup at sf0.1). ONE pass: the
+    accumulator carries (running sum, previous token); each token
+    adds its unigram bucket then its bigram-with-prev bucket — the
+    shared scoring kernel for both the DSIR log-weight (table =
+    frozen log ratios) and the LM cross-entropy (table = frozen
+    log-probs)."""
     lit = _table_lit_spark(table)
-    uni = (
-        f"aggregate({words}, CAST(0 AS DOUBLE), (acc, t) -> acc + "
-        f"element_at({lit}, CAST({_TOK_HASH_SPARK} % {B_UNI} AS INT) + 1))"
+    return (
+        f"aggregate({words_sql}, "
+        f"named_struct('s', CAST(0 AS DOUBLE), 'p', CAST(NULL AS STRING)), "
+        f"(acc, t) -> named_struct('s', acc.s "
+        f"+ element_at({lit}, CAST({_TOK_HASH_SPARK} % {B_UNI} AS INT) + 1) "
+        f"+ CASE WHEN acc.p IS NULL THEN CAST(0 AS DOUBLE) "
+        f"ELSE element_at({lit}, CAST({B_UNI} + {_BI_HASH_SPARK} "
+        f"% {B_BI} AS INT) + 1) END, 'p', t), "
+        f"acc -> acc.s)"
     )
-    bi = (
-        f"aggregate({_bigrams_spark(words)}, CAST(0 AS DOUBLE), "
-        f"(acc, t) -> acc + element_at({lit}, "
-        f"CAST({B_UNI} + {_TOK_HASH_SPARK} % {B_BI} AS INT) + 1))"
-    )
-    return f"({uni} + {bi})"
 
 
-def feature_fold_sql_duckdb(col_sql: str, table: tuple[float, ...]) -> str:
-    """The identical fold in DuckDB spelling — the oracle generator
-    (same fold order, same literals, same association)."""
-    words = _WORDS_DUCK.format(col=col_sql)
+def feature_fold_sql_duckdb(words_sql: str, table: tuple[float, ...]) -> str:
+    """The identical fold in DuckDB spelling, given a words-array
+    expression (the oracles materialize it in a CTE). DuckDB's
+    list_reduce accumulator must match the element type, so instead
+    of a struct accumulator the interleaved contribution list
+    [u_1, u_2, b_2, u_3, b_3, ...] is built first and left-folded —
+    ``((0 + u_1) + u_2) + b_2 ...``, the same association order as
+    the Spark struct fold and the Python mirror."""
     lit = _table_lit_duck(table)
-    uni = (
-        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        f"list_transform({words}, t -> {lit}"
-        f"[{_TOK_HASH_DUCK} % {B_UNI} + 1])), (acc, x) -> acc + x)"
+    contribs = (
+        f"flatten(list_transform(generate_series(1, len({words_sql})), "
+        f"i -> CASE WHEN i = 1 THEN "
+        f"[{lit}[{_uni_hash_duck_at(words_sql, 'i')} + 1]] "
+        f"ELSE [{lit}[{_uni_hash_duck_at(words_sql, 'i')} + 1], "
+        f"{lit}[{B_UNI} + {_bi_hash_duck_at(words_sql, 'i')} + 1]] END))"
     )
-    bi = (
-        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        f"list_transform({_bigrams_duck(words)}, t -> {lit}"
-        f"[{B_UNI} + {_TOK_HASH_DUCK} % {B_BI} + 1])), "
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {contribs}), "
         f"(acc, x) -> acc + x)"
     )
-    return f"({uni} + {bi})"
 
 
-def n_feats_sql(col_sql: str) -> str:
-    """Spark SQL: unigram + bigram feature count of a document."""
-    words = _WORDS_SQL.format(col=col_sql)
+def _uni_hash_duck_at(words_sql: str, idx: str) -> str:
+    """DuckDB: unigram bucket of words[idx] (poly hash, char fold)."""
     return (
-        f"(size({words}) + greatest(size({words}) - 1, 0))"
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(1, length({words_sql}[{idx}])), "
+        f"j -> CAST(ascii({words_sql}[{idx}][j]) AS BIGINT))), "
+        f"(a2, x) -> (a2 * {BASE} + x) % {PRIME}) % {B_UNI}"
     )
 
 
-def n_feats_sql_duckdb(col_sql: str) -> str:
-    words = _WORDS_DUCK.format(col=col_sql)
-    return f"(len({words}) + greatest(len({words}) - 1, 0))"
+def _bi_hash_duck_at(words_sql: str, idx: str) -> str:
+    """DuckDB: bigram bucket of words[idx-1] || '#' || words[idx]."""
+    bt = f"({words_sql}[{idx} - 1] || '#' || {words_sql}[{idx}])"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(1, length({bt})), "
+        f"j -> CAST(ascii({bt}[j]) AS BIGINT))), "
+        f"(a2, x) -> (a2 * {BASE} + x) % {PRIME}) % {B_BI}"
+    )
+
+
+def words_sql(col_sql: str) -> str:
+    """Spark SQL: the shared '#'-normalization token array of a text
+    expression — materialize this ONCE (as a projected column) and
+    fold over the column reference; every scorer below takes the
+    words-array reference, never the raw text."""
+    return _WORDS_SQL.format(col=col_sql)
+
+
+def words_sql_duckdb(col_sql: str) -> str:
+    """DuckDB spelling of :func:`words_sql` (oracle CTEs)."""
+    return _WORDS_DUCK.format(col=col_sql)
+
+
+def n_feats_sql(words_ref: str) -> str:
+    """Spark SQL: unigram + bigram feature count, given a words-array
+    reference."""
+    return (
+        f"(size({words_ref}) + greatest(size({words_ref}) - 1, 0))"
+    )
+
+
+def n_feats_sql_duckdb(words_ref: str) -> str:
+    return f"(len({words_ref}) + greatest(len({words_ref}) - 1, 0))"
+
+
+def _with_words(
+    docs: DataFrame, text_col: str, id_col: str, *extra: str
+) -> DataFrame:
+    """Project (id, __ws [, extra...]) with the token array as a REAL
+    column. Catalyst's CollapseProject keeps the intermediate
+    projection because __ws is non-cheap and referenced more than
+    once downstream — the split/regex runs once per document, not
+    once per expression reference."""
+    return docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra],
+        F.expr(words_sql(text_col)).alias("__ws"),
+    )
 
 
 def dsir_logweights(
@@ -217,12 +266,13 @@ def dsir_logweights(
 ) -> DataFrame:
     """(doc_id, n_feats, logweight): the DSIR importance log-weight of
     every document under the frozen target/raw hashed bigram models.
-    One narrow codegen'd projection, no shuffle."""
+    Two stacked narrow projections (tokenize once, then fold), no
+    shuffle."""
     r = FROZEN_DSIR_RATIOS if ratios is None else ratios
-    return docs.select(
+    return _with_words(docs, text_col, id_col).select(
         F.col(id_col),
-        F.expr(n_feats_sql(text_col)).cast("long").alias("n_feats"),
-        F.expr(feature_fold_sql(text_col, r)).alias("logweight"),
+        F.expr(n_feats_sql("__ws")).cast("long").alias("n_feats"),
+        F.expr(feature_fold_sql("__ws", r)).alias("logweight"),
     )
 
 
@@ -259,10 +309,10 @@ def lm_ce_scores(
     arithmetic both engines can replay). Empty documents score the
     OOV ceiling so they sort into the worst bucket, not the best."""
     lp = FROZEN_LM_LOGPROBS if logprobs is None else logprobs
-    nf = n_feats_sql(text_col)
-    fold = feature_fold_sql(text_col, lp)
+    nf = n_feats_sql("__ws")
+    fold = feature_fold_sql("__ws", lp)
     ceiling = -min(lp)
-    return docs.select(
+    return _with_words(docs, text_col, id_col).select(
         F.col(id_col),
         F.expr(nf).cast("long").alias("n_feats"),
         F.expr(
@@ -273,12 +323,13 @@ def lm_ce_scores(
 
 
 def lm_ce_sql_duckdb(
-    col_sql: str, logprobs: tuple[float, ...] | None = None
+    words_ref: str, logprobs: tuple[float, ...] | None = None
 ) -> str:
-    """DuckDB spelling of the per-document cross-entropy."""
+    """DuckDB spelling of the per-document cross-entropy, given a
+    words-array reference (materialize it in a CTE)."""
     lp = FROZEN_LM_LOGPROBS if logprobs is None else logprobs
-    nf = n_feats_sql_duckdb(col_sql)
-    fold = feature_fold_sql_duckdb(col_sql, lp)
+    nf = n_feats_sql_duckdb(words_ref)
+    fold = feature_fold_sql_duckdb(words_ref, lp)
     ceiling = -min(lp)
     return (
         f"CASE WHEN {nf} = 0 THEN CAST({ceiling!r} AS DOUBLE) "

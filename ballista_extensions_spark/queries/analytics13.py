@@ -21,12 +21,17 @@ from ballista_extensions_spark.operators.dsir import (
     lm_ce_scores,
     lm_ce_sql_duckdb,
     n_feats_sql_duckdb,
+    words_sql_duckdb,
 )
 from ballista_extensions_spark.queries.registry import register
 
-_FOLD_DUCK = feature_fold_sql_duckdb("text", FROZEN_DSIR_RATIOS)
-_NF_DUCK = n_feats_sql_duckdb("text")
-_CE_DUCK = lm_ce_sql_duckdb("text")
+# every oracle materializes the token array ONCE in a CTE and folds
+# over the column reference — mirroring the operator's two-projection
+# shape (and avoiding any per-element re-evaluation of the split)
+_WS_DUCK = words_sql_duckdb("text")
+_FOLD_DUCK = feature_fold_sql_duckdb("ws", FROZEN_DSIR_RATIOS)
+_NF_DUCK = n_feats_sql_duckdb("ws")
+_CE_DUCK = lm_ce_sql_duckdb("ws")
 
 #: selection size for the hash-graded top-k queries — small enough
 #: that TakeOrderedAndProject's driver-side merge is trivially bounded,
@@ -37,10 +42,11 @@ _K_SELECT = 100
 @register(
     "dsir_importance_weights",
     oracle=f"""
+    WITH w AS (SELECT doc_id, {_WS_DUCK} AS ws FROM documents)
     SELECT doc_id,
            CAST({_NF_DUCK} AS BIGINT) AS n_feats,
            {_FOLD_DUCK} AS logweight
-    FROM documents
+    FROM w
     """,
 )
 def dsir_importance_weights(
@@ -61,10 +67,11 @@ def dsir_importance_weights(
 @register(
     "dsir_select_topk",
     oracle=f"""
+    WITH w AS (SELECT doc_id, {_WS_DUCK} AS ws FROM documents)
     SELECT doc_id,
            CAST({_NF_DUCK} AS BIGINT) AS n_feats,
            {_FOLD_DUCK} AS logweight
-    FROM documents
+    FROM w
     ORDER BY logweight DESC, doc_id
     LIMIT {_K_SELECT}
     """,
@@ -84,8 +91,9 @@ def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lm_ce_quality_buckets",
     oracle=f"""
-    WITH scored AS (
-      SELECT doc_id, {_CE_DUCK} AS ce FROM documents),
+    WITH w AS (SELECT doc_id, {_WS_DUCK} AS ws FROM documents),
+    scored AS (
+      SELECT doc_id, {_CE_DUCK} AS ce FROM w),
     bucketed AS (
       SELECT doc_id, ce, {ce_bucket_sql("ce")} AS bucket FROM scored)
     SELECT bucket,
@@ -118,9 +126,10 @@ def lm_ce_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dsir_selection_shift",
     oracle=f"""
-    WITH weighted AS (
-      SELECT doc_id, source, {_FOLD_DUCK} AS logweight
-      FROM documents),
+    WITH w AS (
+      SELECT doc_id, source, {_WS_DUCK} AS ws FROM documents),
+    weighted AS (
+      SELECT doc_id, source, {_FOLD_DUCK} AS logweight FROM w),
     selected AS (
       SELECT doc_id FROM weighted
       ORDER BY logweight DESC, doc_id LIMIT {_K_SELECT})

@@ -75,11 +75,14 @@ def test_fold_parity_python_spark_duckdb(spark):
     got_spark = [
         (r["w"], r["nf"])
         for r in df.select(
+            "doc_id", F.expr(D.words_sql("text")).alias("ws")
+        )
+        .select(
             "doc_id",
             F.expr(
-                D.feature_fold_sql("text", D.FROZEN_DSIR_RATIOS)
+                D.feature_fold_sql("ws", D.FROZEN_DSIR_RATIOS)
             ).alias("w"),
-            F.expr(D.n_feats_sql("text")).alias("nf"),
+            F.expr(D.n_feats_sql("ws")).alias("nf"),
         )
         .orderBy("doc_id")
         .collect()
@@ -94,8 +97,10 @@ def test_fold_parity_python_spark_duckdb(spark):
         + ") v(doc_id, text)"
     )
     got_duck = con.execute(
-        f"SELECT {D.feature_fold_sql_duckdb('text', D.FROZEN_DSIR_RATIOS)},"
-        f" {D.n_feats_sql_duckdb('text')} FROM t ORDER BY doc_id"
+        f"WITH w AS (SELECT doc_id, {D.words_sql_duckdb('text')} AS ws"
+        f" FROM t) SELECT"
+        f" {D.feature_fold_sql_duckdb('ws', D.FROZEN_DSIR_RATIOS)},"
+        f" {D.n_feats_sql_duckdb('ws')} FROM w ORDER BY doc_id"
     ).fetchall()
     for (sw, snf), (dw, dnf), txt in zip(got_spark, got_duck, TEXTS):
         pw = D.py_feature_fold(txt, D.FROZEN_DSIR_RATIOS)

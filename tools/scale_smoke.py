@@ -68,6 +68,15 @@ def main() -> None:
     docs10 = amplify(docs1, "doc_id", n_docs)
     emb10 = amplify(emb1, "vec_id", n_emb)
     ev10 = amplify(ev1, "event_id", n_ev)
+    # the 1x frames must carry the SAME production-like parallelism as
+    # the amplified frames: sf0.1 parquet is a single row-group, so an
+    # un-repartitioned 1x runs on ONE core while the 10x runs on 64
+    # partitions — t_1x inflates and the exponent reads low (for the
+    # chunk-memoizing Arrow BPE applier it even went NEGATIVE, round
+    # 13's catch). Same repartition+checkpoint shape on both sides.
+    docs1 = docs1.repartition(64).localCheckpoint()
+    emb1 = emb1.repartition(64).localCheckpoint()
+    ev1 = ev1.repartition(64).localCheckpoint()
     print(f"# corpora: {n_docs} -> {docs10.count()} docs, "
           f"{n_emb} -> {emb10.count()} vectors, "
           f"{n_ev} -> {ev10.count()} events", file=sys.stderr)

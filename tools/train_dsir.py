@@ -31,6 +31,7 @@ from ballista_extensions_spark.operators.dsir import (  # noqa: E402
     B_UNI,
     N_BUCKETS,
     bi_bucket,
+    py_n_feats,
     py_words,
     uni_bucket,
 )
@@ -105,21 +106,16 @@ def main() -> None:
     lp_tgt_r = [round(v, 6) for v in lp_tgt]
 
     # train-corpus CE terciles under the FROZEN (rounded) target LM —
-    # the head/middle/tail cutoffs; computed with the same fold the
-    # engines run
+    # the head/middle/tail cutoffs; computed with the SAME interleaved
+    # fold the engines run (py_feature_fold is the pinned mirror)
+    from ballista_extensions_spark.operators.dsir import py_feature_fold
+
     ces = []
     for t in texts:
-        ws = py_words(t)
-        n = len(ws) + max(len(ws) - 1, 0)
+        n = py_n_feats(t)
         if n == 0:
             continue
-        uni = 0.0
-        for w in ws:
-            uni = uni + lp_tgt_r[uni_bucket(w)]
-        bi = 0.0
-        for a, b in zip(ws, ws[1:]):
-            bi = bi + lp_tgt_r[bi_bucket(a, b)]
-        ces.append(-(uni + bi) / n)
+        ces.append(-py_feature_fold(t, tuple(lp_tgt_r)) / n)
     ces.sort()
     lo = round(ces[len(ces) // 3], 6)
     hi = round(ces[(2 * len(ces)) // 3], 6)
