@@ -231,6 +231,33 @@ def crawl_curation_funnel(
     Scale: two map-combined hash aggregations + one broadcast-able
     kept-set join; extraction and the classifier are codegen'd
     projection work between them."""
+    gated = curation_gated(d, frontier_key, classifier_gate)
+    kept = gated.groupBy("h").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id", F.lit(True).alias("is_kept")
+    )
+    return (
+        gated.join(kept, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gated"),
+            F.sum(
+                F.when(F.col("is_kept"), 1).otherwise(0)
+            ).cast("long").alias("n_kept"),
+        )
+    )
+
+
+def curation_gated(
+    d: DataFrame,
+    frontier_key: Column,
+    classifier_gate: Column | None = None,
+) -> DataFrame:
+    """Stages 1–3 of the curation chain (frontier dedup, extraction,
+    rule gate, optional classifier gate) as the shared body — returns
+    the gated documents ``(doc_id, source, txt, h)`` before content
+    dedup. Both :func:`crawl_curation_funnel` (the per-source summary)
+    and :func:`curation_kept_docs` (the survivor frame downstream
+    stages consume) build on this one chain."""
     frontier = (
         d.select(
             "doc_id",
@@ -255,19 +282,24 @@ def crawl_curation_funnel(
     gate = (F.col("ratio") >= 0.5) & (F.length("txt") >= 100)
     if classifier_gate is not None:
         gate = gate & classifier_gate
-    gated = ex.filter(gate).select(
-        "doc_id", "source", F.md5(F.col("txt")).alias("h")
+    return ex.filter(gate).select(
+        "doc_id", "source", "txt", F.md5(F.col("txt")).alias("h")
     )
+
+
+def curation_kept_docs(
+    d: DataFrame,
+    frontier_key: Column,
+    classifier_gate: Column | None = None,
+) -> DataFrame:
+    """The curation chain's SURVIVORS ``(doc_id, source, txt)`` —
+    gated documents minus exact-content duplicates (min-id
+    representative per extracted-text md5). This is the frame a
+    selection stage (DSIR, token-budget) consumes after curation.
+    Scale: same two hash aggregations as the funnel summary; the
+    kept-set join key is the 16-byte md5 group's min id."""
+    gated = curation_gated(d, frontier_key, classifier_gate)
     kept = gated.groupBy("h").agg(F.min("doc_id").alias("doc_id")).select(
-        "doc_id", F.lit(True).alias("is_kept")
+        "doc_id"
     )
-    return (
-        gated.join(kept, "doc_id", "left")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_gated"),
-            F.sum(
-                F.when(F.col("is_kept"), 1).otherwise(0)
-            ).cast("long").alias("n_kept"),
-        )
-    )
+    return gated.join(kept, "doc_id").select("doc_id", "source", "txt")

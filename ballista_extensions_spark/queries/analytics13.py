@@ -161,3 +161,90 @@ def dsir_selection_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_selected"),
         )
     )
+
+
+def _dsir_funnel_oracle() -> str:
+    from ballista_extensions_spark.operators.qualityclassifier import (
+        quality_logit_sql_duckdb,
+    )
+    from ballista_extensions_spark.queries.analytics10 import (
+        _HTML_PAGE_SQL,
+        _HTML_TEXT_SQL,
+    )
+
+    ws = words_sql_duckdb("txt")
+    return f"""
+    WITH urls AS (
+      SELECT doc_id,
+             'Site' || CAST(doc_id % 50 AS VARCHAR)
+             || '.example.com/articles/'
+             || CAST(doc_id % 100 AS VARCHAR) AS norm_host_path
+      FROM documents),
+    frontier AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM urls GROUP BY lower(norm_host_path)),
+    survivors AS (
+      SELECT d.doc_id AS doc_id, d.text AS text, d.source AS source
+      FROM documents d JOIN frontier f ON f.doc_id = d.doc_id),
+    pages AS (
+      SELECT doc_id, source, {_HTML_PAGE_SQL} AS html FROM survivors),
+    ex AS (
+      SELECT doc_id, source, {_HTML_TEXT_SQL} AS txt,
+             CAST(length({_HTML_TEXT_SQL}) AS DOUBLE)
+               / CAST(length(html) AS DOUBLE) AS ratio
+      FROM pages),
+    gated AS (
+      SELECT doc_id, source, txt, md5(txt) AS h
+      FROM ex WHERE ratio >= 0.5 AND length(txt) >= 100
+        AND {quality_logit_sql_duckdb("txt")} >= 0),
+    kept AS (
+      SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY h),
+    keptdocs AS (
+      SELECT g.doc_id AS doc_id, g.source AS source, g.txt AS txt
+      FROM gated g JOIN kept k ON k.doc_id = g.doc_id),
+    w AS (
+      SELECT doc_id, source, {ws} AS ws FROM keptdocs)
+    SELECT doc_id, source, {_FOLD_DUCK} AS logweight
+    FROM w
+    ORDER BY logweight DESC, doc_id
+    LIMIT 50
+    """
+
+
+@register("curation_pipeline_dsir", oracle=_dsir_funnel_oracle())
+def curation_pipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the curation story: the full composed chain —
+    frontier dedup, HTML extraction, rule gate, the frozen classifier
+    gate, exact content dedup — and then DSIR selection over the
+    SURVIVORS (top-50 by importance weight over the extracted text),
+    i.e. frontier -> extract -> gate -> model gate -> dedup -> select,
+    the stage order DCLM/CCNet pipelines run. One body:
+    webprep.curation_kept_docs feeding dsir.dsir_logweights; the
+    oracle replays every stage AND the fold bit-for-bit, so the hash
+    proves the composed pipeline end-to-end with both frozen models
+    inline. Scale: two hash aggregations (frontier, dedup) + narrow
+    projections + TakeOrderedAndProject — no stage the funnel alone
+    does not already pay."""
+    from ballista_extensions_spark.operators.dsir import dsir_logweights
+    from ballista_extensions_spark.operators.qualityclassifier import (
+        quality_logit_sql,
+    )
+    from ballista_extensions_spark.operators.webprep import (
+        curation_kept_docs,
+        docs_fixture_frontier_key,
+    )
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    survivors = curation_kept_docs(
+        d,
+        docs_fixture_frontier_key(),
+        classifier_gate=F.expr(quality_logit_sql("txt")) >= 0,
+    )
+    w = dsir_logweights(survivors, text_col="txt").join(
+        survivors.select("doc_id", "source"), "doc_id"
+    )
+    return (
+        w.select("doc_id", "source", "logweight")
+        .orderBy(F.col("logweight").desc(), F.col("doc_id"))
+        .limit(50)
+    )

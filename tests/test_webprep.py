@@ -128,3 +128,26 @@ def test_html_text_multiline_and_uppercase_boilerplate(spark):
         "<FOOTER>\nfoot\n</FOOTER></BODY></HTML>"
     )
     assert _one(spark, html_text, html) == "real content"
+
+
+def test_curation_kept_docs_consistent_with_funnel(spark):
+    """The survivor frame and the funnel summary are the same chain:
+    total kept docs == sum(n_kept), survivors are unique by doc_id,
+    and every survivor's extracted text is distinct (exact dedup
+    held)."""
+    from ballista_extensions_spark.io import load_table
+    from ballista_extensions_spark.operators.webprep import (
+        crawl_curation_funnel,
+        curation_kept_docs,
+        docs_fixture_frontier_key,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    key = docs_fixture_frontier_key()
+    summary = crawl_curation_funnel(d, key).collect()
+    kept = curation_kept_docs(d, key).collect()
+    assert len(kept) == sum(r["n_kept"] for r in summary)
+    ids = [r["doc_id"] for r in kept]
+    assert len(ids) == len(set(ids))
+    txts = [r["txt"] for r in kept]
+    assert len(txts) == len(set(txts))
