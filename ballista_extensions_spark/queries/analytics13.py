@@ -55,11 +55,13 @@ def dsir_importance_weights(
     """Per-document DSIR importance log-weight under the frozen
     target/raw hashed bigram models (operators/dsir.py): ``Σ_f
     count_f(doc) · (log p_t(f) − log p_r(f))`` — the paper's §3
-    estimator with the quality-gate slice as target. One narrow
-    codegen'd projection: cost ∝ corpus tokens, ZERO shuffle, no
-    driver state, no UDF; the 1024-double ratio table rides the plan
-    as one array literal. NULL/empty documents fold to weight 0.0 in
-    both engines (no tokens — no evidence)."""
+    estimator with the quality-gate slice as target. Two stacked
+    narrow projections (tokenize ONCE into a materialized array
+    column, then one struct-accumulator fold — plan-asserted single
+    regexp_replace): cost ∝ corpus tokens, ZERO shuffle, no driver
+    state, no UDF; the 1024-double ratio table rides the plan as one
+    array literal. NULL/empty documents fold to weight 0.0 in both
+    engines (no tokens — no evidence)."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return dsir_logweights(d)
 

@@ -156,15 +156,20 @@ def test_stopword_heavy_doc_outranks_junk(spark):
 
 
 def test_plan_shapes(spark):
-    """Scoring is one narrow projection (zero Exchange); selection is
-    TakeOrderedAndProject (per-partition top-k, no global sort
-    shuffle)."""
+    """Scoring is projection-only (zero operator Exchange); selection
+    is TakeOrderedAndProject (per-partition top-k, no global sort
+    shuffle); and the tokenization runs ONCE — CollapseProject must
+    NOT re-inline the non-cheap split into its multiple downstream
+    references (the re-inlined indexed-lambda form was the round-13
+    60x quadratic)."""
     df = _df(spark).repartition(4)
     scored = D.dsir_logweights(df)
     plan = scored._jdf.queryExecution().executedPlan().toString()
     # the repartition Exchange is the input's, not the operator's:
     # everything above the scan is projection-only
     assert plan.count("Exchange") <= 1
+    opt = scored._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("regexp_replace") == 1
     sel = D.dsir_select(df, 5)
     splan = sel._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in splan
