@@ -484,10 +484,30 @@ def token_budget_select(
             F.lit(buckets - 1),
         ),
     )
+    return _histogram_prefix(scored, budget, id_col, "n_tokens", "score")
+
+
+def _histogram_prefix(
+    scored: DataFrame,
+    budget: int,
+    id_col: str,
+    cost_col: str,
+    score_col: str,
+) -> DataFrame:
+    """The shared boundary-bucket budget-prefix core over a
+    materialized frame that already carries a monotone score-bucket
+    column ``__b`` (higher bucket — never-lower score): one histogram
+    collect (<= `buckets` rows of driver state), then only the
+    boundary bucket's rows are ordered via the range-partitioned
+    distributed prefix."""
+    from ballista_extensions_spark.operators.prefix import (
+        distributed_cumsum,
+    )
+
     hist = {
         r["__b"]: r["m"]
         for r in scored.groupBy("__b")
-        .agg(F.sum("n_tokens").alias("m"))
+        .agg(F.sum(cost_col).alias("m"))
         .collect()
     }  # <= `buckets` rows of driver state, independent of corpus size
     acc, bstar = 0, None
@@ -498,7 +518,7 @@ def token_budget_select(
         acc += hist[b]
     if bstar is None:
         # the whole corpus fits the budget
-        return scored.select(id_col, "n_tokens", "score")
+        return scored.select(id_col, cost_col, score_col)
     # bucket invariants: mass(__b > b*) = acc <= budget (accepted
     # outright); mass(__b >= b*) > budget, so nothing below b* can
     # ever be reached by the prefix — bucket b* is the complete
@@ -510,15 +530,58 @@ def token_budget_select(
     # window even when the band degenerates to the whole corpus
     band_sel = (
         distributed_cumsum(
-            band.withColumn("__ns", -F.col("score")),
+            band.withColumn("__ns", -F.col(score_col)),
             ["__ns", id_col],
-            "n_tokens",
+            cost_col,
             out_col="__cum",
         )
         .filter(F.col("__cum") + F.lit(int(acc)) <= budget)
         .drop("__cum", "__ns")
     )
-    return base.unionByName(band_sel).select(id_col, "n_tokens", "score")
+    return base.unionByName(band_sel).select(id_col, cost_col, score_col)
+
+
+def budget_prefix_select(
+    scored: DataFrame,
+    budget: int,
+    *,
+    id_col: str = "doc_id",
+    cost_col: str = "n_tokens",
+    score_col: str = "score",
+    buckets: int = 4096,
+) -> DataFrame:
+    """Budget-prefix selection over a PRE-SCORED frame with an
+    arbitrary-range score (token_budget_select's scalable core,
+    generalized): keep the best-scoring rows whose cumulative
+    ``cost_col`` fits ``budget``, ties by (score DESC, id). The
+    bucketing normalizes by the observed [min, max] — one extra
+    2-double aggregate of driver state; any monotone bucketing
+    preserves exactness because correctness comes from the
+    boundary-band prefix, not the bucket boundaries. This is the form
+    that selects 'the best 1T tokens by importance weight' at 100 TB:
+    histogram + boundary band, no global sort, driver state <=
+    buckets rows."""
+    scored = scored.localCheckpoint()
+    row = scored.agg(
+        F.min(score_col).alias("lo"), F.max(score_col).alias("hi")
+    ).collect()[0]
+    if row["lo"] is None:
+        return scored.select(id_col, cost_col, score_col)  # empty input
+    lo, hi = float(row["lo"]), float(row["hi"])
+    if hi > lo:
+        b = F.least(
+            F.floor(
+                (F.col(score_col) - F.lit(lo))
+                / F.lit(hi - lo)
+                * buckets
+            ).cast("long"),
+            F.lit(buckets - 1),
+        )
+    else:
+        b = F.lit(0).cast("long")  # degenerate: all-tie band
+    return _histogram_prefix(
+        scored.withColumn("__b", b), budget, id_col, cost_col, score_col
+    )
 
 
 def compression_stats(

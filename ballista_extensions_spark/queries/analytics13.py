@@ -250,3 +250,61 @@ def curation_pipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("logweight").desc(), F.col("doc_id"))
         .limit(50)
     )
+
+
+@register(
+    "dsir_token_budget_selection",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+               AS n_tokens,
+             {_WS_DUCK} AS ws
+      FROM documents WHERE text IS NOT NULL),
+    scored AS (
+      SELECT doc_id, n_tokens, {_FOLD_DUCK} AS logweight FROM w),
+    ranked AS (
+      SELECT doc_id, n_tokens, logweight,
+             SUM(n_tokens) OVER (ORDER BY logweight DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM scored)
+    SELECT doc_id, n_tokens, logweight
+    FROM ranked WHERE cum <= 15000
+    """,
+)
+def dsir_token_budget_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE pretraining selection semantics: 'give me the best 15k
+    tokens by importance weight' — DSIR log-weights as the score,
+    whitespace token counts as the cost, selected as the exact budget
+    prefix under (logweight DESC, doc_id) order. Composition of the
+    two scalable primitives: dsir_logweights (zero-shuffle scoring)
+    feeding text.budget_prefix_select (min-max-normalized score
+    histogram + boundary-band distributed prefix — exact incl. ties,
+    no global sort, driver state <= 4096 buckets + 2 doubles). This
+    is the selection form that replaces top-k when k is 'hundreds of
+    millions of documents' — the oracle replays the running-total
+    window semantics over the identical fold."""
+    from ballista_extensions_spark.operators.dsir import dsir_logweights
+    from ballista_extensions_spark.operators.text import (
+        budget_prefix_select,
+        tokens,
+    )
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+    )
+    scored = dsir_logweights(d).drop("n_feats").join(
+        d.select(
+            "doc_id", F.size(tokens(F.col("text"))).cast("long").alias(
+                "n_tokens"
+            )
+        ),
+        "doc_id",
+    )
+    return budget_prefix_select(
+        scored, 15000, cost_col="n_tokens", score_col="logweight"
+    )

@@ -188,3 +188,57 @@ def test_token_budget_select_null_text_excluded(spark):
         f = sorted(r["doc_id"] for r in fast.collect())
         assert e == f == want, (budget, e, f)
         assert sum(r["n_tokens"] for r in fast.collect()) <= budget
+
+
+def test_budget_prefix_select_arbitrary_scores(spark):
+    """The generalized budget prefix (round 13) must match a naive
+    (score DESC, id) running-total prefix for arbitrary-range scores:
+    negative values, non-[0,1] magnitudes, and a tie block straddling
+    the boundary."""
+    from ballista_extensions_spark.operators.text import (
+        budget_prefix_select,
+    )
+
+    rows = [
+        # (doc_id, cost, score) — scores deliberately negative/large,
+        # with a 5-way tie at -2.5 that straddles any small budget
+        (0, 5, 12.75), (1, 3, -0.5), (2, 4, 12.75), (3, 2, 100.0),
+        (4, 6, -2.5), (5, 1, -2.5), (6, 2, -2.5), (7, 3, -2.5),
+        (8, 2, -2.5), (9, 4, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, score double"
+    ).repartition(4)
+    order = sorted(rows, key=lambda r: (-r[2], r[0]))
+    for budget in (2, 11, 14, 18, 33):
+        got = sorted(
+            r["doc_id"]
+            for r in budget_prefix_select(df, budget, buckets=8).collect()
+        )
+        want, acc = [], 0
+        for i, c, _ in order:
+            if acc + c > budget:
+                break
+            want.append(i)
+            acc += c
+        assert got == sorted(want), (budget, got, want)
+
+
+def test_budget_prefix_select_degenerate_and_empty(spark):
+    """All-tie scores (hi == lo) fall into one band ordered by id;
+    an empty input returns empty without erroring on the min/max
+    collect."""
+    from ballista_extensions_spark.operators.text import (
+        budget_prefix_select,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 4, 7.5) for i in range(20)],
+        "doc_id long, n_tokens long, score double",
+    )
+    got = sorted(
+        r["doc_id"] for r in budget_prefix_select(df, 10).collect()
+    )
+    assert got == [0, 1]  # 2 docs x 4 <= 10, id order within the tie
+    empty = budget_prefix_select(df.filter("doc_id < 0"), 10)
+    assert empty.count() == 0
