@@ -758,3 +758,41 @@ def test_url_normalize_is_idempotent_and_canonical(spark, urls):
         assert host == host.lower() and not host.startswith("www.")
         path = rest[hostend:].split("?")[0]
         assert not path.endswith("/") or path == ""
+
+
+@SETTINGS
+@given(texts=st.lists(TEXTS, min_size=1, max_size=20))
+def test_dsir_fold_python_duckdb_spark_parity(spark, texts):
+    """Three-engine bit-parity of the DSIR feature fold over
+    GENERATED text (including unicode up to U+02FF, whitespace runs,
+    empties) — the property every analytics13 oracle rests on. One
+    Spark job per example batch."""
+    import duckdb
+
+    from ballista_extensions_spark.operators import dsir as DS
+
+    py = [DS.py_feature_fold(t, DS.FROZEN_DSIR_RATIOS) for t in texts]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["logweight"]
+        for r in DS.dsir_logweights(df).collect()
+    }
+    assert [got[i] for i in range(len(texts))] == py
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", list(enumerate(texts))
+    )
+    duck = [
+        r[0]
+        for r in con.execute(
+            f"WITH w AS (SELECT doc_id, "
+            f"{DS.words_sql_duckdb('text')} AS ws FROM t) "
+            f"SELECT "
+            f"{DS.feature_fold_sql_duckdb('ws', DS.FROZEN_DSIR_RATIOS)} "
+            f"FROM w ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert duck == py
