@@ -87,6 +87,26 @@ def main() -> None:
 
     from ballista_extensions_spark.plans.metrics import shuffle_totals
 
+    def _calibration_sec() -> float:
+        """Median of 3 runs of a fixed data-independent workload
+        (range aggregation — pure JVM compute, no I/O, no Python):
+        a box-speed anchor recorded with every sweep so cross-round
+        comparisons can normalize machine drift instead of
+        rediscovering it with ad-hoc control panels (round 13
+        measured the same code 1.27x apart on different days)."""
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(0, 1_000_000_000, 1, 32).selectExpr(
+                "sum(id * 3 % 7) AS s"
+            ).collect()
+            ts.append(time.time() - t0)
+        ts.sort()
+        return round(ts[1], 3)
+
+    calibration = _calibration_sec()
+    print(f"# calibration workload: {calibration}s", file=sys.stderr)
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     # Optional subset (quiet-box re-bench of watch items without the
     # full sweep): python bench.py q1 q2 ... — BENCH_FULL.json is NOT
@@ -222,6 +242,7 @@ def main() -> None:
         "errors": errors,
         "tiers": tiers,
         "tier_totals_sec": tier_totals,
+        "calibration_sec": calibration,
         "sf": sf_val,
     }
     if not subset_run:
