@@ -133,7 +133,11 @@ def _chain(seg_sql: str, merges: Merges) -> str:
 
 # How the 384-merge chain breaks every single-expression form — the
 # measured evidence behind "the replace chain cannot reach production
-# vocab sizes" (VERDICT r12 #1), pinned by tests/test_bpe_stream.py:
+# vocab sizes" (VERDICT r12 #1); the DuckDB failure is deterministic
+# and pinned by tests/test_bpe_stream.py, the Spark ones are
+# stack-state-dependent (observed on a fresh session; a JVM thread
+# with more stack headroom can parse 384 — 32k remains far out of
+# reach either way):
 #   * Spark SQL text: FAILED_TO_PARSE_TOO_COMPLEX (SQLSTATE 54001)
 #   * Spark Column API: java.lang.StackOverflowError converting the
 #     384-deep node tree

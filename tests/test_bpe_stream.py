@@ -225,22 +225,25 @@ def test_detok_round_trip_full_vocab(spark):
 
 
 def test_single_expression_chain_depth_failures(spark):
-    """Pin the three measured depth failures that make the applier the
-    only production-viable form (module comment): Spark's SQL parser
-    rejects the 384-deep nested-replace text, and DuckDB's binder
-    rejects it past its 128 recursion cap. (The Column-API
-    StackOverflow is environment-stack-dependent and not pinned.)"""
+    """Pin the DETERMINISTIC depth failure that makes the staged/
+    applier forms the only portable ones: DuckDB's binder rejects the
+    384-deep nested-replace past its 128 recursion cap, always. The
+    Spark-side failures (parser TOO_COMPLEX, Column-API/JVM
+    StackOverflow) are real but STACK-STATE-DEPENDENT in both
+    directions — solo runs raise TOO_COMPLEX while a mid-suite JVM
+    with different thread-stack headroom can even parse and run the
+    same text — so they are observed, not asserted (round-13 flake:
+    `pytest.raises` failed mid-suite because the expression
+    succeeded)."""
     seg = BS._chain(
         BS._frame(BS.stream_string_sql("text"), "spark"),
         BS.FROZEN_STREAM_MERGES,
     )
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
-    # WHICH failure fires is stack-state-dependent (solo runs hit the
-    # parser's TOO_COMPLEX guard; mid-suite the JVM can blow its thread
-    # stack first) — the pinned contract is that the single-expression
-    # form fails at this depth at all, so match any raise
-    with pytest.raises(Exception):
+    try:
         df.selectExpr(f"{seg} AS s").collect()
+    except Exception:
+        pass  # the usual outcome; which error fires is env-dependent
     segd = BS._chain(
         BS._frame(BS.stream_string_sql_duckdb("'a b'"), "duck"),
         BS.FROZEN_STREAM_MERGES,
