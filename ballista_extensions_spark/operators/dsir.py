@@ -263,14 +263,19 @@ def dsir_logweights(
     text_col: str = "text",
     id_col: str = "doc_id",
     ratios: tuple[float, ...] | None = None,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, n_feats, logweight): the DSIR importance log-weight of
-    every document under the frozen target/raw hashed bigram models.
-    Two stacked narrow projections (tokenize once, then fold), no
-    shuffle."""
+    """(doc_id[, keep...], n_feats, logweight): the DSIR importance
+    log-weight of every document under the frozen target/raw hashed
+    bigram models. Two stacked narrow projections (tokenize once,
+    then fold), no shuffle. ``keep`` names input columns carried
+    through the scoring — composition queries pass source/cost
+    columns here instead of re-joining the scored frame back to its
+    own input (which would execute the upstream chain twice)."""
     r = FROZEN_DSIR_RATIOS if ratios is None else ratios
-    return _with_words(docs, text_col, id_col).select(
+    return _with_words(docs, text_col, id_col, *keep).select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.expr(n_feats_sql("__ws")).cast("long").alias("n_feats"),
         F.expr(feature_fold_sql("__ws", r)).alias("logweight"),
     )

@@ -242,9 +242,10 @@ def curation_pipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs_fixture_frontier_key(),
         classifier_gate=F.expr(quality_logit_sql("txt")) >= 0,
     )
-    w = dsir_logweights(survivors, text_col="txt").join(
-        survivors.select("doc_id", "source"), "doc_id"
-    )
+    # source rides THROUGH the scoring (keep=) — re-joining the scored
+    # frame back to `survivors` would execute the whole funnel chain a
+    # second time
+    w = dsir_logweights(survivors, text_col="txt", keep=("source",))
     return (
         w.select("doc_id", "source", "logweight")
         .orderBy(F.col("logweight").desc(), F.col("doc_id"))
@@ -297,13 +298,16 @@ def dsir_token_budget_selection(
             F.col("text").isNotNull()
         )
     )
-    scored = dsir_logweights(d).drop("n_feats").join(
-        d.select(
-            "doc_id", F.size(tokens(F.col("text"))).cast("long").alias(
-                "n_tokens"
-            )
-        ),
+    # n_tokens is computed in the SAME pass and carried through the
+    # scoring (keep=) — one scan, no self-join of the scored frame
+    # back to the corpus
+    with_cost = d.select(
         "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        "text",
+    )
+    scored = dsir_logweights(with_cost, keep=("n_tokens",)).drop(
+        "n_feats"
     )
     return budget_prefix_select(
         scored, 15000, cost_col="n_tokens", score_col="logweight"
