@@ -301,6 +301,48 @@ def dsir_select(
     return w.orderBy(F.col("logweight").desc(), F.col(id_col)).limit(k)
 
 
+def gumbel_key_col(
+    id_col: str, seed: int, logweight_col: str = "logweight"
+):
+    """The Gumbel-perturbed selection key: ``logweight + G`` where
+    ``G = -ln(-ln(u))`` and ``u ∈ (0,1)`` is derived deterministically
+    from ``xxhash64(id, seed)`` (53 mantissa-safe bits, +0.5 offset so
+    u is never 0 or 1). Deterministic per (id, seed); engine-specific
+    (xxhash64 has no DuckDB twin), so queries built on it are
+    rows-only graded and the contract audit hash-grades the
+    invariants."""
+    h = F.pmod(
+        F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 53)
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 53))
+    return F.col(logweight_col) - F.log(-F.log(u))
+
+
+def dsir_gumbel_select(
+    docs: DataFrame,
+    k: int,
+    *,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ratios: tuple[float, ...] | None = None,
+) -> DataFrame:
+    """The paper's ACTUAL resampling (Xie et al. §3): sampling without
+    replacement with probability ∝ exp(logweight), via the Gumbel-max
+    trick — top-k by ``logweight + Gumbel(0,1)`` IS a weighted sample
+    without replacement (Kool et al. 2019, arXiv:1903.06059). The
+    noise is hash-derived so the same (corpus, seed, k) always selects
+    the same set — a reproducible stochastic pipeline, not a seedless
+    one. Plan shape identical to dsir_select: narrow scoring +
+    TakeOrderedAndProject."""
+    if k < 1:
+        raise ValueError(f"dsir_gumbel_select: k must be >= 1, got {k}")
+    w = dsir_logweights(
+        docs, text_col=text_col, id_col=id_col, ratios=ratios
+    ).withColumn("gumbel_key", gumbel_key_col(id_col, seed))
+    return w.orderBy(F.col("gumbel_key").desc(), F.col(id_col)).limit(k)
+
+
 def lm_ce_scores(
     docs: DataFrame,
     *,

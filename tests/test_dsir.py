@@ -173,3 +173,38 @@ def test_plan_shapes(spark):
     sel = D.dsir_select(df, 5)
     splan = sel._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in splan
+
+
+def test_gumbel_select_contracts(spark):
+    """Gumbel-top-k resampler: exact k, deterministic per seed,
+    seed-sensitive, and selected-set keys dominate unselected keys
+    (the Gumbel-max-trick invariant)."""
+    df = _df(spark)
+    a = D.dsir_gumbel_select(df, 3, seed=7)
+    b = D.dsir_gumbel_select(df, 3, seed=7)
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    ids_b = sorted(r["doc_id"] for r in b.collect())
+    assert len(ids_a) == 3 and ids_a == ids_b
+    keys = {
+        r["doc_id"]: r["gumbel_key"]
+        for r in D.dsir_logweights(df)
+        .withColumn("gumbel_key", D.gumbel_key_col("doc_id", 7))
+        .collect()
+    }
+    worst_sel = min(keys[i] for i in ids_a)
+    best_unsel = max(
+        v for i, v in keys.items() if i not in ids_a
+    )
+    assert worst_sel >= best_unsel
+    # a different seed reshuffles the noise; with 7 docs choose 3 the
+    # sets differ for at least one of several seeds
+    assert any(
+        sorted(
+            r["doc_id"]
+            for r in D.dsir_gumbel_select(df, 3, seed=s).collect()
+        )
+        != ids_a
+        for s in (8, 9, 10, 11)
+    )
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        D.dsir_gumbel_select(df, 0)
