@@ -37,6 +37,9 @@ def test_registry_complete():
         # DEFLATE is not ANSI-SQL-expressible; the operator's contract
         # is graded hash-exactly by compression_contract_audit instead
         "compression_quality_stats",
+        # Gumbel noise derives from xxhash64 (no DuckDB twin); the
+        # invariants are graded hash-exactly by dsir_gumbel_audit
+        "dsir_resample_gumbel",
     }
 
 
