@@ -247,7 +247,38 @@ def main() -> None:
         # round-13: DSIR importance scoring (one narrow projection —
         # the aggregate defeats column pruning of the fold expression)
         "dsir_weights": lambda d, e: _dsir(d),
+        # round-13: the full budget-prefix composition (score + min/max
+        # + histogram + boundary-band distributed prefix); budget
+        # scales with the corpus so the boundary work stays comparable
+        "dsir_budget_select": lambda d, e: _dsir_budget(d),
     }
+
+    def _dsir_budget(d):
+        from pyspark.sql import functions as FF
+
+        from ballista_extensions_spark.operators.dsir import (
+            dsir_logweights,
+        )
+        from ballista_extensions_spark.operators.text import (
+            budget_prefix_select,
+            tokens,
+        )
+
+        base = d.filter(FF.col("text").isNotNull())
+        with_cost = base.select(
+            "doc_id",
+            FF.size(tokens(FF.col("text"))).cast("long").alias("n_tokens"),
+            "text",
+        )
+        scored = dsir_logweights(with_cost, keep=("n_tokens",)).drop(
+            "n_feats"
+        )
+        total = scored.agg(FF.sum("n_tokens").alias("t")).collect()[0]["t"]
+        sel = budget_prefix_select(
+            scored, int(total * 0.55),
+            cost_col="n_tokens", score_col="logweight",
+        )
+        return sel.agg(FF.sum("n_tokens").alias("t")).collect()[0]["t"]
 
     def _dsir(d):
         from ballista_extensions_spark.operators.dsir import dsir_logweights
