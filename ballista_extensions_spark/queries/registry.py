@@ -23,97 +23,110 @@ ORACLES: dict[str, str] = {}
 # every query gets a driver-green row instead of the same prefix being
 # re-graded forever.
 #
-# Round-13 rotation (VERDICT r12 directive #4): union of latest green
-# grades r02..r12, EXCLUDING the ROTATION_ORDER cohort below (the
-# queries re-graded this round). After r13's ~50-name window every
-# registered query's latest driver grade is >= r08.
+# Round-14 rotation (VERDICT r13 directive #5): union of latest green
+# grades r02..r13, EXCLUDING the ROTATION_ORDER cohort below (the
+# queries re-graded this round: the full 30-name r08-latest cohort plus
+# the alphabetically-first 14 of the r09 cohort to fill the ~50 window
+# behind this round's never-graded queries). After r14's window every
+# registered query's latest driver grade is >= r09.
 PRIOR_DRIVER_GRADED: frozenset[str] = frozenset({
     "ab_test_value_by_type", "acctbal_zscore_outliers",
-    "agg_argmax_customer", "agg_orders_by_priority", "ann_contract_audit",
-    "ann_hamming_sign_topk", "ann_index_incremental", "array_functions",
-    "asof_join_forward_views", "asof_join_purchases", "audio_decode_meta",
-    "audio_energy_fingerprints", "audio_near_dup_energy",
-    "audio_resample_checksum", "av_demux_meta", "bigram_lm_counts",
-    "bitwise_agg_keys", "bloom_prejoin_revenue", "bpe_merge_candidates",
-    "bpe_tokenize_counts", "brand_year_revenue", "cdc_merge_orders",
-    "chunk_documents", "compression_contract_audit",
-    "compression_quality_stats", "concurrent_open_orders",
-    "contamination_check", "contrastive_pairs", "corpus_shift_by_source",
-    "corpus_snapshot_diff", "corpus_stats_by_lang", "corpus_vocabulary",
-    "crawl_curation_pipeline", "cross_source_dup_matrix", "cube_orders",
-    "cumulative_revenue_scalable", "curation_pipeline_lsh",
-    "curation_pipeline_summary", "custkey_overlap_sketch",
-    "customer_rank_change", "customer_rank_scalable",
-    "customer_rfm_segments_scalable", "dataset_split", "date_functions",
+    "agg_argmax_customer", "agg_orders_by_priority", "ann_cosine_topk",
+    "ann_hamming_sign_topk", "ann_index_incremental", "ann_ivf_topk",
+    "ann_lsh_topk", "ann_recall_report", "asof_join_purchases",
+    "audio_decode_meta", "audio_energy_fingerprints",
+    "audio_near_dup_energy", "audio_resample_checksum", "av_demux_meta",
+    "bloom_prejoin_revenue", "bpe_contract_audit",
+    "bpe_tokenize_counts", "bpe_tokenize_large_vocab",
+    "brand_year_revenue", "cdc_merge_orders", "cdc_two_batch_merge",
+    "compression_contract_audit", "compression_quality_stats",
+    "concurrent_open_orders", "corpus_snapshot_diff",
+    "crawl_curation_pipeline", "crawl_curation_pipeline_classified",
+    "cumulative_revenue_scalable", "curation_pipeline_dsir",
+    "curation_pipeline_lsh", "curation_pipeline_summary",
+    "custkey_overlap_sketch", "customer_order_gap_stats",
+    "customer_percent_rank_scalable", "customer_rank_change",
+    "customer_rank_scalable", "customer_repeat_rate_by_nation",
+    "customer_rfm_segments_demo", "customer_rfm_segments_scalable",
+    "dataset_split", "date_functions", "dedup_components",
     "dedup_exact", "dedup_exact_normalized", "dedup_keep_best",
-    "dedup_near_minhash", "dedup_probabilistic_audit", "dedup_simhash",
+    "dedup_near_minhash", "dedup_probabilistic_audit",
+    "dedup_shrinkage_by_source", "dedup_simhash",
     "deterministic_mode_priority", "distinct_segments_by_nation",
     "doc_char_class_profile", "doc_fingerprint", "doc_length_histogram",
     "docs_quality_quartiles", "domain_mix_resample",
-    "dup_cluster_size_histogram", "edit_distance_neighbors",
-    "embedding_centroids", "embedding_drift_report",
-    "embedding_dup_clusters", "embedding_norms",
-    "embedding_quantize_int8", "event_funnel", "event_transition_matrix",
-    "events_gapfill_hourly", "events_hourly_rollup",
-    "events_json_extract", "events_lag_lead", "events_out_of_order_stats",
-    "events_sessionize", "events_top_hour_per_user",
-    "events_value_mad_anomalies", "exact_span_scrub",
-    "explode_outer_tokens", "explode_unnest", "filtered_agg_orders",
-    "fk_integrity_audit", "group_sample_customers",
-    "grouping_sets_revenue", "heavy_hitter_tokens",
-    "hourly_anomaly_flags", "html_extract_quality",
-    "image_contamination_check", "image_dhash_fingerprints",
-    "image_dup_clusters", "image_near_dup_phash",
-    "image_signature_store_incremental", "incremental_dedup",
-    "incremental_near_dup_lsh", "join_cross", "join_full_outer",
-    "join_inner", "join_left_agg", "join_left_anti", "join_left_mark",
-    "join_left_semi", "join_right", "join_right_anti", "join_right_semi",
-    "key_skew_report", "knn_label_accuracy", "lang_id_heuristic",
-    "lateral_top_customers", "latest_event_per_user",
-    "lineitem_price_equidepth_hist", "mad_order_prices",
-    "media_kind_routing", "media_mixed_decode", "median_order_price",
+    "dsir_gumbel_audit", "dsir_importance_weights",
+    "dsir_resample_gumbel", "dsir_select_topk", "dsir_selection_shift",
+    "dsir_token_budget_selection", "dup_cluster_size_histogram",
+    "edit_distance_neighbors", "embedding_centroids",
+    "embedding_drift_report", "embedding_dup_clusters",
+    "embedding_norms", "embedding_quantize_int8", "event_funnel",
+    "event_transition_matrix", "events_gapfill_hourly",
+    "events_hourly_rollup", "events_json_extract", "events_lag_lead",
+    "events_out_of_order_stats", "events_sessionize",
+    "events_top_hour_per_user", "events_value_mad_anomalies",
+    "exact_span_scrub", "explode_outer_tokens", "explode_unnest",
+    "filtered_agg_orders", "fk_integrity_audit",
+    "group_sample_customers", "grouping_sets_revenue",
+    "heavy_hitter_tokens", "hourly_anomaly_flags",
+    "html_extract_quality", "image_contamination_check",
+    "image_dhash_fingerprints", "image_dup_clusters",
+    "image_near_dup_phash", "image_signature_store_incremental",
+    "incremental_dedup", "incremental_near_dup_lsh", "join_cross",
+    "join_full_outer", "join_inner", "join_left_agg", "join_left_anti",
+    "join_left_mark", "join_left_semi", "join_right", "join_right_anti",
+    "join_right_semi", "key_skew_report", "knn_label_accuracy",
+    "lang_id_heuristic", "lateral_top_customers",
+    "latest_event_per_user", "lineitem_price_equidepth_hist",
+    "lm_ce_quality_buckets", "mad_order_prices", "media_kind_routing",
+    "media_mixed_decode", "median_order_price",
     "multimodal_binary_meta", "multimodal_decode_jpeg",
     "multimodal_decode_meta", "multimodal_decode_png",
-    "multimodal_decode_real", "near_dup_lsh_verified",
+    "multimodal_decode_real", "near_dup_char_ngram",
+    "near_dup_lsh_verified", "near_dup_pairs_exact",
     "near_dup_threshold_sweep", "ngram_novelty_scores",
-    "null_and_regex_functions", "null_safe_arithmetic",
-    "null_safe_join_segments", "orderkey_islands", "orders_priority_scd2",
-    "orders_running_share", "pack_token_bins", "pagerank_trade_graph",
-    "percentile_disc_prices", "phrase_locate_spans", "pii_scrub",
+    "ntile_customer_quartiles", "null_and_regex_functions",
+    "null_safe_arithmetic", "null_safe_join_segments",
+    "orderkey_islands", "orders_priority_scd2",
+    "orders_rolling_7d_revenue", "orders_running_share",
+    "pack_token_bins", "pagerank_trade_graph",
+    "part_price_size_skyline", "percentile_disc_prices",
+    "phrase_locate_spans", "pii_scrub", "pit_priority_revenue",
     "pivot_segment_revenue", "posexplode_tokens",
     "pretrain_mixture_pipeline", "price_buckets",
     "price_percentiles_scalable", "price_quantile_sketch_rollup",
-    "profile_documents", "q13_customer_order_distribution",
-    "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q18_large_orders",
-    "q19_disjunctive_revenue", "q20_excess_suppliers",
-    "q21_waiting_suppliers", "q22_global_sales_opportunity",
-    "q2_cheapest_supplier", "q7_nation_volume", "q8_market_share",
-    "q9_product_profit", "quality_filter_chain", "range_join_bursts",
-    "rare_token_fraction", "repetition_stats", "retention_cohorts",
+    "profile_documents", "proportional_token_allocation",
+    "pyudf_text_metrics", "q10_returned_items",
+    "q14_promo_revenue_share", "q1_pricing_summary",
+    "q3_shipping_priority", "q4_order_priority_exists",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "quality_classifier_scores", "quality_filter_chain",
+    "range_join_bursts", "rare_token_fraction", "repetition_stats",
+    "retention_cohorts", "revenue_gini_customers",
     "revenue_trend_by_segment", "rollup_revenue", "salted_join_revenue",
-    "sample_by_segment", "sample_contract_audit", "sample_lineitem",
-    "scan_project_alias", "semantic_dedup_cells", "session_funnel",
+    "sample_by_segment", "sample_lineitem", "scan_project_alias",
+    "semantic_dedup_cells", "session_funnel",
     "set_except_all_lineitems", "set_except_nations",
     "set_intersect_all_keys", "set_intersect_nations",
-    "set_union_nations", "shipping_delay_deciles_by_priority",
-    "signature_store_incremental", "sketch_contract_audit",
+    "set_union_nations", "signature_store_incremental",
     "sketch_distinct_users", "sketch_rollup_custkeys",
     "sliding_hour_value_sums", "sort_limit_expensive_orders",
     "source_lang_crosstab", "source_quality_stats", "span_dedup_report",
-    "split_leakage_audit", "stats_corr_covar",
+    "stats_corr_covar", "streaming_dedup_replay",
+    "streaming_gapfill_replay", "streaming_heavy_hitters_replay",
     "streaming_media_dedup_replay", "streaming_phash_store_replay",
-    "streaming_sigstore_replay", "string_agg_segments",
-    "string_functions", "temperature_sampling_weights", "tfidf_top_terms",
+    "streaming_semdedup_replay", "streaming_sigstore_replay",
+    "string_agg_segments", "string_functions", "supplier_pareto_8020",
+    "text_stats_quality", "text_token_count", "text_token_count_bpe",
     "token_budget_selection_demo", "token_budget_selection_scalable",
-    "token_cooccurrence_topk", "token_len_quartiles_by_lang",
-    "token_length_histogram", "top_decile_docs", "unpivot_balances",
+    "token_cooccurrence_topk", "token_length_histogram",
+    "tokenizer_fertility_by_lang", "unpivot_balances",
     "url_frontier_dedup", "video_decode_meta", "video_frame_sample",
     "video_keyframe_fingerprints", "video_near_dup_keyframe",
-    "weighted_sample_parts", "window_rank_family",
-    "window_running_totals", "window_top3_orders_per_customer",
-    "window_value_functions", "year_over_year_revenue",
-    "year_spine_order_counts"
+    "weighted_median_price", "weighted_sample_parts",
+    "window_rank_family", "window_running_totals",
+    "window_top3_orders_per_customer", "winsorized_mean_price",
+    "year_over_year_revenue", "year_spine_order_counts"
 })
 
 
@@ -170,42 +183,49 @@ def register(name: str, oracle: str | None = None):
 # surface first.
 EVER_DRIVER_GRADED: frozenset[str] = frozenset({
     "ab_test_value_by_type", "acctbal_zscore_outliers",
-    "agg_argmax_customer", "agg_orders_by_priority", "ann_contract_audit",
-    "ann_cosine_topk", "ann_hamming_sign_topk", "ann_index_incremental",
-    "ann_ivf_topk", "ann_lsh_topk", "ann_recall_report",
-    "array_functions", "asof_join_forward_views", "asof_join_purchases",
-    "audio_decode_meta", "audio_energy_fingerprints",
-    "audio_near_dup_energy", "audio_resample_checksum", "av_demux_meta",
-    "bigram_lm_counts", "bitwise_agg_keys", "bloom_prejoin_revenue",
-    "bpe_merge_candidates", "bpe_tokenize_counts", "brand_year_revenue",
+    "agg_argmax_customer", "agg_orders_by_priority",
+    "ann_contract_audit", "ann_cosine_topk", "ann_hamming_sign_topk",
+    "ann_index_incremental", "ann_ivf_topk", "ann_lsh_topk",
+    "ann_recall_report", "array_functions", "asof_join_forward_views",
+    "asof_join_purchases", "audio_decode_meta",
+    "audio_energy_fingerprints", "audio_near_dup_energy",
+    "audio_resample_checksum", "av_demux_meta", "bigram_lm_counts",
+    "bitwise_agg_keys", "bloom_prejoin_revenue", "bpe_contract_audit",
+    "bpe_merge_candidates", "bpe_tokenize_counts",
+    "bpe_tokenize_large_vocab", "brand_year_revenue",
     "cdc_merge_orders", "cdc_two_batch_merge", "chunk_documents",
     "compression_contract_audit", "compression_quality_stats",
-    "concurrent_open_orders", "contamination_check", "contrastive_pairs",
-    "corpus_shift_by_source", "corpus_snapshot_diff",
-    "corpus_stats_by_lang", "corpus_vocabulary",
-    "crawl_curation_pipeline", "cross_source_dup_matrix", "cube_orders",
-    "cumulative_revenue_scalable", "curation_pipeline_lsh",
-    "curation_pipeline_summary", "custkey_overlap_sketch",
-    "customer_order_gap_stats", "customer_percent_rank_scalable",
-    "customer_rank_change", "customer_rank_scalable",
-    "customer_repeat_rate_by_nation", "customer_rfm_segments_demo",
-    "customer_rfm_segments_scalable", "dataset_split", "date_functions",
-    "dedup_components", "dedup_exact", "dedup_exact_normalized",
-    "dedup_keep_best", "dedup_near_minhash", "dedup_probabilistic_audit",
+    "concurrent_open_orders", "contamination_check",
+    "contrastive_pairs", "corpus_shift_by_source",
+    "corpus_snapshot_diff", "corpus_stats_by_lang", "corpus_vocabulary",
+    "crawl_curation_pipeline", "crawl_curation_pipeline_classified",
+    "cross_source_dup_matrix", "cube_orders",
+    "cumulative_revenue_scalable", "curation_pipeline_dsir",
+    "curation_pipeline_lsh", "curation_pipeline_summary",
+    "custkey_overlap_sketch", "customer_order_gap_stats",
+    "customer_percent_rank_scalable", "customer_rank_change",
+    "customer_rank_scalable", "customer_repeat_rate_by_nation",
+    "customer_rfm_segments_demo", "customer_rfm_segments_scalable",
+    "dataset_split", "date_functions", "dedup_components",
+    "dedup_exact", "dedup_exact_normalized", "dedup_keep_best",
+    "dedup_near_minhash", "dedup_probabilistic_audit",
     "dedup_shrinkage_by_source", "dedup_simhash",
     "deterministic_mode_priority", "distinct_segments_by_nation",
     "doc_char_class_profile", "doc_fingerprint", "doc_length_histogram",
     "docs_quality_quartiles", "domain_mix_resample",
-    "dup_cluster_size_histogram", "edit_distance_neighbors",
-    "embedding_centroids", "embedding_drift_report",
-    "embedding_dup_clusters", "embedding_near_dup", "embedding_norms",
-    "embedding_quantize_int8", "event_funnel", "event_transition_matrix",
-    "events_gapfill_hourly", "events_hourly_rollup",
-    "events_json_extract", "events_lag_lead", "events_out_of_order_stats",
-    "events_sessionize", "events_top_hour_per_user",
-    "events_user_p95_value", "events_value_mad_anomalies",
-    "exact_span_scrub", "explode_outer_tokens", "explode_unnest",
-    "filtered_agg_orders", "fk_integrity_audit", "group_sample_customers",
+    "dsir_gumbel_audit", "dsir_importance_weights",
+    "dsir_resample_gumbel", "dsir_select_topk", "dsir_selection_shift",
+    "dsir_token_budget_selection", "dup_cluster_size_histogram",
+    "edit_distance_neighbors", "embedding_centroids",
+    "embedding_drift_report", "embedding_dup_clusters",
+    "embedding_near_dup", "embedding_norms", "embedding_quantize_int8",
+    "event_funnel", "event_transition_matrix", "events_gapfill_hourly",
+    "events_hourly_rollup", "events_json_extract", "events_lag_lead",
+    "events_out_of_order_stats", "events_sessionize",
+    "events_top_hour_per_user", "events_user_p95_value",
+    "events_value_mad_anomalies", "exact_span_scrub",
+    "explode_outer_tokens", "explode_unnest", "filtered_agg_orders",
+    "fk_integrity_audit", "group_sample_customers",
     "grouping_sets_revenue", "heavy_hitter_tokens",
     "hourly_anomaly_flags", "html_extract_quality",
     "image_contamination_check", "image_dhash_fingerprints",
@@ -213,24 +233,27 @@ EVER_DRIVER_GRADED: frozenset[str] = frozenset({
     "image_signature_store_incremental", "incremental_dedup",
     "incremental_near_dup_lsh", "join_cross", "join_full_outer",
     "join_inner", "join_left_agg", "join_left_anti", "join_left_mark",
-    "join_left_semi", "join_right", "join_right_anti", "join_right_semi",
-    "key_skew_report", "knn_label_accuracy", "lang_diversity_by_source",
-    "lang_id_heuristic", "lateral_top_customers", "latest_event_per_user",
-    "lineitem_price_equidepth_hist", "mad_order_prices",
-    "media_kind_routing", "media_mixed_decode", "median_order_price",
-    "multimodal_binary_meta", "multimodal_decode_jpeg",
-    "multimodal_decode_meta", "multimodal_decode_png",
-    "multimodal_decode_real", "near_dup_char_ngram",
-    "near_dup_lsh_verified", "near_dup_pairs_exact",
-    "near_dup_threshold_sweep", "ngram_novelty_scores",
-    "ntile_customer_quartiles", "null_and_regex_functions",
-    "null_safe_arithmetic", "null_safe_join_segments", "orderkey_islands",
+    "join_left_semi", "join_right", "join_right_anti",
+    "join_right_semi", "key_skew_report", "knn_label_accuracy",
+    "lang_diversity_by_source", "lang_id_heuristic",
+    "lateral_top_customers", "latest_event_per_user",
+    "lineitem_price_equidepth_hist", "lm_ce_quality_buckets",
+    "mad_order_prices", "media_kind_routing", "media_mixed_decode",
+    "median_order_price", "multimodal_binary_meta",
+    "multimodal_decode_jpeg", "multimodal_decode_meta",
+    "multimodal_decode_png", "multimodal_decode_real",
+    "near_dup_char_ngram", "near_dup_lsh_verified",
+    "near_dup_pairs_exact", "near_dup_threshold_sweep",
+    "ngram_novelty_scores", "ntile_customer_quartiles",
+    "null_and_regex_functions", "null_safe_arithmetic",
+    "null_safe_join_segments", "orderkey_islands",
     "orders_interarrival_median", "orders_priority_scd2",
     "orders_rolling_7d_revenue", "orders_running_share",
-    "orders_seasonality_index", "pack_token_bins", "pagerank_trade_graph",
-    "part_price_size_skyline", "percentile_disc_prices",
-    "phrase_locate_spans", "pii_density_by_source", "pii_scrub",
-    "pit_priority_revenue", "pivot_segment_revenue", "posexplode_tokens",
+    "orders_seasonality_index", "pack_token_bins",
+    "pagerank_trade_graph", "part_price_size_skyline",
+    "percentile_disc_prices", "phrase_locate_spans",
+    "pii_density_by_source", "pii_scrub", "pit_priority_revenue",
+    "pivot_segment_revenue", "posexplode_tokens",
     "pretrain_mixture_pipeline", "price_buckets",
     "price_percentiles_scalable", "price_quantile_sketch_rollup",
     "profile_documents", "proportional_token_allocation",
@@ -242,8 +265,9 @@ EVER_DRIVER_GRADED: frozenset[str] = frozenset({
     "q20_excess_suppliers", "q21_waiting_suppliers",
     "q22_global_sales_opportunity", "q2_cheapest_supplier",
     "q3_shipping_priority", "q4_order_priority_exists",
-    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_nation_volume",
-    "q8_market_share", "q9_product_profit", "quality_filter_chain",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "quality_classifier_scores", "quality_filter_chain",
     "range_join_bursts", "rare_token_fraction", "repetition_stats",
     "retention_cohorts", "revenue_gini_customers",
     "revenue_trend_by_segment", "rollup_revenue", "salted_join_revenue",
@@ -259,14 +283,15 @@ EVER_DRIVER_GRADED: frozenset[str] = frozenset({
     "split_leakage_audit", "stats_corr_covar", "streaming_dedup_replay",
     "streaming_gapfill_replay", "streaming_heavy_hitters_replay",
     "streaming_media_dedup_replay", "streaming_phash_store_replay",
-    "streaming_sigstore_replay", "string_agg_segments",
-    "string_functions", "supplier_pareto_8020",
+    "streaming_semdedup_replay", "streaming_sigstore_replay",
+    "string_agg_segments", "string_functions", "supplier_pareto_8020",
     "temperature_sampling_weights", "text_stats_quality",
     "text_token_count", "text_token_count_bpe", "tfidf_top_terms",
     "token_budget_selection_demo", "token_budget_selection_scalable",
     "token_cooccurrence_topk", "token_len_quartiles_by_lang",
-    "token_length_histogram", "top_decile_docs", "unpivot_balances",
-    "url_frontier_dedup", "video_decode_meta", "video_frame_sample",
+    "token_length_histogram", "tokenizer_fertility_by_lang",
+    "top_decile_docs", "unpivot_balances", "url_frontier_dedup",
+    "video_decode_meta", "video_frame_sample",
     "video_keyframe_fingerprints", "video_near_dup_keyframe",
     "weighted_median_price", "weighted_sample_parts",
     "window_rank_family", "window_running_totals",
@@ -277,31 +302,32 @@ EVER_DRIVER_GRADED: frozenset[str] = frozenset({
 
 
 # Explicit re-grade priority within the fresh (not-in-PRIOR) group,
-# oldest-evidence-first (VERDICT r12 directive #4). Order: (a) the 25
-# names whose latest grade is r07 (the oldest cohort — regrading them
-# lifts the registry-wide minimum to r08), then (b) the
-# alphabetically-first 19 of the 41-name r08 cohort to fill the ~50
-# window behind this round's 6 never-graded queries (6+25+19=50).
+# oldest-evidence-first (VERDICT r13 directive #5). Order: (a) the 30
+# names whose latest grade is r08 (the oldest cohort — regrading them
+# lifts the registry-wide minimum to r09), then (b) the
+# alphabetically-first 14 of the 47-name r09 cohort to fill the ~50
+# window behind this round's never-graded queries.
 ROTATION_ORDER: tuple[str, ...] = (
-    "near_dup_char_ngram", "near_dup_pairs_exact",
-    "ntile_customer_quartiles", "orders_rolling_7d_revenue",
-    "part_price_size_skyline", "pit_priority_revenue",
-    "proportional_token_allocation", "pyudf_text_metrics",
-    "q10_returned_items", "q14_promo_revenue_share", "q1_pricing_summary",
-    "q3_shipping_priority", "q4_order_priority_exists",
-    "q5_local_supplier_volume", "q6_forecast_revenue",
-    "revenue_gini_customers", "streaming_dedup_replay",
-    "streaming_gapfill_replay", "streaming_heavy_hitters_replay",
-    "supplier_pareto_8020", "text_stats_quality", "text_token_count",
-    "text_token_count_bpe", "weighted_median_price",
-    "winsorized_mean_price", "ann_cosine_topk", "ann_ivf_topk",
-    "ann_lsh_topk", "ann_recall_report", "cdc_two_batch_merge",
-    "customer_order_gap_stats", "customer_percent_rank_scalable",
-    "customer_repeat_rate_by_nation", "customer_rfm_segments_demo",
-    "dedup_components", "dedup_shrinkage_by_source", "embedding_near_dup",
-    "events_user_p95_value", "lang_diversity_by_source",
-    "orders_interarrival_median", "orders_seasonality_index",
-    "pii_density_by_source", "q11_important_stock", "q12_shipping_horizon",
+    "embedding_near_dup", "events_user_p95_value",
+    "lang_diversity_by_source", "orders_interarrival_median",
+    "orders_seasonality_index", "pii_density_by_source",
+    "q11_important_stock", "q12_shipping_horizon",
+    "q13_customer_order_distribution", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue",
+    "q20_excess_suppliers", "q21_waiting_suppliers",
+    "q22_global_sales_opportunity", "q2_cheapest_supplier",
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "sample_contract_audit", "shipping_delay_deciles_by_priority",
+    "sketch_contract_audit", "split_leakage_audit",
+    "temperature_sampling_weights", "tfidf_top_terms",
+    "token_len_quartiles_by_lang", "top_decile_docs",
+    "window_value_functions", "ann_contract_audit", "array_functions",
+    "asof_join_forward_views", "bigram_lm_counts", "bitwise_agg_keys",
+    "bpe_merge_candidates", "chunk_documents", "contamination_check",
+    "contrastive_pairs", "corpus_shift_by_source",
+    "corpus_stats_by_lang", "corpus_vocabulary",
+    "cross_source_dup_matrix", "cube_orders",
 )
 
 
