@@ -1,0 +1,325 @@
+"""Deterministic training-shard emission — the last stage of a
+pretraining data pipeline: after curation/selection, give the trainer
+a SEEDED global document shuffle cut into fixed-token-budget shards,
+with a manifest row per shard that pins assignment, intra-shard order
+and content byte-for-byte.
+
+Reference parity note: the reference engine (a DataFusion/Ballista
+extension showcase, src/physical/sample_exec.rs) stops at sampling;
+shard emission is the standard downstream stage every published
+pretraining pipeline adds (fixed-size shards + manifest, cf. the
+deterministic-data-order requirement in Biderman et al.,
+arXiv:2201.07311 §3 "Pythia" reproducibility).
+
+Design for 100 TB:
+
+- **Seeded shuffle without a sort**: the shuffle key is
+  ``((polyhash(doc_id) + 1) * mult(seed)) mod P`` where ``polyhash``
+  is the BASE=31 mod 1e9+7 char fold (the same family as
+  operators/qualityclassifier.py, so DuckDB replays it bit-exactly;
+  xxhash64 would be faster but has no oracle twin) and ``mult(seed)``
+  a nonzero seed-derived ring constant. Multiplying mod a prime is a
+  bijection whose induced ORDER differs per multiplier — a genuinely
+  different permutation per seed. (Merely appending/prepending the
+  seed to the hashed string only shifts every key by a shared
+  constant, which preserves relative order except at the single mod
+  wrap — a no-op shuffle; caught by test_different_seed_reshuffles.)
+- **Global order with bounded driver state**: rank and running token
+  total come from ONE fused two-phase pass (the
+  operators/prefix.py plan): range-partition by (shuffle_key, doc_id),
+  per-partition ``row_number``/``sum`` windows in parallel, a single
+  O(partitions) (count, token_sum) collect folded into exclusive
+  offsets, broadcast back. No single-task global window at any size.
+- **Shard assignment is arithmetic, not state**: ``shard_id =
+  exclusive_cum_tokens DIV capacity`` — a document that straddles a
+  boundary belongs to the shard it starts in (shards may overflow by
+  at most one document's tokens — the standard greedy contract;
+  capacity is a target, not a cap).
+- **Order-sensitive content hash**: per-shard
+  ``SUM((doc_hash * (rank mod P)) mod P) mod P`` where ``doc_hash``
+  is the polynomial hash of ``"<doc_id>:<text>"``. The position
+  weight makes intra-shard reorderings change the hash while keeping
+  every summand < P (no int64 overflow at any corpus size); the final
+  aggregation is a map-side-combined groupBy carrying one row per
+  (shard, partition).
+
+Everything is deterministic given (corpus, seed, capacity): re-running
+with the same seed is byte-identical, a different seed reshuffles
+(tests/test_shards.py pins both).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ballista_extensions_spark.operators.prefix import (
+    _OFF,
+    _PID,
+    _range_partitioned,
+)
+
+__all__ = [
+    "SHARD_BASE",
+    "SHARD_PRIME",
+    "assign_training_shards",
+    "polyhash_sql_duckdb",
+    "polyhash_sql_spark",
+    "training_shard_manifest",
+    "write_training_shards",
+]
+
+SHARD_BASE = 31
+SHARD_PRIME = 1_000_000_007
+
+
+def polyhash_py(s: str) -> int:
+    """Python mirror of the SQL char fold (seed-constant derivation +
+    tests)."""
+    acc = 0
+    for ch in s:
+        acc = (acc * SHARD_BASE + ord(ch)) % SHARD_PRIME
+    return acc
+
+
+def seed_multiplier(seed: int) -> int:
+    """Nonzero ring constant derived from the seed: the shuffle key is
+    ``((polyhash(id) + 1) * seed_multiplier(seed)) mod P``. The
+    constant is a ring POWER (MINSTD base 48271), not a hash of the
+    seed string: consecutive seeds hash to constants differing by ~1,
+    which shifts every key by a near-uniform tiny amount and preserves
+    the permutation (the first cut of this function did exactly that —
+    caught by test_different_seed_reshuffles); consecutive powers
+    differ multiplicatively, which rewraps every key mod P."""
+    return pow(48271, (int(seed) % (SHARD_PRIME - 1)) + 1, SHARD_PRIME)
+
+
+def polyhash_sql_spark(s_sql: str) -> str:
+    """Spark-SQL fragment: left-fold polynomial hash of a string
+    expression (``acc*31 + ascii(char) mod P``, acc0=0). Stays inside
+    whole-stage codegen; the char array is built once per row (the
+    split is an argument to ``transform``, not inside the lambda —
+    the HOF re-evaluation pitfall)."""
+    return (
+        f"aggregate(transform(split({s_sql}, ''), c -> ascii(c)), "
+        f"CAST(0 AS BIGINT), "
+        f"(a, x) -> (a * {SHARD_BASE} + x) % {SHARD_PRIME})"
+    )
+
+
+def polyhash_sql_duckdb(s_sql: str) -> str:
+    """The identical fold in DuckDB spelling (same order, same
+    literals — the oracle twin; mirrors qualityclassifier's proven
+    generate_series/ascii idiom)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(1, length({s_sql})), "
+        f"i -> CAST(ascii(({s_sql})[i]) AS BIGINT))), "
+        f"(a, x) -> (a * {SHARD_BASE} + x) % {SHARD_PRIME})"
+    )
+
+
+def _doc_frame(
+    df: DataFrame, seed: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Narrow per-document projection: id, token count, seeded shuffle
+    key, content hash — ONE pass over the text column, no shuffle.
+    NULL-text documents are excluded up front (they hold no tokens;
+    same discipline as token_budget_select)."""
+    from ballista_extensions_spark.operators.text import tokens
+
+    mult = seed_multiplier(seed)
+    id_str = f"CAST({id_col} AS STRING)"
+    doc_str = f"concat(CAST({id_col} AS STRING), ':', {text_col})"
+    key = (
+        f"(({polyhash_sql_spark(id_str)} + 1) * {mult}) % {SHARD_PRIME}"
+    )
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.expr(key).alias("shuffle_key"),
+        F.expr(polyhash_sql_spark(doc_str)).alias("doc_hash"),
+    )
+
+
+def assign_training_shards(
+    df: DataFrame,
+    capacity: int,
+    seed: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-document shard assignment: returns
+    ``(id, n_tokens, shuffle_key, doc_hash, rank, shard_id)`` where
+    ``rank`` is the document's 1-based position in the seeded global
+    shuffle order and ``shard_id`` the fixed-token-budget greedy
+    shard. Fused two-phase rank+cumsum (one range shuffle, one
+    O(partitions) driver collect, broadcast offsets) — see module
+    docstring."""
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    base = _doc_frame(df, seed, text_col, id_col)
+    order = ["shuffle_key", id_col]
+    part = _range_partitioned(base, order, num_partitions)
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn(
+        "__bx_lrn",
+        F.row_number()
+        .over(Window.partitionBy(_PID).orderBy(*[F.col(c) for c in order]))
+        .cast("long"),
+    ).withColumn("__bx_lcum", F.sum("n_tokens").over(w))
+    # ONE per-partition totals job for both prefixes — O(partitions)
+    # driver state, independent of corpus size
+    totals = (
+        local.groupBy(_PID)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("n_tokens").alias("__t"),
+        )
+        .collect()
+    )
+    totals.sort(key=lambda r: r[_PID])
+    offsets, acc_n, acc_t = [], 0, 0
+    for r in totals:
+        offsets.append((int(r[_PID]), acc_n, acc_t))
+        acc_n += int(r["__n"])
+        acc_t += int(r["__t"] or 0)
+    off_df = df.sparkSession.createDataFrame(
+        offsets, schema=f"{_PID} int, __bx_rnoff long, {_OFF} long"
+    )
+    joined = local.join(F.broadcast(off_df), _PID)
+    return (
+        joined.withColumn("rank", (F.col("__bx_lrn") + F.col("__bx_rnoff")))
+        .withColumn(
+            "shard_id",
+            F.expr(
+                f"CAST((__bx_lcum + {_OFF} - n_tokens) DIV {int(capacity)} "
+                f"AS BIGINT)"
+            ),
+        )
+        .drop(_PID, "__bx_lrn", "__bx_lcum", "__bx_rnoff", _OFF)
+    )
+
+
+def training_shard_manifest(
+    df: DataFrame,
+    capacity: int,
+    seed: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One manifest row per shard: doc count, token sum, rank range,
+    and the order-sensitive content hash (module docstring). The
+    groupBy is map-side combined; the result is O(corpus_tokens /
+    capacity) rows."""
+    assigned = assign_training_shards(
+        df, capacity, seed, text_col, id_col, num_partitions
+    )
+    p = SHARD_PRIME
+    return (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("rank").cast("long").alias("min_rank"),
+            F.max("rank").cast("long").alias("max_rank"),
+            (
+                F.sum((F.col("doc_hash") * (F.col("rank") % p)) % p) % p
+            )
+            .cast("long")
+            .alias("content_hash"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def manifest_oracle_sql(
+    capacity: int, seed: int, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`training_shard_manifest` — the exact-SQL
+    replay of shuffle key, rank, running token total, shard
+    assignment and content hash over the same parquet."""
+    p = SHARD_PRIME
+    mult = seed_multiplier(seed)
+    key_hash = f"(({polyhash_sql_duckdb('s')} + 1) * {mult}) % {p}"
+    doc_hash = polyhash_sql_duckdb("d")
+    return f"""
+    WITH strs AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(doc_id AS VARCHAR) AS s,
+             CAST(doc_id AS VARCHAR) || ':' || text AS d
+      FROM {table} WHERE text IS NOT NULL),
+    hashed AS (
+      SELECT doc_id, n_tokens,
+             {key_hash} AS shuffle_key,
+             {doc_hash} AS doc_hash
+      FROM strs),
+    ranked AS (
+      SELECT *,
+             CAST(ROW_NUMBER() OVER
+               (ORDER BY shuffle_key, doc_id) AS BIGINT) AS rank,
+             CAST(SUM(n_tokens) OVER
+               (ORDER BY shuffle_key, doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM hashed),
+    sharded AS (
+      SELECT *, (cum - n_tokens) // {int(capacity)} AS shard_id
+      FROM ranked)
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MIN(rank) AS BIGINT) AS min_rank,
+           CAST(MAX(rank) AS BIGINT) AS max_rank,
+           CAST(SUM((doc_hash * (rank % {p})) % {p}) % {p} AS BIGINT)
+             AS content_hash
+    FROM sharded
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    capacity: int,
+    seed: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Emit the shards: parquet under ``out_dir/shards/`` partitioned
+    by ``shard_id`` (each shard one directory; rows carry ``rank`` so
+    the trainer replays the intra-shard order) plus the manifest at
+    ``out_dir/manifest/``. ``repartition(shard_id)`` puts each shard
+    in exactly one task, so every shard directory holds ONE file — at
+    cluster scale the shard count (corpus_tokens/capacity) dwarfs the
+    executor count, so this stays fully parallel. Returns the manifest
+    DataFrame (read back from what was written)."""
+    assigned = assign_training_shards(df, capacity, seed, text_col, id_col)
+    keep = assigned.join(
+        df.select(id_col, text_col), id_col
+    )  # re-attach text for the emitted rows
+    (
+        keep.select(id_col, "rank", "n_tokens", "doc_hash", "shard_id", text_col)
+        .repartition(F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "rank")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(os.path.join(out_dir, "shards"))
+    )
+    manifest = training_shard_manifest(
+        df, capacity, seed, text_col, id_col
+    )
+    manifest.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "manifest")
+    )
+    return df.sparkSession.read.parquet(os.path.join(out_dir, "manifest"))

@@ -1,0 +1,117 @@
+"""Deterministic training-shard writer (operators/shards.py,
+VERDICT r13 directive #1): seed determinism, shard invariants, and the
+writer round-trip."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ballista_extensions_spark.operators.shards import (
+    SHARD_PRIME,
+    assign_training_shards,
+    training_shard_manifest,
+    write_training_shards,
+)
+
+CAP = 512
+SEED = 42
+
+
+def _manifest_rows(df, seed=SEED, cap=CAP):
+    return [
+        tuple(r)
+        for r in training_shard_manifest(df, cap, seed)
+        .orderBy("shard_id")
+        .collect()
+    ]
+
+
+def test_same_seed_byte_identical(documents):
+    a = _manifest_rows(documents)
+    b = _manifest_rows(documents)
+    assert a == b and len(a) > 1
+
+
+def test_different_seed_reshuffles(documents):
+    a = _manifest_rows(documents, seed=1)
+    b = _manifest_rows(documents, seed=2)
+    # shard COUNT can coincide (token total is seed-independent), but
+    # the content hashes pin order — identical across seeds would mean
+    # the "shuffle" is a no-op
+    assert [r[-1] for r in a] != [r[-1] for r in b]
+
+
+def test_shard_invariants(documents):
+    assigned = assign_training_shards(documents, CAP, SEED)
+    rows = assigned.orderBy("rank").collect()
+    n_docs = documents.filter(F.col("text").isNotNull()).count()
+    # rank is a 1..n permutation in shuffle order
+    assert [r["rank"] for r in rows] == list(range(1, n_docs + 1))
+    key_order = [(r["shuffle_key"], r["doc_id"]) for r in rows]
+    assert key_order == sorted(key_order)
+    # shard ids are the greedy token prefix: non-decreasing in rank,
+    # starting at 0, no gaps; every shard's exclusive prefix starts
+    # in-budget
+    cum = 0
+    for r in rows:
+        assert r["shard_id"] == cum // CAP
+        cum += r["n_tokens"]
+    # manifest aggregates match the assignment frame
+    man = {r["shard_id"]: r for r in training_shard_manifest(documents, CAP, SEED).collect()}
+    agg = {}
+    for r in rows:
+        s = agg.setdefault(r["shard_id"], [0, 0, None, None, 0])
+        s[0] += 1
+        s[1] += r["n_tokens"]
+        s[2] = r["rank"] if s[2] is None else min(s[2], r["rank"])
+        s[3] = r["rank"] if s[3] is None else max(s[3], r["rank"])
+        s[4] = (s[4] + r["doc_hash"] * (r["rank"] % SHARD_PRIME)) % SHARD_PRIME
+    assert set(man) == set(agg)
+    for sid, s in agg.items():
+        m = man[sid]
+        assert (m["n_docs"], m["n_tokens"], m["min_rank"], m["max_rank"], m["content_hash"]) == tuple(s)
+
+
+def test_capacity_validated(documents):
+    with pytest.raises(ValueError):
+        assign_training_shards(documents, 0, SEED)
+
+
+def test_writer_round_trip(documents, tmp_path):
+    out = str(tmp_path / "shards_out")
+    man = write_training_shards(documents, out, CAP, SEED)
+    man_rows = {r["shard_id"]: r for r in man.collect()}
+    shards = documents.sparkSession.read.parquet(f"{out}/shards")
+    # one file per shard directory (repartition(shard_id) puts each
+    # shard in exactly one task)
+    import glob
+    import os
+
+    for d in glob.glob(f"{out}/shards/shard_id=*"):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, d
+    # written rows reproduce the manifest per shard
+    got = (
+        shards.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("rank").alias("min_rank"),
+            F.max("rank").alias("max_rank"),
+        )
+        .collect()
+    )
+    assert len(got) == len(man_rows)
+    for r in got:
+        m = man_rows[r["shard_id"]]
+        assert (r["n_docs"], r["n_tokens"], r["min_rank"], r["max_rank"]) == (
+            m["n_docs"],
+            m["n_tokens"],
+            m["min_rank"],
+            m["max_rank"],
+        )
+    # intra-shard order is replayable from the persisted rank column
+    one = shards.filter(F.col("shard_id") == 0).orderBy("rank").collect()
+    assert [r["rank"] for r in one] == sorted(r["rank"] for r in one)
+    assert len(one) == man_rows[0]["n_docs"]
