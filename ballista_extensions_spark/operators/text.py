@@ -563,8 +563,28 @@ def budget_prefix_select(
     buckets rows."""
     scored = scored.localCheckpoint()
     row = scored.agg(
-        F.min(score_col).alias("lo"), F.max(score_col).alias("hi")
+        F.min(score_col).alias("lo"),
+        F.max(score_col).alias("hi"),
+        # NULL/NaN scores break the contract downstream in SILENT ways
+        # (a NULL bucket key raises TypeError in the histogram sort; a
+        # NaN makes hi > lo false and misorders the all-tie branch) —
+        # fail fast here instead (code-review r13). Same aggregate
+        # pass as min/max: no extra job.
+        F.sum(
+            F.when(
+                F.col(score_col).isNull()
+                | F.isnan(F.col(score_col).cast("double"))
+                | (F.abs(F.col(score_col).cast("double")) == float("inf")),
+                1,
+            ).otherwise(0)
+        ).alias("n_bad"),
     ).collect()[0]
+    if row["n_bad"]:
+        raise ValueError(
+            f"budget_prefix_select: score_col {score_col!r} has "
+            f"{row['n_bad']} NULL/NaN values; scores must be finite "
+            f"and non-null"
+        )
     if row["lo"] is None:
         return scored.select(id_col, cost_col, score_col)  # empty input
     lo, hi = float(row["lo"]), float(row["hi"])

@@ -366,8 +366,9 @@ def dsir_gumbel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       the identical id set (full-outer join, zero asymmetric rows);
     - different_seeds_differ: seeds 42 and 43 select different sets;
     - argmax_overlap_band: |sample ∩ argmax top-k| / k within
-      [0.15, 0.95] — fixture-verified at sf0.01 (0.64-0.65) and sf0.1
-      (0.28-0.30): the noise perturbs but does not drown the weights;
+      [0.02, 0.98] — fixture-verified at sf0.01 (0.64-0.65) and sf0.1
+      (0.28-0.30): the noise perturbs but does not drown the weights
+      (band kept wide on purpose; see the inline note);
     - gumbel_noise_mean_band: corpus mean of (key − logweight) within
       Euler–Mascheroni γ ± 0.25 (>4σ slack at 500 docs) — the noise
       really is Gumbel(0,1)-shaped, not a constant or a bias.
@@ -430,10 +431,20 @@ def dsir_gumbel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         [
             ("exact_k", n_sel == k),
-            ("top_k_by_perturbed_key", lo_sel >= hi_unsel),
+            # vacuously true when the corpus has <= k docs (unsel is
+            # empty and agg(max) returns None)
+            ("top_k_by_perturbed_key", hi_unsel is None or lo_sel >= hi_unsel),
             ("same_seed_deterministic", asym == 0),
             ("different_seeds_differ", n_diff > 0),
-            ("argmax_overlap_band", 0.15 <= n_overlap / k <= 0.95),
+            # FIXTURE-COUPLED BAND: empirically 0.64-0.65 at sf0.01 and
+            # 0.28-0.30 at sf0.1 under the CURRENT frozen DSIR ratios;
+            # the wide [0.02, 0.98] band only rejects the two failure
+            # modes that matter (noise drowned: overlap ~= 1; weights
+            # drowned: overlap ~= k/n ~ 0.01-0.02 by chance). Grading at
+            # a new scale factor or retraining the frozen ratios shifts
+            # the observed overlap — re-derive the expectation before
+            # tightening.
+            ("argmax_overlap_band", 0.02 <= n_overlap / k <= 0.98),
             (
                 "gumbel_noise_mean_band",
                 abs(noise_mean - 0.5772156649) <= 0.25,

@@ -55,7 +55,7 @@ PRIOR_DRIVER_GRADED: frozenset[str] = frozenset({
     "deterministic_mode_priority", "distinct_segments_by_nation",
     "doc_char_class_profile", "doc_fingerprint", "doc_length_histogram",
     "docs_quality_quartiles", "domain_mix_resample",
-    "dsir_gumbel_audit", "dsir_importance_weights",
+    "dsir_importance_weights",
     "dsir_resample_gumbel", "dsir_select_topk", "dsir_selection_shift",
     "dsir_token_budget_selection", "dup_cluster_size_histogram",
     "edit_distance_neighbors", "embedding_centroids",
@@ -213,7 +213,7 @@ EVER_DRIVER_GRADED: frozenset[str] = frozenset({
     "deterministic_mode_priority", "distinct_segments_by_nation",
     "doc_char_class_profile", "doc_fingerprint", "doc_length_histogram",
     "docs_quality_quartiles", "domain_mix_resample",
-    "dsir_gumbel_audit", "dsir_importance_weights",
+    "dsir_importance_weights",
     "dsir_resample_gumbel", "dsir_select_topk", "dsir_selection_shift",
     "dsir_token_budget_selection", "dup_cluster_size_histogram",
     "edit_distance_neighbors", "embedding_centroids",
@@ -308,6 +308,7 @@ EVER_DRIVER_GRADED: frozenset[str] = frozenset({
 # alphabetically-first 14 of the 47-name r09 cohort to fill the ~50
 # window behind this round's never-graded queries.
 ROTATION_ORDER: tuple[str, ...] = (
+    "dsir_gumbel_audit",  # band semantics changed r14 — regrade
     "embedding_near_dup", "events_user_p95_value",
     "lang_diversity_by_source", "orders_interarrival_median",
     "orders_seasonality_index", "pii_density_by_source",

@@ -242,8 +242,13 @@ def test_single_expression_chain_depth_failures(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     try:
         df.selectExpr(f"{seg} AS s").collect()
-    except Exception:
-        pass  # the usual outcome; which error fires is env-dependent
+        spark_outcome = "succeeded"  # deep-stack JVM can parse it
+    except Exception as e:  # noqa: BLE001 — any failure class counts
+        spark_outcome = f"failed: {type(e).__name__}"
+    # observed, not asserted (env-dependent both ways — see docstring);
+    # keep the outcome visible in the test log so the claim stays
+    # checkable without flaking the suite
+    print(f"spark 384-deep single-expression chain: {spark_outcome}")
     segd = BS._chain(
         BS._frame(BS.stream_string_sql_duckdb("'a b'"), "duck"),
         BS.FROZEN_STREAM_MERGES,

@@ -242,3 +242,22 @@ def test_budget_prefix_select_degenerate_and_empty(spark):
     assert got == [0, 1]  # 2 docs x 4 <= 10, id order within the tie
     empty = budget_prefix_select(df.filter("doc_id < 0"), 10)
     assert empty.count() == 0
+
+
+def test_budget_prefix_select_rejects_null_nan_inf_scores(spark):
+    """NULL/NaN/inf scores would silently misorder the prefix (NaN
+    defeats hi > lo; NULL crashes the histogram sort) — the operator
+    must fail fast instead (code-review r13)."""
+    import pytest
+
+    from ballista_extensions_spark.operators.text import (
+        budget_prefix_select,
+    )
+
+    for bad in (None, float("nan"), float("inf"), float("-inf")):
+        df = spark.createDataFrame(
+            [(0, 4, 1.0), (1, 4, bad), (2, 4, 2.0)],
+            "doc_id long, n_tokens long, score double",
+        )
+        with pytest.raises(ValueError, match="NULL/NaN"):
+            budget_prefix_select(df, 10)
