@@ -98,3 +98,26 @@ def py_zlib_len(col: Column, level: int = 6) -> Column:
     from pyspark.sql.functions import pandas_udf
 
     return pandas_udf(_zlib_len_batch_factory(level), "long")(col)
+
+
+def _nfc_batch(texts: pd.Series) -> pd.Series:
+    import unicodedata
+
+    return texts.map(
+        lambda t: None if t is None else unicodedata.normalize("NFC", t)
+    )
+
+
+def py_nfc_normalize(col: Column) -> Column:
+    """Unicode NFC normalization, Arrow-batched (VERDICT r13 #6): real
+    crawls mix decomposed and precomposed forms, which defeats
+    byte-level dedup/fingerprinting unless canonicalized first. Python
+    ``unicodedata.normalize('NFC', ...)`` and DuckDB ``nfc_normalize``
+    both implement Unicode canonical composition, so results are
+    engine-exact (oracle-checkable; fixture-verified over 2-4-byte
+    UTF-8 and Hangul jamo in text_nfc_normalize_stats). NFC, not NFKC:
+    compatibility folding (ligatures, width variants) is lossy and a
+    separate policy decision."""
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(_nfc_batch, "string")(col)

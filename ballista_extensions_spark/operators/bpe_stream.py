@@ -381,6 +381,7 @@ def bpe_stream_token_counts(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    nfc: bool = False,
 ) -> DataFrame:
     """Tokenize the corpus with the rank-priority applier: per document
     ``(doc_id, n_symbols, n_tokens)`` where n_symbols is the base
@@ -389,7 +390,16 @@ def bpe_stream_token_counts(
     driver state; the merge-rank dict (O(vocab) small) rides the task
     closure once per executor, and distinct chunks memoize within each
     task. This is the plan shape that survives a 32k-merge production
-    vocabulary, unlike the literal-replace chain (module docstring)."""
+    vocabulary, unlike the literal-replace chain (module docstring).
+
+    ``nfc=True`` canonicalizes the text (Unicode NFC,
+    functions/udf.py:py_nfc_normalize) before chunking — real crawls
+    mix decomposed/precomposed forms, which would otherwise tokenize
+    identical-looking text differently."""
+    if nfc:
+        from ballista_extensions_spark.functions.udf import py_nfc_normalize
+
+        docs = docs.withColumn(text_col, py_nfc_normalize(F.col(text_col)))
     ranks = {p: i for i, p in enumerate(merges)}
     out_schema = f"{id_col} long, n_symbols long, n_tokens long"
 

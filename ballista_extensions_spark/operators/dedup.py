@@ -781,6 +781,7 @@ def exact_span_scrub(
     n: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    nfc: bool = False,
 ) -> DataFrame:
     """Exact-substring span dedup at token granularity — the
     "deduplicating training data" rewrite (Lee et al. 2022,
@@ -802,7 +803,15 @@ def exact_span_scrub(
     is one per-doc sort-free aggregation (array_sort over collected
     (pos, tok) structs, local to each group). md5 collisions are
     negligible and acceptable for dedup semantics, the same contract
-    as :func:`dedup_exact`."""
+    as :func:`dedup_exact`.
+
+    ``nfc=True`` canonicalizes the text (Unicode NFC) first so
+    decomposed/precomposed spellings of the same span hash to the same
+    shingle (functions/udf.py:py_nfc_normalize)."""
+    if nfc:
+        from ballista_extensions_spark.functions.udf import py_nfc_normalize
+
+        df = df.withColumn(text_col, py_nfc_normalize(F.col(text_col)))
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("arr"),

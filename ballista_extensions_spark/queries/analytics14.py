@@ -39,3 +39,79 @@ def training_shard_manifest_q(
     operators/shards.py module docstring)."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return training_shard_manifest(d, _SHARD_CAPACITY, _SHARD_SEED)
+
+
+#: mixed-Unicode suffixes cycled by doc_id — decomposed vs precomposed
+#: Latin (2-byte), combining ring, Hangul jamo (composes under NFC),
+#: 3-byte CJK and 4-byte supplementary (NFC-invariant), and the fi
+#: ligature (NFC-invariant, NFKC would fold it — pins NFC-not-NFKC)
+_NFC_MIX = [
+    "café",            # precomposed e-acute (2-byte)
+    "café",           # decomposed e + combining acute
+    "ÅB",             # A + combining ring -> Å
+    "가",         # Hangul jamo -> 가
+    "漢字 \U0001f389\U0001d4b3",  # CJK + 4-byte astral, invariant
+    "ﬁnal",            # fi ligature, NFC-invariant
+]
+
+
+def _nfc_mix_duckdb() -> str:
+    lits = ", ".join("'" + s + "'" for s in _NFC_MIX)
+    return f"[{lits}]"
+
+
+@register(
+    "text_nfc_normalize_stats",
+    oracle=f"""
+    WITH mixed AS (
+      SELECT doc_id,
+             text || ' ' || ({_nfc_mix_duckdb()})[CAST(doc_id % 6 AS INT) + 1]
+               AS t
+      FROM documents WHERE text IS NOT NULL),
+    norm AS (
+      SELECT doc_id, t, nfc_normalize(t) AS nfc FROM mixed)
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS n_chars_raw,
+           CAST(length(nfc) AS BIGINT) AS n_chars_nfc,
+           (t <> nfc) AS changed,
+           md5(nfc) AS nfc_md5
+    FROM norm
+    """,
+)
+def text_nfc_normalize_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unicode NFC normalization stage (VERDICT r13 #6): per-document
+    char counts before/after canonical composition, a changed flag,
+    and an md5 content pin of the normalized text. The corpus is
+    ASCII, so the fixture appends a deterministic mixed-Unicode suffix
+    (decomposed/precomposed Latin, Hangul jamo, 3-byte CJK, 4-byte
+    astral, ligature) cycled by doc_id — every NFC behavior class is
+    exercised at every sf. Spark side is the Arrow-batched
+    ``unicodedata.normalize`` pandas UDF
+    (functions/udf.py:py_nfc_normalize); DuckDB's ``nfc_normalize`` is
+    the exact oracle twin. Scale: one narrow mapInPandas projection —
+    no shuffle, no driver state; wired as an optional pre-stage into
+    exact_span_scrub and the BPE applier (nfc=True)."""
+    from ballista_extensions_spark.functions.udf import py_nfc_normalize
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    mixed = d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.element_at(
+                F.array(*[F.lit(s) for s in _NFC_MIX]),
+                (F.col("doc_id") % 6).cast("int") + 1,
+            ),
+        ).alias("t"),
+    )
+    norm = mixed.withColumn("nfc", py_nfc_normalize(F.col("t")))
+    return norm.select(
+        "doc_id",
+        F.length("t").cast("long").alias("n_chars_raw"),
+        F.length("nfc").cast("long").alias("n_chars_nfc"),
+        (F.col("t") != F.col("nfc")).alias("changed"),
+        F.md5(F.col("nfc").cast("binary")).alias("nfc_md5"),
+    )

@@ -156,3 +156,51 @@ def test_compression_stats_contract(spark):
     assert got[3]["compression_ratio"] is None and got[3]["n_bytes"] == 0
     assert got[4]["compression_ratio"] is None
     assert 0 < got[2]["compression_ratio"] <= 1.1
+
+
+def test_nfc_funnel_stage(spark):
+    """nfc=True makes decomposed and precomposed spellings of the same
+    span behave identically in span scrub and the BPE applier (the
+    funnel wiring of VERDICT r13 #6); nfc=False keeps the raw bytes."""
+    import unicodedata
+
+    from ballista_extensions_spark.functions.udf import py_nfc_normalize
+    from ballista_extensions_spark.operators.bpe_stream import (
+        FROZEN_STREAM_MERGES,
+        bpe_stream_token_counts,
+    )
+    from ballista_extensions_spark.operators.dedup import exact_span_scrub
+    from pyspark.sql import functions as F
+
+    pre = "café " * 12  # decomposed
+    post = unicodedata.normalize("NFC", pre)
+    assert pre != post
+    df = spark.createDataFrame(
+        [(1, pre.strip()), (2, post.strip())], "doc_id long, text string"
+    )
+    # UDF twin of unicodedata
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.length(py_nfc_normalize(F.col("text"))).alias("n")
+        ).collect()
+    }
+    assert got[1] == got[2]
+    # span scrub: with nfc the two docs are byte-identical streams, so
+    # the later doc is fully scrubbed; without nfc nothing repeats
+    raw = {r["doc_id"]: r["n_after"] for r in exact_span_scrub(df, n=5).collect()}
+    canon = {
+        r["doc_id"]: r["n_after"]
+        for r in exact_span_scrub(df, n=5, nfc=True).collect()
+    }
+    assert raw[1] == raw[2] > 0  # no cross-doc dedup without nfc
+    assert canon[2] > canon[1] or canon[1] == 0 or canon[2] == 0
+    assert sorted(canon.values()) != sorted(raw.values())
+    # BPE applier: token counts equal across spellings under nfc
+    bpe = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_stream_token_counts(
+            df, FROZEN_STREAM_MERGES, nfc=True
+        ).collect()
+    }
+    assert bpe[1] == bpe[2]
