@@ -109,12 +109,18 @@ def quality_logit_sql_duckdb(
     col_sql: str,
     weights: tuple[float, ...] | None = None,
     bias: float | None = None,
+    table_ref: str | None = None,
 ) -> str:
     """The identical hash+dot arithmetic in DuckDB spelling — the
-    oracle generator (same left-fold order, same literals)."""
+    oracle generator (same left-fold order, same literals).
+    ``table_ref`` names a column holding the weights array (1-row CTE,
+    CROSS JOINed) so DuckDB doesn't rebuild the 257-double literal per
+    token — same hoisting as dsir.feature_fold_sql_duckdb (VERDICT
+    r13 #4), bit-identical results."""
     w = FROZEN_QUALITY_WEIGHTS if weights is None else weights
     b = FROZEN_QUALITY_BIAS if bias is None else bias
     words = _WORDS_DUCK.format(col=col_sql)
+    wlit = table_ref if table_ref is not None else _weights_lit_duck(w)
     tok_hash = (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
         f"list_transform(generate_series(1, length(t)), "
@@ -123,7 +129,7 @@ def quality_logit_sql_duckdb(
     )
     wsum = (
         f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        f"list_transform({words}, t -> {_weights_lit_duck(w)}"
+        f"list_transform({words}, t -> {wlit}"
         f"[{tok_hash} + 1])), (acc, x) -> acc + x)"
     )
     return (

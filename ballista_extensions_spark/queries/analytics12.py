@@ -244,23 +244,32 @@ def tokenizer_fertility_by_lang(
 
 
 from ballista_extensions_spark.operators.qualityclassifier import (  # noqa: E402
+    FROZEN_QUALITY_WEIGHTS,
+    _weights_lit_duck,
     quality_logit_sql,
     quality_logit_sql_duckdb,
 )
 
-_LOGIT_DOC_DUCK = quality_logit_sql_duckdb("text")
+# classifier weights hoisted into a 1-row CTE (VERDICT r13 #4 —
+# DuckDB rebuilds inline list literals per lambda element)
+_QW_CTE = (
+    f"__qw_t AS (SELECT {_weights_lit_duck(FROZEN_QUALITY_WEIGHTS)} "
+    f"AS __qw)"
+)
+_LOGIT_DOC_DUCK = quality_logit_sql_duckdb("text", table_ref="__qw")
 
 
 @register(
     "quality_classifier_scores",
     oracle=f"""
+    WITH {_QW_CTE}
     SELECT doc_id,
            CAST(len(list_filter(string_split(lower(regexp_replace(
                 coalesce(text, ''), '[^a-zA-Z0-9]+', '#', 'g')), '#'),
                 w -> w <> '')) AS BIGINT) AS n_words,
            {_LOGIT_DOC_DUCK} AS logit,
            {_LOGIT_DOC_DUCK} >= 0 AS passes
-    FROM documents
+    FROM documents CROSS JOIN __qw_t
     """,
 )
 def quality_classifier_scores(
@@ -290,7 +299,8 @@ def quality_classifier_scores(
 @register(
     "crawl_curation_pipeline_classified",
     oracle=f"""
-    WITH urls AS (
+    WITH {_QW_CTE},
+    urls AS (
       SELECT doc_id,
              'Site' || CAST(doc_id % 50 AS VARCHAR)
              || '.example.com/articles/'
@@ -311,8 +321,9 @@ def quality_classifier_scores(
       FROM pages),
     gated AS (
       SELECT doc_id, source, md5(txt) AS h
-      FROM ex WHERE ratio >= 0.5 AND length(txt) >= 100
-        AND {quality_logit_sql_duckdb("txt")} >= 0),
+      FROM ex CROSS JOIN __qw_t
+      WHERE ratio >= 0.5 AND length(txt) >= 100
+        AND {quality_logit_sql_duckdb("txt", table_ref="__qw")} >= 0),
     kept AS (
       SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY h)
     SELECT g.source,

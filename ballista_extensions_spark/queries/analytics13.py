@@ -19,6 +19,7 @@ from ballista_extensions_spark.operators.dsir import (
     ce_bucket_sql,
     dsir_logweights,
     dsir_select,
+    dsir_tables_cte_duckdb,
     feature_fold_sql_duckdb,
     lm_ce_scores,
     lm_ce_sql_duckdb,
@@ -31,9 +32,15 @@ from ballista_extensions_spark.queries.registry import register
 # over the column reference — mirroring the operator's two-projection
 # shape (and avoiding any per-element re-evaluation of the split)
 _WS_DUCK = words_sql_duckdb("text")
-_FOLD_DUCK = feature_fold_sql_duckdb("ws", FROZEN_DSIR_RATIOS)
+# folds reference the frozen arrays through a 1-row CTE column
+# (dsir_tables_cte_duckdb) instead of inline literals — DuckDB rebuilds
+# an inline list literal per lambda element, which made each of these
+# oracles cost 65-70 s at sf0.1 (VERDICT r13 #4); hoisted: ~50x faster,
+# bit-identical (same fold order, same values)
+_TBL = dsir_tables_cte_duckdb()
+_FOLD_DUCK = feature_fold_sql_duckdb("ws", FROZEN_DSIR_RATIOS, table_ref="__ratios")
 _NF_DUCK = n_feats_sql_duckdb("ws")
-_CE_DUCK = lm_ce_sql_duckdb("ws")
+_CE_DUCK = lm_ce_sql_duckdb("ws", table_ref="__lp")
 
 #: selection size for the hash-graded top-k queries — small enough
 #: that TakeOrderedAndProject's driver-side merge is trivially bounded,
@@ -44,11 +51,12 @@ _K_SELECT = 100
 @register(
     "dsir_importance_weights",
     oracle=f"""
-    WITH w AS (SELECT doc_id, {_WS_DUCK} AS ws FROM documents)
+    WITH {_TBL},
+    w AS (SELECT doc_id, {_WS_DUCK} AS ws FROM documents)
     SELECT doc_id,
            CAST({_NF_DUCK} AS BIGINT) AS n_feats,
            {_FOLD_DUCK} AS logweight
-    FROM w
+    FROM w CROSS JOIN __dsir_t
     """,
 )
 def dsir_importance_weights(
@@ -71,11 +79,12 @@ def dsir_importance_weights(
 @register(
     "dsir_select_topk",
     oracle=f"""
-    WITH w AS (SELECT doc_id, {_WS_DUCK} AS ws FROM documents)
+    WITH {_TBL},
+    w AS (SELECT doc_id, {_WS_DUCK} AS ws FROM documents)
     SELECT doc_id,
            CAST({_NF_DUCK} AS BIGINT) AS n_feats,
            {_FOLD_DUCK} AS logweight
-    FROM w
+    FROM w CROSS JOIN __dsir_t
     ORDER BY logweight DESC, doc_id
     LIMIT {_K_SELECT}
     """,
@@ -95,9 +104,10 @@ def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lm_ce_quality_buckets",
     oracle=f"""
-    WITH w AS (SELECT doc_id, {_WS_DUCK} AS ws FROM documents),
+    WITH {_TBL},
+    w AS (SELECT doc_id, {_WS_DUCK} AS ws FROM documents),
     scored AS (
-      SELECT doc_id, {_CE_DUCK} AS ce FROM w),
+      SELECT doc_id, {_CE_DUCK} AS ce FROM w CROSS JOIN __dsir_t),
     bucketed AS (
       SELECT doc_id, ce, {ce_bucket_sql("ce")} AS bucket FROM scored)
     SELECT bucket,
@@ -130,10 +140,12 @@ def lm_ce_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dsir_selection_shift",
     oracle=f"""
-    WITH w AS (
+    WITH {_TBL},
+    w AS (
       SELECT doc_id, source, {_WS_DUCK} AS ws FROM documents),
     weighted AS (
-      SELECT doc_id, source, {_FOLD_DUCK} AS logweight FROM w),
+      SELECT doc_id, source, {_FOLD_DUCK} AS logweight
+      FROM w CROSS JOIN __dsir_t),
     selected AS (
       SELECT doc_id FROM weighted
       ORDER BY logweight DESC, doc_id LIMIT {_K_SELECT})
@@ -169,6 +181,8 @@ def dsir_selection_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dsir_funnel_oracle() -> str:
     from ballista_extensions_spark.operators.qualityclassifier import (
+        FROZEN_QUALITY_WEIGHTS,
+        _weights_lit_duck,
         quality_logit_sql_duckdb,
     )
     from ballista_extensions_spark.queries.analytics10 import (
@@ -177,8 +191,17 @@ def _dsir_funnel_oracle() -> str:
     )
 
     ws = words_sql_duckdb("txt")
+    # both frozen tables hoisted into 1-row CTEs (VERDICT r13 #4):
+    # the classifier gate walks every token of every extracted doc
+    qw_cte = (
+        f"__qw_t AS (SELECT {_weights_lit_duck(FROZEN_QUALITY_WEIGHTS)} "
+        f"AS __qw)"
+    )
+    gate = quality_logit_sql_duckdb("txt", table_ref="__qw")
     return f"""
-    WITH urls AS (
+    WITH {_TBL},
+    {qw_cte},
+    urls AS (
       SELECT doc_id,
              'Site' || CAST(doc_id % 50 AS VARCHAR)
              || '.example.com/articles/'
@@ -199,8 +222,9 @@ def _dsir_funnel_oracle() -> str:
       FROM pages),
     gated AS (
       SELECT doc_id, source, txt, md5(txt) AS h
-      FROM ex WHERE ratio >= 0.5 AND length(txt) >= 100
-        AND {quality_logit_sql_duckdb("txt")} >= 0),
+      FROM ex CROSS JOIN __qw_t
+      WHERE ratio >= 0.5 AND length(txt) >= 100
+        AND {gate} >= 0),
     kept AS (
       SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY h),
     keptdocs AS (
@@ -209,7 +233,7 @@ def _dsir_funnel_oracle() -> str:
     w AS (
       SELECT doc_id, source, {ws} AS ws FROM keptdocs)
     SELECT doc_id, source, {_FOLD_DUCK} AS logweight
-    FROM w
+    FROM w CROSS JOIN __dsir_t
     ORDER BY logweight DESC, doc_id
     LIMIT 50
     """
@@ -258,14 +282,16 @@ def curation_pipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dsir_token_budget_selection",
     oracle=f"""
-    WITH w AS (
+    WITH {_TBL},
+    w AS (
       SELECT doc_id,
              CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
                AS n_tokens,
              {_WS_DUCK} AS ws
       FROM documents WHERE text IS NOT NULL),
     scored AS (
-      SELECT doc_id, n_tokens, {_FOLD_DUCK} AS logweight FROM w),
+      SELECT doc_id, n_tokens, {_FOLD_DUCK} AS logweight
+      FROM w CROSS JOIN __dsir_t),
     ranked AS (
       SELECT doc_id, n_tokens, logweight,
              SUM(n_tokens) OVER (ORDER BY logweight DESC, doc_id
