@@ -273,6 +273,20 @@ def train_stream_bpe(
     smallest pair (the bpe.py contract); same corpus -> same merges."""
     if n_merges < 1:
         raise ValueError(f"bpe_stream: n_merges must be >= 1, got {n_merges}")
+    units, weights = collect_chunk_table(docs, text_col, vocab_cap)
+    return greedy_merge_loop(units, weights, n_merges)
+
+
+def collect_chunk_table(
+    docs: DataFrame, text_col: str = "text", vocab_cap: int = 50_000
+) -> tuple[list[list[str]], list[int]]:
+    """The trainer's ONLY distributed stage: chunk-count aggregation
+    (map-side combined, shuffle ∝ distinct chunks) capped at
+    ``vocab_cap`` units by (count desc, chunk). Driver state is
+    bounded by the cap whatever the corpus size — and is INDEPENDENT
+    of n_merges, so the merge-count cost curve
+    (tools/bpe_train_scale.py) measures this once and the greedy loop
+    separately."""
     rows = (
         docs.select(
             F.explode(F.expr(stream_chunks_sql(text_col))).alias("ch")
@@ -285,7 +299,17 @@ def train_stream_bpe(
     )
     units: list[list[str]] = [list(r["ch"]) for r in rows]
     weights: list[int] = [int(r["c"]) for r in rows]
+    return units, weights
 
+
+def greedy_merge_loop(
+    units: list[list[str]], weights: list[int], n_merges: int
+) -> Merges:
+    """Driver-side greedy loop over the weighted chunk table: lazy
+    max-heap over pair counts + pair->units inverted index, so
+    iteration k touches only units containing merge k's pair —
+    measured ~linear in merges over the vocab-capped table
+    (BASELINE.md r14). MUTATES ``units`` in place."""
     pair_count: Counter = Counter()
     pair_units: dict[tuple[str, str], set[int]] = {}
     for u, syms in enumerate(units):

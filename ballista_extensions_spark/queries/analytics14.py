@@ -115,3 +115,44 @@ def text_nfc_normalize_stats(
         (F.col("t") != F.col("nfc")).alias("changed"),
         F.md5(F.col("nfc").cast("binary")).alias("nfc_md5"),
     )
+
+
+@register("bpe_tokenize_4k_vocab")
+def bpe_tokenize_4k_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization under the FROZEN 4096-merge raw-stream BPE
+    vocabulary (VERDICT r13 #3; operators/bpe_vocab4k.py, trained
+    offline by tools/train_bpe4k.py — the freeze-at-train-time
+    discipline of the classifier/DSIR models). Per-source doc count,
+    symbol count, token count and compression ratio through the SAME
+    Arrow-batched rank-priority applier as the 384-merge query — the
+    plan is one mapInPandas projection + one equi-join + a 20-group
+    aggregate, identical shape at any vocab size (the merge-rank dict
+    is a broadcast closure constant; 4096 ranks ~= 100 KB). Rows-only
+    by design: DuckDB cannot replay 4096 sequential merges (the
+    binder's 128-deep recursion cap — pinned by
+    test_single_expression_chain_depth_failures); the applier's
+    contract is hash-graded at 384 merges by bpe_contract_audit, and
+    prefix stability (4k[:384] == frozen 384) is pytest-pinned."""
+    from ballista_extensions_spark.operators.bpe_stream import (
+        bpe_stream_token_counts,
+    )
+    from ballista_extensions_spark.operators.bpe_vocab4k import (
+        FROZEN_STREAM_MERGES_4K,
+    )
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    counts = bpe_stream_token_counts(d, FROZEN_STREAM_MERGES_4K)
+    return (
+        counts.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_symbols").cast("long").alias("n_symbols"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            (
+                F.sum("n_symbols").cast("double")
+                / F.sum("n_tokens").cast("double")
+            ).alias("symbols_per_token"),
+        )
+        .orderBy("source")
+    )

@@ -40,6 +40,10 @@ def test_registry_complete():
         # Gumbel noise derives from xxhash64 (no DuckDB twin); the
         # invariants are graded hash-exactly by dsir_gumbel_audit
         "dsir_resample_gumbel",
+        # DuckDB cannot replay 4096 sequential merges (binder's 128-deep
+        # recursion cap); the applier is hash-graded at 384 merges by
+        # bpe_contract_audit and 4k[:384] prefix is pytest-pinned
+        "bpe_tokenize_4k_vocab",
     }
 
 
