@@ -241,18 +241,18 @@ def training_shard_manifest(
     )
 
 
-def manifest_oracle_sql(
+def manifest_ctes_duckdb(
     capacity: int, seed: int, table: str = "documents"
 ) -> str:
-    """DuckDB twin of :func:`training_shard_manifest` — the exact-SQL
-    replay of shuffle key, rank, running token total, shard
-    assignment and content hash over the same parquet."""
+    """The CTE chain of the manifest oracle (without WITH/final
+    SELECT) so composition oracles can append it after their own
+    upstream CTEs — ``table`` is any prior CTE exposing (doc_id,
+    text)."""
     p = SHARD_PRIME
     mult = seed_multiplier(seed)
     key_hash = f"(({polyhash_sql_duckdb('s')} + 1) * {mult}) % {p}"
     doc_hash = polyhash_sql_duckdb("d")
-    return f"""
-    WITH strs AS (
+    return f"""strs AS (
       SELECT doc_id,
              CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
                AS n_tokens,
@@ -274,18 +274,33 @@ def manifest_oracle_sql(
       FROM hashed),
     sharded AS (
       SELECT *, (cum - n_tokens) // {int(capacity)} AS shard_id
-      FROM ranked)
+      FROM ranked)"""
+
+
+MANIFEST_SELECT_DUCKDB = f"""
     SELECT shard_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
            CAST(MIN(rank) AS BIGINT) AS min_rank,
            CAST(MAX(rank) AS BIGINT) AS max_rank,
-           CAST(SUM((doc_hash * (rank % {p})) % {p}) % {p} AS BIGINT)
-             AS content_hash
+           CAST(SUM((doc_hash * (rank % {SHARD_PRIME})) % {SHARD_PRIME})
+                % {SHARD_PRIME} AS BIGINT) AS content_hash
     FROM sharded
     GROUP BY shard_id
     ORDER BY shard_id
     """
+
+
+def manifest_oracle_sql(
+    capacity: int, seed: int, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`training_shard_manifest` — the exact-SQL
+    replay of shuffle key, rank, running token total, shard
+    assignment and content hash over the same parquet."""
+    return (
+        f"WITH {manifest_ctes_duckdb(capacity, seed, table)}"
+        f"{MANIFEST_SELECT_DUCKDB}"
+    )
 
 
 def write_training_shards(

@@ -289,3 +289,96 @@ def multimodal_curation_funnel(
         .unionByName(_funnel(img_frame, "dhash", "image"))
         .orderBy("source", "modality")
     )
+
+
+_PIPE_K = 200
+_PIPE_CAP = 1024
+_PIPE_SEED = 7
+
+
+def _pipeline_shards_oracle() -> str:
+    from ballista_extensions_spark.operators.dsir import (
+        FROZEN_DSIR_RATIOS,
+        dsir_tables_cte_duckdb,
+        feature_fold_sql_duckdb,
+        words_sql_duckdb,
+    )
+    from ballista_extensions_spark.operators.qualityclassifier import (
+        FROZEN_QUALITY_WEIGHTS,
+        _weights_lit_duck,
+        quality_logit_sql_duckdb,
+    )
+    from ballista_extensions_spark.operators.shards import (
+        MANIFEST_SELECT_DUCKDB,
+        manifest_ctes_duckdb,
+    )
+
+    qw_cte = (
+        f"__qw_t AS (SELECT {_weights_lit_duck(FROZEN_QUALITY_WEIGHTS)} "
+        f"AS __qw)"
+    )
+    gate = quality_logit_sql_duckdb("text", table_ref="__qw")
+    fold = feature_fold_sql_duckdb("ws", FROZEN_DSIR_RATIOS, table_ref="__ratios")
+    ws = words_sql_duckdb("text")
+    return f"""
+    WITH {dsir_tables_cte_duckdb()},
+    {qw_cte},
+    gated AS (
+      SELECT doc_id, text FROM documents CROSS JOIN __qw_t
+      WHERE text IS NOT NULL AND {gate} >= 0),
+    grp AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+      FROM gated GROUP BY md5(text)),
+    kept AS (
+      SELECT g.doc_id AS doc_id, g.text AS text
+      FROM gated g JOIN grp ON grp.keep_id = g.doc_id),
+    w AS (SELECT doc_id, text, {ws} AS ws FROM kept),
+    sel AS (
+      SELECT doc_id, text FROM w CROSS JOIN __dsir_t
+      ORDER BY {fold} DESC, doc_id LIMIT {_PIPE_K}),
+    {manifest_ctes_duckdb(_PIPE_CAP, _PIPE_SEED, "sel")}
+    {MANIFEST_SELECT_DUCKDB}
+    """
+
+
+@register("pretrain_pipeline_shards", oracle=_pipeline_shards_oracle())
+def pretrain_pipeline_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE pretraining-data pipeline as one graded query —
+    quality gate (frozen classifier logit >= 0) -> exact content
+    dedup (md5, keep-first) -> DSIR selection (top-k importance
+    weight, TakeOrderedAndProject) -> deterministic training shards
+    (seeded hash-shuffle + token-budget assignment + manifest). The
+    oracle replays every stage INCLUDING both frozen models and the
+    shard arithmetic bit-for-bit, so one hash attests the composed
+    end-to-end pipeline a user would actually ship. Scale: each stage
+    is its graded plan shape — narrow gate pass, hash groupBy + keeper
+    equi-join, per-partition top-k (k rows to driver), one range
+    shuffle with O(partitions) offsets; nothing is paid twice (text
+    rides THROUGH the DSIR scoring via keep=, never re-joined)."""
+    from ballista_extensions_spark.operators.dsir import dsir_logweights
+    from ballista_extensions_spark.operators.qualityclassifier import (
+        quality_logit_sql,
+    )
+    from ballista_extensions_spark.operators.shards import (
+        training_shard_manifest,
+    )
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    gated = d.filter(F.expr(quality_logit_sql("text")) >= 0).select(
+        "doc_id", "text"
+    )
+    gated = gated.withColumn("h", F.md5(F.col("text").cast("binary")))
+    keepers = gated.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    kept = (
+        gated.join(keepers, gated["doc_id"] == keepers["keep_id"])
+        .select("doc_id", "text")
+    )
+    sel = (
+        dsir_logweights(kept, keep=("text",))
+        .orderBy(F.col("logweight").desc(), F.col("doc_id"))
+        .limit(_PIPE_K)
+        .select("doc_id", "text")
+    )
+    return training_shard_manifest(sel, _PIPE_CAP, _PIPE_SEED)
