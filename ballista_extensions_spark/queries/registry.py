@@ -41,9 +41,7 @@ PRIOR_DRIVER_GRADED: frozenset[str] = frozenset({
     "brand_year_revenue", "cdc_merge_orders", "cdc_two_batch_merge",
     "compression_contract_audit", "compression_quality_stats",
     "concurrent_open_orders", "corpus_snapshot_diff",
-    "crawl_curation_pipeline", "crawl_curation_pipeline_classified",
-    "cumulative_revenue_scalable", "curation_pipeline_dsir",
-    "curation_pipeline_lsh", "curation_pipeline_summary",
+    "crawl_curation_pipeline", "cumulative_revenue_scalable", "curation_pipeline_lsh", "curation_pipeline_summary",
     "custkey_overlap_sketch", "customer_order_gap_stats",
     "customer_percent_rank_scalable", "customer_rank_change",
     "customer_rank_scalable", "customer_repeat_rate_by_nation",
@@ -55,9 +53,7 @@ PRIOR_DRIVER_GRADED: frozenset[str] = frozenset({
     "deterministic_mode_priority", "distinct_segments_by_nation",
     "doc_char_class_profile", "doc_fingerprint", "doc_length_histogram",
     "docs_quality_quartiles", "domain_mix_resample",
-    "dsir_importance_weights",
-    "dsir_resample_gumbel", "dsir_select_topk", "dsir_selection_shift",
-    "dsir_token_budget_selection", "dup_cluster_size_histogram",
+    "dsir_resample_gumbel", "dup_cluster_size_histogram",
     "edit_distance_neighbors", "embedding_centroids",
     "embedding_drift_report", "embedding_dup_clusters",
     "embedding_norms", "embedding_quantize_int8", "event_funnel",
@@ -78,7 +74,7 @@ PRIOR_DRIVER_GRADED: frozenset[str] = frozenset({
     "join_right_semi", "key_skew_report", "knn_label_accuracy",
     "lang_id_heuristic", "lateral_top_customers",
     "latest_event_per_user", "lineitem_price_equidepth_hist",
-    "lm_ce_quality_buckets", "mad_order_prices", "media_kind_routing",
+    "mad_order_prices", "media_kind_routing",
     "media_mixed_decode", "median_order_price",
     "multimodal_binary_meta", "multimodal_decode_jpeg",
     "multimodal_decode_meta", "multimodal_decode_png",
@@ -100,7 +96,7 @@ PRIOR_DRIVER_GRADED: frozenset[str] = frozenset({
     "q14_promo_revenue_share", "q1_pricing_summary",
     "q3_shipping_priority", "q4_order_priority_exists",
     "q5_local_supplier_volume", "q6_forecast_revenue",
-    "quality_classifier_scores", "quality_filter_chain",
+    "quality_filter_chain",
     "range_join_bursts", "rare_token_fraction", "repetition_stats",
     "retention_cohorts", "revenue_gini_customers",
     "revenue_trend_by_segment", "rollup_revenue", "salted_join_revenue",
@@ -309,6 +305,13 @@ EVER_DRIVER_GRADED: frozenset[str] = frozenset({
 # window behind this round's never-graded queries.
 ROTATION_ORDER: tuple[str, ...] = (
     "dsir_gumbel_audit",  # band semantics changed r14 — regrade
+    # oracle SQL restated r14 (frozen arrays hoisted into 1-row CTEs,
+    # VERDICT r13 #4) — selfcheck-exact at sf0.01+sf0.1, regrade so the
+    # driver re-attests parity under the new oracle text
+    "dsir_importance_weights", "dsir_select_topk",
+    "lm_ce_quality_buckets", "dsir_selection_shift",
+    "curation_pipeline_dsir", "dsir_token_budget_selection",
+    "quality_classifier_scores", "crawl_curation_pipeline_classified",
     "embedding_near_dup", "events_user_p95_value",
     "lang_diversity_by_source", "orders_interarrival_median",
     "orders_seasonality_index", "pii_density_by_source",
