@@ -251,7 +251,69 @@ def main() -> None:
         # + histogram + boundary-band distributed prefix); budget
         # scales with the corpus so the boundary work stays comparable
         "dsir_budget_select": lambda d, e: _dsir_budget(d),
+        # round-14: deterministic training shards (seeded hash-shuffle
+        # rank + cumsum via one range shuffle, O(partitions) offsets,
+        # manifest groupBy), NFC normalization (one Arrow-batched
+        # narrow pass), and the cross-modality funnel (routing +
+        # per-modality dedup + keeper attribution)
+        "training_shards": lambda d, e: _shards(d),
+        "nfc_normalize": lambda d, e: _nfc(d),
+        "multimodal_funnel": lambda d, e: _mm_funnel(d),
     }
+
+    def _shards(d):
+        from ballista_extensions_spark.operators.shards import (
+            training_shard_manifest,
+        )
+
+        man = training_shard_manifest(d, 2048, 20260816)
+        return man.agg(F.sum("n_docs").alias("n")).collect()[0]["n"]
+
+    def _nfc(d):
+        from ballista_extensions_spark.functions.udf import (
+            py_nfc_normalize,
+        )
+
+        base = d.filter(F.col("text").isNotNull())
+        return _mat(
+            base.select(
+                "doc_id",
+                F.length(py_nfc_normalize(F.col("text"))).alias("n"),
+            )
+        )
+
+    def _mm_funnel(d):
+        from ballista_extensions_spark.operators.imagedup import (
+            image_dhash,
+        )
+        from ballista_extensions_spark.operators.multimodal import (
+            detect_media_kind,
+            docs_as_png_media,
+        )
+
+        base = d.filter(F.col("text").isNotNull()).localCheckpoint(
+            eager=False
+        )
+        text_part = base.filter(F.col("doc_id") % 2 == 0).select(
+            F.col("doc_id").alias("media_id"),
+            F.col("text").cast("binary").alias("payload"),
+        )
+        png_part = docs_as_png_media(base.filter(F.col("doc_id") % 2 == 1))
+        mixed = text_part.unionByName(png_part)
+        routed = mixed.withColumn("kind", detect_media_kind("payload"))
+        tkeep = (
+            routed.filter(F.col("kind") != "png")
+            .groupBy(F.md5("payload").alias("h"))
+            .agg(F.min("media_id").alias("keep_id"))
+            .count()
+        )
+        ikeep = (
+            image_dhash(routed.filter(F.col("kind") == "png"))
+            .groupBy("dhash")
+            .agg(F.min("id").alias("keep_id"))
+            .count()
+        )
+        return tkeep + ikeep
 
     def _dsir_budget(d):
         from pyspark.sql import functions as FF
