@@ -382,3 +382,95 @@ def pretrain_pipeline_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     return training_shard_manifest(sel, _PIPE_CAP, _PIPE_SEED)
+
+
+_SHARD_AUDIT_CHECKS = [
+    "same_seed_byte_identical",
+    "different_seed_reshuffles",
+    "rank_is_permutation",
+    "greedy_assignment_exact",
+    "capacity_overflow_bounded",
+    "token_totals_conserved",
+]
+
+
+def _shard_audit_oracle() -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT '{n}' AS check_name, TRUE AS passed"
+        for n in _SHARD_AUDIT_CHECKS
+    )
+
+
+@register("shard_contract_audit", oracle=_shard_audit_oracle())
+def shard_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shard writer's contract as driver-hash-checkable rows (the
+    sample_contract_audit pattern — claims the manifest oracle cannot
+    express become constant-TRUE oracle rows):
+
+    - same_seed_byte_identical: two independent manifest constructions
+      at the same seed collect to identical rows;
+    - different_seed_reshuffles: a different seed changes the
+      content-hash sequence (the multiplicative ring scramble really
+      permutes — the failure mode the first implementation had);
+    - rank_is_permutation: ranks are exactly 1..n in (key, id) order;
+    - greedy_assignment_exact: every shard_id equals
+      exclusive_prefix DIV capacity replayed sequentially;
+    - capacity_overflow_bounded: every shard's token sum is less than
+      capacity + its own max document (the greedy contract's only
+      overflow), and every shard except the last starts a new doc at
+      or past the capacity boundary;
+    - token_totals_conserved: manifest token/doc totals equal the
+      corpus totals (no row lost or double-assigned).
+    """
+    from ballista_extensions_spark.operators.shards import (
+        assign_training_shards,
+        training_shard_manifest,
+    )
+    from ballista_extensions_spark.queries.audits import _lit_checks
+
+    cap, seed = 1536, 11
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    man_a = training_shard_manifest(d, cap, seed).collect()
+    man_b = training_shard_manifest(d, cap, seed).collect()
+    man_c = training_shard_manifest(d, cap, seed + 1).collect()
+    same = [tuple(r) for r in man_a] == [tuple(r) for r in man_b]
+    differs = [r["content_hash"] for r in man_a] != [
+        r["content_hash"] for r in man_c
+    ]
+
+    rows = assign_training_shards(d, cap, seed).orderBy("rank").collect()
+    n = len(rows)
+    perm = [r["rank"] for r in rows] == list(range(1, n + 1)) and [
+        (r["shuffle_key"], r["doc_id"]) for r in rows
+    ] == sorted((r["shuffle_key"], r["doc_id"]) for r in rows)
+    cum, greedy = 0, True
+    shard_tokens: dict[int, int] = {}
+    shard_maxdoc: dict[int, int] = {}
+    for r in rows:
+        if r["shard_id"] != cum // cap:
+            greedy = False
+        cum += r["n_tokens"]
+        shard_tokens[r["shard_id"]] = (
+            shard_tokens.get(r["shard_id"], 0) + r["n_tokens"]
+        )
+        shard_maxdoc[r["shard_id"]] = max(
+            shard_maxdoc.get(r["shard_id"], 0), r["n_tokens"]
+        )
+    overflow_ok = all(
+        t < cap + shard_maxdoc[s] for s, t in shard_tokens.items()
+    )
+    total_docs = sum(r["n_docs"] for r in man_a)
+    total_tokens = sum(r["n_tokens"] for r in man_a)
+    conserved = total_docs == n and total_tokens == cum
+
+    return _lit_checks(
+        spark,
+        [
+            ("same_seed_byte_identical", same),
+            ("different_seed_reshuffles", differs),
+            ("rank_is_permutation", perm),
+            ("greedy_assignment_exact", greedy),
+            ("capacity_overflow_bounded", overflow_ok),
+            ("token_totals_conserved", conserved),
+        ],
+    )
