@@ -151,6 +151,8 @@ def assign_training_shards(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    rank_offset: int = 0,
+    token_offset: int = 0,
 ) -> DataFrame:
     """Per-document shard assignment: returns
     ``(id, n_tokens, shuffle_key, doc_hash, rank, shard_id)`` where
@@ -158,7 +160,14 @@ def assign_training_shards(
     shuffle order and ``shard_id`` the fixed-token-budget greedy
     shard. Fused two-phase rank+cumsum (one range shuffle, one
     O(partitions) driver collect, broadcast offsets) — see module
-    docstring."""
+    docstring.
+
+    ``rank_offset``/``token_offset`` start the global rank and the
+    running token total past an EXISTING shard set — the incremental
+    path (:func:`extend_training_shards`): the new batch is shuffled
+    among itself and appended after the history, continuing the last
+    partial shard, identical to re-sharding (history ‖ batch) with
+    per-epoch keys."""
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
     base = _doc_frame(df, seed, text_col, id_col)
@@ -186,7 +195,7 @@ def assign_training_shards(
         .collect()
     )
     totals.sort(key=lambda r: r[_PID])
-    offsets, acc_n, acc_t = [], 0, 0
+    offsets, acc_n, acc_t = [], int(rank_offset), int(token_offset)
     for r in totals:
         offsets.append((int(r[_PID]), acc_n, acc_t))
         acc_n += int(r["__n"])
@@ -205,6 +214,58 @@ def assign_training_shards(
             ),
         )
         .drop(_PID, "__bx_lrn", "__bx_lcum", "__bx_rnoff", _OFF)
+    )
+
+
+def extend_training_shards(
+    df: DataFrame,
+    manifest: DataFrame,
+    capacity: int,
+    seed: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Incremental shard emission — the daily-increment path every
+    cross-run store in this repo follows (sigstore/phashstore/
+    annstore): given the EXISTING manifest, shard only the new batch,
+    continuing rank, running token total and the last partial shard;
+    history is never re-ranked or re-read. Returns the manifest rows
+    of the shards the batch touches (the increment — merge with
+    unchanged history rows by shard_id, summing into the boundary
+    shard). Driver state: two scalars off the manifest (max rank,
+    token total) + the O(partitions) offsets. Epoch keying: pass a
+    per-batch seed; determinism is per (history-state, batch, seed)."""
+    row = manifest.agg(
+        F.max("max_rank").alias("r"), F.sum("n_tokens").alias("t")
+    ).collect()[0]
+    rank_off = int(row["r"] or 0)
+    tok_off = int(row["t"] or 0)
+    assigned = assign_training_shards(
+        df,
+        capacity,
+        seed,
+        text_col,
+        id_col,
+        num_partitions,
+        rank_offset=rank_off,
+        token_offset=tok_off,
+    )
+    p = SHARD_PRIME
+    return (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("rank").cast("long").alias("min_rank"),
+            F.max("rank").cast("long").alias("max_rank"),
+            (
+                F.sum((F.col("doc_hash") * (F.col("rank") % p)) % p) % p
+            )
+            .cast("long")
+            .alias("content_hash"),
+        )
+        .orderBy("shard_id")
     )
 
 

@@ -474,3 +474,87 @@ def shard_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("token_totals_conserved", conserved),
         ],
     )
+
+
+_INC_CAP = 2048
+_INC_SEED1, _INC_SEED2 = 3, 4
+
+
+def _inc_shards_oracle() -> str:
+    from ballista_extensions_spark.operators.shards import (
+        SHARD_PRIME as P,
+        polyhash_sql_duckdb,
+        seed_multiplier,
+    )
+
+    k1 = f"(({polyhash_sql_duckdb('s')} + 1) * {seed_multiplier(_INC_SEED1)}) % {P}"
+    k2 = f"(({polyhash_sql_duckdb('s')} + 1) * {seed_multiplier(_INC_SEED2)}) % {P}"
+    dh = polyhash_sql_duckdb("d")
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(doc_id AS VARCHAR) AS s,
+             CAST(doc_id AS VARCHAR) || ':' || text AS d
+      FROM documents WHERE text IS NOT NULL),
+    b1 AS (
+      SELECT doc_id, n_tokens, {k1} AS k FROM base WHERE doc_id % 3 < 2),
+    hist AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS r_off,
+             CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS t_off
+      FROM b1),
+    b2 AS (
+      SELECT doc_id, n_tokens, {k2} AS k, {dh} AS doc_hash
+      FROM base WHERE doc_id % 3 = 2),
+    ranked AS (
+      SELECT b2.*, r_off, t_off,
+             CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS BIGINT)
+               + r_off AS rank,
+             CAST(SUM(n_tokens) OVER (ORDER BY k, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) + t_off AS cum
+      FROM b2 CROSS JOIN hist),
+    sharded AS (
+      SELECT *, (cum - n_tokens) // {_INC_CAP} AS shard_id FROM ranked)
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MIN(rank) AS BIGINT) AS min_rank,
+           CAST(MAX(rank) AS BIGINT) AS max_rank,
+           CAST(SUM((doc_hash * (rank % {P})) % {P}) % {P} AS BIGINT)
+             AS content_hash
+    FROM sharded
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """
+
+
+@register("training_shards_incremental", oracle=_inc_shards_oracle())
+def training_shards_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental shard emission (operators/shards.py:
+    extend_training_shards) — the daily-increment discipline of the
+    cross-run stores applied to the shard writer: batch 1 (doc_id%3 <
+    2) is sharded and its manifest becomes the persisted state; batch
+    2 (doc_id%3 = 2) is then sharded AGAINST that manifest — its own
+    per-epoch seed, rank continuing after history's max rank, the
+    running token total continuing the last partial shard — without
+    re-reading or re-ranking history. Output is the increment's
+    manifest rows. The oracle replays both epochs' key arithmetic and
+    the offset continuation bit-for-bit. Scale: history contributes
+    TWO scalars (max rank, token total) read off the manifest —
+    ingest cost ∝ increment, never corpus; the same flat-ingest
+    contract the sigstore/phashstore queries measure."""
+    from ballista_extensions_spark.operators.shards import (
+        extend_training_shards,
+        training_shard_manifest,
+    )
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    b1 = d.filter(F.col("doc_id") % 3 < 2)
+    b2 = d.filter(F.col("doc_id") % 3 == 2)
+    hist = training_shard_manifest(b1, _INC_CAP, _INC_SEED1)
+    return extend_training_shards(b2, hist, _INC_CAP, _INC_SEED2)

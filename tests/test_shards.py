@@ -115,3 +115,33 @@ def test_writer_round_trip(documents, tmp_path):
     one = shards.filter(F.col("shard_id") == 0).orderBy("rank").collect()
     assert [r["rank"] for r in one] == sorted(r["rank"] for r in one)
     assert len(one) == man_rows[0]["n_docs"]
+
+
+def test_extend_training_shards_continues_history(documents):
+    from ballista_extensions_spark.operators.shards import (
+        extend_training_shards,
+    )
+
+    d = documents.filter(F.col("text").isNotNull())
+    b1 = d.filter(F.col("doc_id") % 3 < 2)
+    b2 = d.filter(F.col("doc_id") % 3 == 2)
+    hist = training_shard_manifest(b1, CAP, 3)
+    inc = extend_training_shards(b2, hist, CAP, 4).orderBy("shard_id")
+    h_rows = hist.collect()
+    i_rows = inc.collect()
+    max_rank = max(r["max_rank"] for r in h_rows)
+    h_tokens = sum(r["n_tokens"] for r in h_rows)
+    # ranks continue contiguously after history
+    assert min(r["min_rank"] for r in i_rows) == max_rank + 1
+    n_b2 = b2.count()
+    assert max(r["max_rank"] for r in i_rows) == max_rank + n_b2
+    # the first increment shard continues history's last partial shard
+    assert i_rows[0]["shard_id"] == h_tokens // CAP
+    # merged totals conserve the union corpus
+    assert sum(r["n_docs"] for r in h_rows) + sum(
+        r["n_docs"] for r in i_rows
+    ) == d.count()
+    # ingest is a function of (history scalars, batch, seed) only:
+    # re-running is byte-identical
+    again = extend_training_shards(b2, hist, CAP, 4).orderBy("shard_id")
+    assert [tuple(r) for r in again.collect()] == [tuple(r) for r in i_rows]
