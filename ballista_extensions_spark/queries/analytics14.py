@@ -428,17 +428,43 @@ def shard_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ballista_extensions_spark.queries.audits import _lit_checks
 
+    from ballista_extensions_spark.operators.shards import SHARD_PRIME
+
     cap, seed = 1536, 11
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    man_a = training_shard_manifest(d, cap, seed).collect()
+    # ONE assignment pipeline serves both the per-row invariant checks
+    # and (via the manifest's own groupBy shape) manifest A; manifest B
+    # is an INDEPENDENT full reconstruction — the identity check is
+    # between two separately-executed pipelines, at one pipeline less
+    # than building A from scratch too
+    assigned = assign_training_shards(d, cap, seed)
+    rows = assigned.orderBy("rank").collect()
+    man_a = (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("rank").cast("long").alias("min_rank"),
+            F.max("rank").cast("long").alias("max_rank"),
+            (
+                F.sum(
+                    (F.col("doc_hash") * (F.col("rank") % SHARD_PRIME))
+                    % SHARD_PRIME
+                )
+                % SHARD_PRIME
+            )
+            .cast("long")
+            .alias("content_hash"),
+        )
+        .orderBy("shard_id")
+        .collect()
+    )
     man_b = training_shard_manifest(d, cap, seed).collect()
     man_c = training_shard_manifest(d, cap, seed + 1).collect()
     same = [tuple(r) for r in man_a] == [tuple(r) for r in man_b]
     differs = [r["content_hash"] for r in man_a] != [
         r["content_hash"] for r in man_c
     ]
-
-    rows = assign_training_shards(d, cap, seed).orderBy("rank").collect()
     n = len(rows)
     perm = [r["rank"] for r in rows] == list(range(1, n + 1)) and [
         (r["shuffle_key"], r["doc_id"]) for r in rows
