@@ -241,16 +241,26 @@ def extend_training_shards(
     ).collect()[0]
     rank_off = int(row["r"] or 0)
     tok_off = int(row["t"] or 0)
-    assigned = assign_training_shards(
-        df,
-        capacity,
-        seed,
-        text_col,
-        id_col,
-        num_partitions,
-        rank_offset=rank_off,
-        token_offset=tok_off,
+    return manifest_agg(
+        assign_training_shards(
+            df,
+            capacity,
+            seed,
+            text_col,
+            id_col,
+            num_partitions,
+            rank_offset=rank_off,
+            token_offset=tok_off,
+        )
     )
+
+
+def manifest_agg(assigned: DataFrame) -> DataFrame:
+    """THE manifest aggregation over an assignment frame — single home
+    for the content-hash formula (code-review r14: three copies had
+    grown; a change applied to one copy but not the others would
+    silently break same_seed_byte_identical or oracle parity). One
+    map-side-combined groupBy; O(corpus_tokens / capacity) rows."""
     p = SHARD_PRIME
     return (
         assigned.groupBy("shard_id")
@@ -278,27 +288,11 @@ def training_shard_manifest(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """One manifest row per shard: doc count, token sum, rank range,
-    and the order-sensitive content hash (module docstring). The
-    groupBy is map-side combined; the result is O(corpus_tokens /
-    capacity) rows."""
-    assigned = assign_training_shards(
-        df, capacity, seed, text_col, id_col, num_partitions
-    )
-    p = SHARD_PRIME
-    return (
-        assigned.groupBy("shard_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
-            F.min("rank").cast("long").alias("min_rank"),
-            F.max("rank").cast("long").alias("max_rank"),
-            (
-                F.sum((F.col("doc_hash") * (F.col("rank") % p)) % p) % p
-            )
-            .cast("long")
-            .alias("content_hash"),
+    and the order-sensitive content hash (module docstring)."""
+    return manifest_agg(
+        assign_training_shards(
+            df, capacity, seed, text_col, id_col, num_partitions
         )
-        .orderBy("shard_id")
     )
 
 
@@ -392,10 +386,11 @@ def write_training_shards(
         .partitionBy("shard_id")
         .parquet(os.path.join(out_dir, "shards"))
     )
-    manifest = training_shard_manifest(
-        df, capacity, seed, text_col, id_col
-    )
-    manifest.write.mode("overwrite").parquet(
+    # the manifest derives from the SAME checkpointed assignment the
+    # shard rows came from — no second corpus scan/range shuffle
+    # (code-review r14), and the manifest provably describes the bytes
+    # just written rather than an independent reconstruction
+    manifest_agg(assigned).write.mode("overwrite").parquet(
         os.path.join(out_dir, "manifest")
     )
     return df.sparkSession.read.parquet(os.path.join(out_dir, "manifest"))

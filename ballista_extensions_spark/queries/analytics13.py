@@ -392,9 +392,11 @@ def dsir_gumbel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       the identical id set (full-outer join, zero asymmetric rows);
     - different_seeds_differ: seeds 42 and 43 select different sets;
     - argmax_overlap_band: |sample ∩ argmax top-k| / k within
-      [0.02, 0.98] — fixture-verified at sf0.01 (0.64-0.65) and sf0.1
-      (0.28-0.30): the noise perturbs but does not drown the weights
-      (band kept wide on purpose; see the inline note);
+      [min(0.5, 2k/n), 0.95] — the lower bound is derived from corpus
+      size (2x the k/n chance overlap of a weights-drowned uniform
+      sampler), the upper rejects noise-drowned argmax reproduction;
+      fixture margins: sf0.01 observes 0.64-0.65 vs lo 0.4, sf0.1
+      observes 0.28-0.30 vs lo 0.04;
     - gumbel_noise_mean_band: corpus mean of (key − logweight) within
       Euler–Mascheroni γ ± 0.25 (>4σ slack at 500 docs) — the noise
       really is Gumbel(0,1)-shaped, not a constant or a bias.
@@ -446,6 +448,16 @@ def dsir_gumbel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     top = dsir_select(d, k).select("doc_id")
     n_overlap = sel.select("doc_id").join(top, "doc_id").count()
+    # corpus-size-derived band (code-review r14: a fixed 0.02 floor IS
+    # the pure-chance overlap k/n at sf0.1, so it rejected nothing):
+    # a weights-drowned sampler (uniform random) overlaps ~k/n by
+    # chance — require >= 2x chance, capped at 0.5 so the bound stays
+    # below the weight-dominated regime at any n; a noise-drowned
+    # sampler reproduces argmax, overlap ~= 1 — require <= 0.95.
+    # Fixture margins: sf0.01/0.001 observe 0.64-0.65 vs lo 0.4;
+    # sf0.1 observes 0.28-0.30 vs lo 0.04.
+    n_corpus = perturbed.count()
+    overlap_lo = min(0.5, 2.0 * k / max(n_corpus, 1))
 
     noise_mean = (
         perturbed.agg(
@@ -462,15 +474,7 @@ def dsir_gumbel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("top_k_by_perturbed_key", hi_unsel is None or lo_sel >= hi_unsel),
             ("same_seed_deterministic", asym == 0),
             ("different_seeds_differ", n_diff > 0),
-            # FIXTURE-COUPLED BAND: empirically 0.64-0.65 at sf0.01 and
-            # 0.28-0.30 at sf0.1 under the CURRENT frozen DSIR ratios;
-            # the wide [0.02, 0.98] band only rejects the two failure
-            # modes that matter (noise drowned: overlap ~= 1; weights
-            # drowned: overlap ~= k/n ~ 0.01-0.02 by chance). Grading at
-            # a new scale factor or retraining the frozen ratios shifts
-            # the observed overlap — re-derive the expectation before
-            # tightening.
-            ("argmax_overlap_band", 0.02 <= n_overlap / k <= 0.98),
+            ("argmax_overlap_band", overlap_lo <= n_overlap / k <= 0.95),
             (
                 "gumbel_noise_mean_band",
                 abs(noise_mean - 0.5772156649) <= 0.25,

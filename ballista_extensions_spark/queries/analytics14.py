@@ -395,10 +395,9 @@ _SHARD_AUDIT_CHECKS = [
 
 
 def _shard_audit_oracle() -> str:
-    return "\nUNION ALL\n".join(
-        f"SELECT '{n}' AS check_name, TRUE AS passed"
-        for n in _SHARD_AUDIT_CHECKS
-    )
+    from ballista_extensions_spark.queries.audits import _const_true_oracle
+
+    return _const_true_oracle(_SHARD_AUDIT_CHECKS)
 
 
 @register("shard_contract_audit", oracle=_shard_audit_oracle())
@@ -416,9 +415,9 @@ def shard_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     - greedy_assignment_exact: every shard_id equals
       exclusive_prefix DIV capacity replayed sequentially;
     - capacity_overflow_bounded: every shard's token sum is less than
-      capacity + its own max document (the greedy contract's only
-      overflow), and every shard except the last starts a new doc at
-      or past the capacity boundary;
+      capacity + its own max document — the greedy contract's only
+      permitted overflow (boundary-start placement itself is what
+      greedy_assignment_exact replays);
     - token_totals_conserved: manifest token/doc totals equal the
       corpus totals (no row lost or double-assigned).
     """
@@ -428,37 +427,18 @@ def shard_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ballista_extensions_spark.queries.audits import _lit_checks
 
-    from ballista_extensions_spark.operators.shards import SHARD_PRIME
+    from ballista_extensions_spark.operators.shards import manifest_agg
 
     cap, seed = 1536, 11
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     # ONE assignment pipeline serves both the per-row invariant checks
-    # and (via the manifest's own groupBy shape) manifest A; manifest B
-    # is an INDEPENDENT full reconstruction — the identity check is
-    # between two separately-executed pipelines, at one pipeline less
-    # than building A from scratch too
+    # and (via manifest_agg, the manifest's own aggregation) manifest
+    # A; manifest B is an INDEPENDENT full reconstruction — the
+    # identity check is between two separately-executed pipelines, at
+    # one pipeline less than building A from scratch too
     assigned = assign_training_shards(d, cap, seed)
     rows = assigned.orderBy("rank").collect()
-    man_a = (
-        assigned.groupBy("shard_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
-            F.min("rank").cast("long").alias("min_rank"),
-            F.max("rank").cast("long").alias("max_rank"),
-            (
-                F.sum(
-                    (F.col("doc_hash") * (F.col("rank") % SHARD_PRIME))
-                    % SHARD_PRIME
-                )
-                % SHARD_PRIME
-            )
-            .cast("long")
-            .alias("content_hash"),
-        )
-        .orderBy("shard_id")
-        .collect()
-    )
+    man_a = manifest_agg(assigned).collect()
     man_b = training_shard_manifest(d, cap, seed).collect()
     man_c = training_shard_manifest(d, cap, seed + 1).collect()
     same = [tuple(r) for r in man_a] == [tuple(r) for r in man_b]
@@ -513,7 +493,8 @@ def _inc_shards_oracle() -> str:
         seed_multiplier,
     )
 
-    k1 = f"(({polyhash_sql_duckdb('s')} + 1) * {seed_multiplier(_INC_SEED1)}) % {P}"
+    # history contributes ONLY two scalars — its epoch key never
+    # appears here (the seed-1 ordering is irrelevant to the increment)
     k2 = f"(({polyhash_sql_duckdb('s')} + 1) * {seed_multiplier(_INC_SEED2)}) % {P}"
     dh = polyhash_sql_duckdb("d")
     return f"""
@@ -525,7 +506,7 @@ def _inc_shards_oracle() -> str:
              CAST(doc_id AS VARCHAR) || ':' || text AS d
       FROM documents WHERE text IS NOT NULL),
     b1 AS (
-      SELECT doc_id, n_tokens, {k1} AS k FROM base WHERE doc_id % 3 < 2),
+      SELECT doc_id, n_tokens FROM base WHERE doc_id % 3 < 2),
     hist AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS r_off,
              CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS t_off

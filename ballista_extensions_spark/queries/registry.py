@@ -172,7 +172,7 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Every name the driver's gate has graded in ANY round (r02-r12 union,
+# Every name the driver's gate has graded in ANY round (r02-r13 union,
 # registered names only). Fresh-window priority: queries NOT in this
 # set have never been driver-validated at all and outrank
 # rotated-for-regrade names (formerly green, re-queued by age or plan
@@ -210,6 +210,7 @@ EVER_DRIVER_GRADED: frozenset[str] = frozenset({
     "deterministic_mode_priority", "distinct_segments_by_nation",
     "doc_char_class_profile", "doc_fingerprint", "doc_length_histogram",
     "docs_quality_quartiles", "domain_mix_resample",
+    "dsir_gumbel_audit",
     "dsir_importance_weights",
     "dsir_resample_gumbel", "dsir_select_topk", "dsir_selection_shift",
     "dsir_token_budget_selection", "dup_cluster_size_histogram",
