@@ -122,12 +122,18 @@ def polyhash_sql_duckdb(s_sql: str) -> str:
 
 
 def _doc_frame(
-    df: DataFrame, seed: int, text_col: str, id_col: str
+    df: DataFrame,
+    seed: int,
+    text_col: str,
+    id_col: str,
+    cost_col: str | None = None,
 ) -> DataFrame:
     """Narrow per-document projection: id, token count, seeded shuffle
     key, content hash — ONE pass over the text column, no shuffle.
     NULL-text documents are excluded up front (they hold no tokens;
-    same discipline as token_budget_select)."""
+    same discipline as token_budget_select). ``cost_col`` names a
+    PRECOMPUTED per-document token count (e.g. BPE tokens from the
+    applier) to budget by instead of the whitespace count."""
     from ballista_extensions_spark.operators.text import tokens
 
     mult = seed_multiplier(seed)
@@ -136,9 +142,14 @@ def _doc_frame(
     key = (
         f"(({polyhash_sql_spark(id_str)} + 1) * {mult}) % {SHARD_PRIME}"
     )
+    cost = (
+        F.col(cost_col)
+        if cost_col is not None
+        else F.size(tokens(F.col(text_col)))
+    )
     return df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
-        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        cost.cast("long").alias("n_tokens"),
         F.expr(key).alias("shuffle_key"),
         F.expr(polyhash_sql_spark(doc_str)).alias("doc_hash"),
     )
@@ -153,6 +164,7 @@ def assign_training_shards(
     num_partitions: int | None = None,
     rank_offset: int = 0,
     token_offset: int = 0,
+    cost_col: str | None = None,
 ) -> DataFrame:
     """Per-document shard assignment: returns
     ``(id, n_tokens, shuffle_key, doc_hash, rank, shard_id)`` where
@@ -170,7 +182,7 @@ def assign_training_shards(
     per-epoch keys."""
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
-    base = _doc_frame(df, seed, text_col, id_col)
+    base = _doc_frame(df, seed, text_col, id_col, cost_col)
     order = ["shuffle_key", id_col]
     part = _range_partitioned(base, order, num_partitions)
     w = (
@@ -286,31 +298,42 @@ def training_shard_manifest(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    cost_col: str | None = None,
 ) -> DataFrame:
     """One manifest row per shard: doc count, token sum, rank range,
-    and the order-sensitive content hash (module docstring)."""
+    and the order-sensitive content hash (module docstring).
+    ``cost_col``: budget by a precomputed token count (e.g. BPE)."""
     return manifest_agg(
         assign_training_shards(
-            df, capacity, seed, text_col, id_col, num_partitions
+            df, capacity, seed, text_col, id_col, num_partitions,
+            cost_col=cost_col,
         )
     )
 
 
 def manifest_ctes_duckdb(
-    capacity: int, seed: int, table: str = "documents"
+    capacity: int,
+    seed: int,
+    table: str = "documents",
+    cost_sql: str | None = None,
 ) -> str:
     """The CTE chain of the manifest oracle (without WITH/final
     SELECT) so composition oracles can append it after their own
     upstream CTEs — ``table`` is any prior CTE exposing (doc_id,
-    text)."""
+    text[, cost columns]); ``cost_sql`` overrides the whitespace
+    token count (e.g. a precomputed BPE count column)."""
     p = SHARD_PRIME
     mult = seed_multiplier(seed)
     key_hash = f"(({polyhash_sql_duckdb('s')} + 1) * {mult}) % {p}"
     doc_hash = polyhash_sql_duckdb("d")
+    cost = (
+        cost_sql
+        if cost_sql is not None
+        else "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)"
+    )
     return f"""strs AS (
       SELECT doc_id,
-             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
-               AS n_tokens,
+             {cost} AS n_tokens,
              CAST(doc_id AS VARCHAR) AS s,
              CAST(doc_id AS VARCHAR) || ':' || text AS d
       FROM {table} WHERE text IS NOT NULL),

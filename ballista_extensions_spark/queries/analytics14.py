@@ -565,3 +565,73 @@ def training_shards_incremental(
     b2 = d.filter(F.col("doc_id") % 3 == 2)
     hist = training_shard_manifest(b1, _INC_CAP, _INC_SEED1)
     return extend_training_shards(b2, hist, _INC_CAP, _INC_SEED2)
+
+
+_BPE_SHARD_CAP = 4096
+_BPE_SHARD_SEED = 20260817
+
+
+def _bpe_shards_oracle() -> str:
+    from ballista_extensions_spark.operators.bpe_stream import (
+        FROZEN_STREAM_MERGES,
+        chain_cte_duckdb,
+    )
+    from ballista_extensions_spark.operators.shards import (
+        MANIFEST_SELECT_DUCKDB,
+        manifest_ctes_duckdb,
+    )
+
+    chain = chain_cte_duckdb(
+        FROZEN_STREAM_MERGES,
+        from_sql="(SELECT doc_id, text FROM documents "
+        "WHERE text IS NOT NULL)",
+    )
+    return f"""
+    WITH {chain},
+    bpedocs AS (
+      SELECT d.doc_id, d.text,
+             CAST((length(c.s) - length(replace(c.s, ' ', ''))) / 2
+                  AS BIGINT) AS bpe_tokens
+      FROM documents d JOIN __bpe_chain c ON c.doc_id = d.doc_id
+      WHERE d.text IS NOT NULL),
+    {manifest_ctes_duckdb(_BPE_SHARD_CAP, _BPE_SHARD_SEED, "bpedocs",
+                          cost_sql="bpe_tokens")}
+    {MANIFEST_SELECT_DUCKDB}
+    """
+
+
+@register("training_shard_manifest_bpe", oracle=_bpe_shards_oracle())
+def training_shard_manifest_bpe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Training shards budgeted in TOKENIZER tokens, not whitespace —
+    what a real pretraining pipeline ships (shard budgets are BPE
+    tokens): per-document counts from the Arrow-batched rank-priority
+    applier at the frozen 384-merge vocabulary feed the shard writer's
+    cost column. The oracle replays the ENTIRE composition — the
+    staged 96-per-layer merge chain for every document's token count
+    (rank-priority ≡ sequential for trainer-produced lists, itself
+    hash-graded by bpe_contract_audit) AND the seeded shuffle + greedy
+    assignment + content hash. Scale: one mapInPandas pass + one
+    equi-join + the shard writer's one range shuffle."""
+    from ballista_extensions_spark.operators.bpe_stream import (
+        FROZEN_STREAM_MERGES,
+        bpe_stream_token_counts,
+    )
+    from ballista_extensions_spark.operators.shards import (
+        training_shard_manifest,
+    )
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    counts = bpe_stream_token_counts(d, FROZEN_STREAM_MERGES).select(
+        "doc_id", F.col("n_tokens").alias("bpe_tokens")
+    )
+    with_cost = d.select("doc_id", "text").join(counts, "doc_id")
+    return training_shard_manifest(
+        with_cost,
+        _BPE_SHARD_CAP,
+        _BPE_SHARD_SEED,
+        cost_col="bpe_tokens",
+    )
