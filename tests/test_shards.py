@@ -145,3 +145,30 @@ def test_extend_training_shards_continues_history(documents):
     # re-running is byte-identical
     again = extend_training_shards(b2, hist, CAP, 4).orderBy("shard_id")
     assert [tuple(r) for r in again.collect()] == [tuple(r) for r in i_rows]
+
+
+def test_bpe_budgeted_shards_compose(documents):
+    """cost_col plumbs a precomputed token count through the shard
+    writer: the manifest's token total equals the applier's corpus
+    total, and budgeting by BPE tokens yields a different sharding
+    than whitespace tokens (same capacity/seed)."""
+    from ballista_extensions_spark.operators.bpe_stream import (
+        FROZEN_STREAM_MERGES,
+        bpe_stream_token_counts,
+    )
+
+    d = documents.filter(F.col("text").isNotNull())
+    counts = bpe_stream_token_counts(d, FROZEN_STREAM_MERGES).select(
+        "doc_id", F.col("n_tokens").alias("bpe_tokens")
+    )
+    with_cost = d.select("doc_id", "text").join(counts, "doc_id")
+    man = training_shard_manifest(
+        with_cost, CAP, SEED, cost_col="bpe_tokens"
+    ).collect()
+    total_bpe = counts.groupBy().sum("bpe_tokens").collect()[0][0]
+    assert sum(r["n_tokens"] for r in man) == total_bpe
+    ws = training_shard_manifest(d, CAP, SEED).collect()
+    assert sum(r["n_tokens"] for r in ws) != total_bpe
+    # same shuffle order either way (cost does not touch the key):
+    # rank ranges per doc count line up
+    assert sum(r["n_docs"] for r in man) == sum(r["n_docs"] for r in ws)
