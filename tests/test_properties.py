@@ -796,3 +796,80 @@ def test_dsir_fold_python_duckdb_spark_parity(spark, texts):
         ).fetchall()
     ]
     assert duck == py
+
+
+# Unicode strings incl. combining marks, Hangul jamo, CJK and astral
+# planes (no surrogates/control chars) — the NFC twin must hold beyond
+# the fixture's six suffixes
+_UNI = st.text(
+    alphabet=st.characters(
+        min_codepoint=32,
+        max_codepoint=0x2FFFF,
+        blacklist_categories=("Cs", "Cc"),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@SETTINGS
+@given(texts=st.lists(_UNI, min_size=1, max_size=12))
+def test_nfc_twin_matches_duckdb_and_python(spark, texts):
+    """functions/udf.py:py_nfc_normalize ≡ DuckDB nfc_normalize ≡
+    unicodedata.normalize('NFC') over arbitrary Unicode (the oracle-twin
+    claim text_nfc_normalize_stats rests on, generalized past the
+    fixture)."""
+    import unicodedata
+
+    import duckdb
+
+    from ballista_extensions_spark.functions.udf import py_nfc_normalize
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "i long, t string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", py_nfc_normalize(F.col("t")).alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        py = unicodedata.normalize("NFC", t)
+        duck = con.execute(
+            "SELECT nfc_normalize(?)", [t]
+        ).fetchone()[0]
+        assert got[i] == py == duck, (i, repr(t))
+
+
+@SETTINGS
+@given(texts=st.lists(TEXTS, min_size=1, max_size=12))
+def test_polyhash_twin_matches_duckdb_and_python(spark, texts):
+    """operators/shards.py polyhash: Spark fold ≡ DuckDB fold ≡ the
+    Python mirror over arbitrary strings — the hash family every shard
+    key/content hash and the classifier/DSIR features build on."""
+    import duckdb
+
+    from ballista_extensions_spark.operators.shards import (
+        polyhash_py,
+        polyhash_sql_duckdb,
+        polyhash_sql_spark,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "i long, t string"
+    )
+    got = {
+        r["i"]: r["h"]
+        for r in df.select(
+            "i", F.expr(polyhash_sql_spark("t")).alias("h")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        duck = con.execute(
+            f"SELECT {polyhash_sql_duckdb('t')} FROM (SELECT ? AS t)",
+            [t],
+        ).fetchone()[0]
+        assert got[i] == polyhash_py(t) == duck, (i, repr(t))

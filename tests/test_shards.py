@@ -172,3 +172,38 @@ def test_bpe_budgeted_shards_compose(documents):
     # same shuffle order either way (cost does not touch the key):
     # rank ranges per doc count line up
     assert sum(r["n_docs"] for r in man) == sum(r["n_docs"] for r in ws)
+
+
+def test_shard_edge_cases(spark):
+    """Pathological inputs: one giant document (> capacity) gets its
+    own shard and overflows it alone; identical texts still shard by
+    id-keyed shuffle (content hash distinguishes ranks); a 1-doc
+    corpus yields exactly one manifest row; empty corpus yields an
+    empty manifest without erroring."""
+    giant = spark.createDataFrame(
+        [(1, "w " * 50), (2, "a b"), (3, "c d e")],
+        "doc_id long, text string",
+    )
+    man = training_shard_manifest(giant, 8, SEED).orderBy("shard_id").collect()
+    # every doc's tokens are accounted; the giant doc overflows its
+    # shard by construction (greedy contract)
+    assert sum(r["n_tokens"] for r in man) == 51 + 2 + 3
+    assert max(r["n_tokens"] for r in man) >= 51
+
+    same = spark.createDataFrame(
+        [(i, "same text here") for i in range(6)],
+        "doc_id long, text string",
+    )
+    m2 = training_shard_manifest(same, 6, SEED).collect()
+    assert sum(r["n_docs"] for r in m2) == 6
+    # identical content, distinct ids: content hashes vary with rank
+    # unless a shard holds symmetric rank sums (6 docs over 2-doc
+    # shards -> 3 shards with distinct rank pairs)
+    assert len(m2) == 3
+
+    one = spark.createDataFrame([(7, "x y z")], "doc_id long, text string")
+    m3 = training_shard_manifest(one, 100, SEED).collect()
+    assert len(m3) == 1 and m3[0]["n_docs"] == 1 and m3[0]["min_rank"] == 1
+
+    empty = one.filter("doc_id < 0")
+    assert training_shard_manifest(empty, 100, SEED).count() == 0
