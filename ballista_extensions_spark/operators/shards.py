@@ -36,10 +36,13 @@ Design for 100 TB:
   at most one document's tokens — the standard greedy contract;
   capacity is a target, not a cap).
 - **Order-sensitive content hash**: per-shard
-  ``SUM((doc_hash * (rank mod P)) mod P) mod P`` where ``doc_hash``
-  is the polynomial hash of ``"<doc_id>:<text>"``. The position
-  weight makes intra-shard reorderings change the hash while keeping
-  every summand < P (no int64 overflow at any corpus size); the final
+  ``SUM((doc_hash * w(rank)) mod P) mod P`` with position weight
+  ``w(rank) = ((rank - 1) mod (P - 1)) + 1`` — never zero and full
+  period, so every document's content affects the hash at ANY rank
+  (a plain ``rank mod P`` weight zeroes out documents whose rank is
+  an exact multiple of P, reachable past 1e9 docs at the design
+  scale — ADVICE r14); ``doc_hash`` is the polynomial hash of
+  ``"<doc_id>:<text>"``. Every summand < P² fits int64; the final
   aggregation is a map-side-combined groupBy carrying one row per
   (shard, partition).
 
@@ -133,7 +136,12 @@ def _doc_frame(
     NULL-text documents are excluded up front (they hold no tokens;
     same discipline as token_budget_select). ``cost_col`` names a
     PRECOMPUTED per-document token count (e.g. BPE tokens from the
-    applier) to budget by instead of the whitespace count."""
+    applier) to budget by instead of the whitespace count; a NULL or
+    negative precomputed cost fails the job fast (same discipline as
+    budget_prefix_select — a NULL n_tokens would otherwise group into
+    a phantom NULL shard and a negative one breaks greedy
+    monotonicity, both silently; ADVICE r14). The guard is one
+    predicate inside the same projection — no extra pass."""
     from ballista_extensions_spark.operators.text import tokens
 
     mult = seed_multiplier(seed)
@@ -142,11 +150,25 @@ def _doc_frame(
     key = (
         f"(({polyhash_sql_spark(id_str)} + 1) * {mult}) % {SHARD_PRIME}"
     )
-    cost = (
-        F.col(cost_col)
-        if cost_col is not None
-        else F.size(tokens(F.col(text_col)))
-    )
+    if cost_col is not None:
+        cost = F.when(
+            F.col(cost_col).isNull() | (F.col(cost_col) < 0),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"assign_training_shards: cost_col {cost_col!r} "
+                        "must be non-null and >= 0, got "
+                    ),
+                    F.coalesce(
+                        F.col(cost_col).cast("string"), F.lit("NULL")
+                    ),
+                    F.lit(f" at {id_col}="),
+                    F.col(id_col).cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col(cost_col))
+    else:
+        cost = F.size(tokens(F.col(text_col)))
     return df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         cost.cast("long").alias("n_tokens"),
@@ -237,6 +259,7 @@ def extend_training_shards(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    cost_col: str | None = None,
 ) -> DataFrame:
     """Incremental shard emission — the daily-increment path every
     cross-run store in this repo follows (sigstore/phashstore/
@@ -247,7 +270,14 @@ def extend_training_shards(
     unchanged history rows by shard_id, summing into the boundary
     shard). Driver state: two scalars off the manifest (max rank,
     token total) + the O(partitions) offsets. Epoch keying: pass a
-    per-batch seed; determinism is per (history-state, batch, seed)."""
+    per-batch seed; determinism is per (history-state, batch, seed).
+
+    ``cost_col`` MUST match the unit the manifest was built with: a
+    BPE-budgeted manifest (``training_shard_manifest_bpe``) continues
+    in BPE tokens, a whitespace-budgeted one in whitespace tokens —
+    the manifest's token total is the continuation offset, so mixing
+    units silently corrupts the budget (ADVICE r14; plumbed through
+    here for exactly that reason)."""
     row = manifest.agg(
         F.max("max_rank").alias("r"), F.sum("n_tokens").alias("t")
     ).collect()[0]
@@ -263,6 +293,7 @@ def extend_training_shards(
             num_partitions,
             rank_offset=rank_off,
             token_offset=tok_off,
+            cost_col=cost_col,
         )
     )
 
@@ -281,8 +312,17 @@ def manifest_agg(assigned: DataFrame) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("n_tokens"),
             F.min("rank").cast("long").alias("min_rank"),
             F.max("rank").cast("long").alias("max_rank"),
+            # position weight ((rank-1) % (P-1)) + 1: nonzero, full
+            # period — see module docstring (ADVICE r14)
             (
-                F.sum((F.col("doc_hash") * (F.col("rank") % p)) % p) % p
+                F.sum(
+                    (
+                        F.col("doc_hash")
+                        * ((F.col("rank") - 1) % (p - 1) + 1)
+                    )
+                    % p
+                )
+                % p
             )
             .cast("long")
             .alias("content_hash"),
@@ -361,8 +401,8 @@ MANIFEST_SELECT_DUCKDB = f"""
            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
            CAST(MIN(rank) AS BIGINT) AS min_rank,
            CAST(MAX(rank) AS BIGINT) AS max_rank,
-           CAST(SUM((doc_hash * (rank % {SHARD_PRIME})) % {SHARD_PRIME})
-                % {SHARD_PRIME} AS BIGINT) AS content_hash
+           CAST(SUM((doc_hash * (((rank - 1) % ({SHARD_PRIME} - 1)) + 1))
+                % {SHARD_PRIME}) % {SHARD_PRIME} AS BIGINT) AS content_hash
     FROM sharded
     GROUP BY shard_id
     ORDER BY shard_id
@@ -388,6 +428,7 @@ def write_training_shards(
     seed: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cost_col: str | None = None,
 ) -> DataFrame:
     """Emit the shards: parquet under ``out_dir/shards/`` partitioned
     by ``shard_id`` (each shard one directory; rows carry ``rank`` so
@@ -396,8 +437,12 @@ def write_training_shards(
     in exactly one task, so every shard directory holds ONE file — at
     cluster scale the shard count (corpus_tokens/capacity) dwarfs the
     executor count, so this stays fully parallel. Returns the manifest
-    DataFrame (read back from what was written)."""
-    assigned = assign_training_shards(df, capacity, seed, text_col, id_col)
+    DataFrame (read back from what was written). ``cost_col``: budget
+    by a precomputed token count (e.g. BPE) — same unit caveat as
+    :func:`extend_training_shards`."""
+    assigned = assign_training_shards(
+        df, capacity, seed, text_col, id_col, cost_col=cost_col
+    )
     keep = assigned.join(
         df.select(id_col, text_col), id_col
     )  # re-attach text for the emitted rows

@@ -207,3 +207,69 @@ def test_shard_edge_cases(spark):
 
     empty = one.filter("doc_id < 0")
     assert training_shard_manifest(empty, 100, SEED).count() == 0
+
+
+def test_cost_col_validation_fails_fast(spark):
+    """ADVICE r14: a NULL or negative precomputed cost must fail the
+    job, not propagate (NULL -> phantom NULL shard; negative ->
+    non-monotonic greedy prefix)."""
+    bad_null = spark.createDataFrame(
+        [(1, "a b", 2), (2, "c d", None)],
+        "doc_id long, text string, bpe long",
+    )
+    with pytest.raises(Exception, match="non-null"):
+        training_shard_manifest(
+            bad_null, 8, SEED, cost_col="bpe"
+        ).collect()
+    bad_neg = spark.createDataFrame(
+        [(1, "a b", 2), (2, "c d", -3)],
+        "doc_id long, text string, bpe long",
+    )
+    with pytest.raises(Exception, match="non-null"):
+        training_shard_manifest(
+            bad_neg, 8, SEED, cost_col="bpe"
+        ).collect()
+
+
+def test_extend_with_cost_col_keeps_units(spark):
+    """ADVICE r14: extending a cost-budgeted shard set plumbs cost_col
+    through — the incremental manifest continues in the SAME unit, and
+    the merged totals equal the union's precomputed cost total."""
+    from ballista_extensions_spark.operators.shards import (
+        extend_training_shards,
+    )
+
+    b1 = spark.createDataFrame(
+        [(i, f"doc {i} text", 10 + i) for i in range(8)],
+        "doc_id long, text string, bpe long",
+    )
+    b2 = spark.createDataFrame(
+        [(i, f"doc {i} text", 10 + i) for i in range(8, 12)],
+        "doc_id long, text string, bpe long",
+    )
+    cap = 32
+    hist = training_shard_manifest(b1, cap, 3, cost_col="bpe")
+    inc = extend_training_shards(
+        b2, hist, cap, 4, cost_col="bpe"
+    ).collect()
+    got = sum(r["n_tokens"] for r in hist.collect()) + sum(
+        r["n_tokens"] for r in inc
+    )
+    assert got == sum(10 + i for i in range(12))
+    # rank continues after history (no overlap, no gap)
+    assert min(r["min_rank"] for r in inc) == 9
+
+
+def test_content_hash_weight_nonzero_full_period():
+    """ADVICE r14: the position weight ((rank-1) % (P-1)) + 1 is never
+    zero and distinguishes rank r from r + (P-1)k only via the doc mix
+    — critically, a rank that is an exact multiple of P no longer
+    zeroes its document out of the hash."""
+    p = SHARD_PRIME
+    w = lambda rank: ((rank - 1) % (p - 1)) + 1
+    # never zero — the old (rank % P) weight was 0 exactly at rank = kP
+    assert all(w(r) != 0 for r in (1, p - 1, p, 2 * p, 10**18))
+    assert w(1) == 1 and w(p - 1) == p - 1
+    # full period p-1: consecutive ranks within one period are distinct
+    assert len({w(r) for r in range(1, 1001)}) == 1000
+    assert w(p) == w(1)  # wraps at p-1, not p
