@@ -43,6 +43,15 @@ __all__ = [
 _PID = "__bx_pid"
 _LOCAL = "__bx_local"
 _OFF = "__bx_offset"
+_MID = "__bx_mid"
+
+# monotonically_increasing_id() packs (partition_id << 33) | sequence:
+# 33 bits of per-partition counter. The arithmetic recovery of the
+# local row number below is exact only while no partition exceeds
+# 2^33 rows — enforced fail-fast in the offsets loop (at the 100 TB
+# posture a partition is sized to executor memory, orders of magnitude
+# below 8.5e9 rows).
+_MID_SEQ_BITS = 33
 
 
 def _range_partitioned(df: DataFrame, order_cols: list[str], num_partitions: int | None):
@@ -54,6 +63,42 @@ def _range_partitioned(df: DataFrame, order_cols: list[str], num_partitions: int
     # job must see identical partitioning (range bounds are sampled, so a
     # re-execution could draw different bounds and mis-align offsets).
     return part.withColumn(_PID, F.spark_partition_id()).localCheckpoint()
+
+
+def _range_sorted_indexed(
+    df: DataFrame, order_cols: list[str], num_partitions: int | None
+):
+    """Range-partition, sort within partitions, and bake a
+    per-partition sequence number into the checkpoint — the zero-
+    extra-exchange substrate for global row numbering.
+
+    Why not a ``Window.partitionBy(spark_partition_id())``: the
+    localCheckpoint scan is an ``ExistingRDD`` with UNKNOWN output
+    partitioning, so Catalyst inserts an ``Exchange
+    hashpartitioning(__bx_pid)`` to satisfy the window — a SECOND
+    full-corpus shuffle per consumer. Worse, a caller that fans the
+    ranked frame out (rank + total + per-value min, the percent-rank
+    shape) plans one IDENTICAL exchange per consumer, and AQE's
+    exchange reuse dedupes them only best-effort under concurrent
+    stage materialization — the r14 `customer_percent_rank_scalable`
+    shuffle-byte drift (+35% run-to-run on identical code/data) was
+    exactly that race. Here the local sequence is
+    ``monotonically_increasing_id`` arithmetic computed INSIDE the
+    checkpointed stage (pid<<33 | seq, assigned in the sorted order
+    pinned by sortWithinPartitions): downstream consumers read the
+    checkpoint and do pure projection — no exchange, no sort, no
+    window, nothing for AQE to reuse or race."""
+    from ballista_extensions_spark.io import default_parallelism
+
+    n = num_partitions or default_parallelism(df.sparkSession)
+    cols = [F.col(c) for c in order_cols]
+    return (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .withColumn(_MID, F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
 
 
 def _distributed_prefix(
@@ -180,16 +225,33 @@ def distributed_row_number(
     out_col: str = "rn",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Global ``ROW_NUMBER() OVER (ORDER BY order_cols)`` via the same
-    two-phase plan: per-partition row_number + exclusive prefix of
-    per-partition counts. ``order_cols`` must be a total order."""
-    part = _range_partitioned(df, order_cols, num_partitions)
-    w = Window.partitionBy(_PID).orderBy(*[F.col(c) for c in order_cols])
-    local = part.withColumn(_LOCAL, F.row_number().over(w).cast("long"))
+    """Global ``ROW_NUMBER() OVER (ORDER BY order_cols)`` via the
+    two-phase plan: per-partition sequence + exclusive prefix of
+    per-partition counts. ``order_cols`` must be a total order.
+
+    The per-partition sequence is ``monotonically_increasing_id``
+    arithmetic baked into the range-sorted checkpoint
+    (:func:`_range_sorted_indexed`) — NOT a window over
+    ``spark_partition_id()``, which would re-shuffle the whole frame a
+    second time per consumer and expose fan-out callers to the AQE
+    exchange-reuse race (the r14 shuffle-byte-drift adjudication).
+    Downstream of the checkpoint this is projection + one broadcast
+    join: exchange-free, deterministic plan and bytes."""
+    part = _range_sorted_indexed(df, order_cols, num_partitions)
+    local = part.withColumn(
+        _LOCAL,
+        ((F.col(_MID) % F.lit(1 << _MID_SEQ_BITS)) + 1).cast("long"),
+    )
     counts = local.groupBy(_PID).agg(F.count(F.lit(1)).alias("__t")).collect()
     counts.sort(key=lambda r: r[_PID])
     offsets, acc = [], 0
     for r in counts:
+        if int(r["__t"]) > (1 << _MID_SEQ_BITS):
+            raise ValueError(
+                f"distributed_row_number: partition {r[_PID]} holds "
+                f"{r['__t']} rows, beyond the 2^{_MID_SEQ_BITS} "
+                "per-partition sequence range — raise num_partitions"
+            )
         offsets.append((int(r[_PID]), acc))
         acc += r["__t"]
     off_df = df.sparkSession.createDataFrame(
@@ -198,7 +260,7 @@ def distributed_row_number(
     joined = local.join(F.broadcast(off_df), _PID)
     return joined.withColumn(
         out_col, (F.col(_LOCAL) + F.col(_OFF)).cast("long")
-    ).drop(_PID, _LOCAL, _OFF)
+    ).drop(_PID, _LOCAL, _OFF, _MID)
 
 
 def distributed_percentile_disc(
@@ -306,12 +368,15 @@ def grouped_percentile_disc(
                 "probability they intended"
             )
 
+    # fan-out safe without a second checkpoint: re-consuming the
+    # ranked frame is projection + broadcast join over the internal
+    # range-sorted checkpoint — no exchange to duplicate or race
     ranked = distributed_row_number(
         df.filter(F.col(value_col).isNotNull()),
         [group_col, value_col, *tiebreak_cols],
         out_col="__bx_grn",
         num_partitions=num_partitions,
-    ).localCheckpoint(eager=False)
+    )
     stats = ranked.groupBy(group_col).agg(
         F.min("__bx_grn").alias("__g0"),
         F.count(F.lit(1)).cast("long").alias("__gn"),

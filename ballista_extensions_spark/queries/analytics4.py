@@ -652,28 +652,39 @@ def customer_percent_rank_scalable(
     """PERCENT_RANK over the whole customer table with NO single-task
     sort: row numbers come from distributed_row_number; the SQL RANK
     (ties share the rank of their first row) is recovered as the MIN
-    row number within each tied value — one extra aggregate + join on
-    the value (null-safe, so a NULL-acctbal row keeps its rank instead
-    of being dropped), both data-parallel; percent_rank = (rank-1)/
-    max(n-1, 1) is a long/long double division, deterministic in both
-    engines (the max() guard makes the degenerate 1-row table return
-    0.0, matching SQL PERCENT_RANK, instead of 0/0 = NaN). NULL
-    ordering caveat: Spark ranks NULLs first while DuckDB's ORDER BY
-    defaults to NULLs last — irrelevant for TPC-H customer (acctbal
+    row number within each tied VALUE — a window partitioned by the
+    value (parallelism = value cardinality ≫ cores at corpus scale; a
+    NULL value is a window group like any other, so NULL rows keep
+    their rank). percent_rank = (rank-1)/max(n-1, 1) is a long/long
+    double division, deterministic in both engines (the max() guard
+    makes the degenerate 1-row table return 0.0, matching SQL
+    PERCENT_RANK, instead of 0/0 = NaN).
+
+    r14 adjudication: the previous groupBy+join shape consumed the
+    ranked frame three times; before the prefix rewrite each consumer
+    re-shuffled the checkpoint by partition id, and AQE's best-effort
+    reuse of those identical exchanges raced — the only shuffle-byte
+    drift across 273 queries. Now the ranked frame is exchange-free to
+    re-consume (operators/prefix.py:_range_sorted_indexed) and the
+    min-rank comes from ONE value-keyed window instead of an
+    aggregate+join — two distinct exchanges total, deterministic.
+    NULL ordering caveat: Spark ranks NULLs first while DuckDB's ORDER
+    BY defaults to NULLs last — irrelevant for TPC-H customer (acctbal
     NOT NULL) but a corpus with NULL values would need explicit
     nulls-last ranking to match."""
+    from pyspark.sql.window import Window
+
     from ballista_extensions_spark.operators.prefix import (
         distributed_row_number,
     )
 
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     rn = distributed_row_number(c, ["c_acctbal", "c_custkey"], out_col="__rn")
-    first = rn.groupBy(F.col("c_acctbal").alias("__v")).agg(
-        F.min("__rn").alias("__rank")
-    )
     tot = rn.agg(F.max("__rn").alias("__n"))
     return (
-        rn.join(first, rn["c_acctbal"].eqNullSafe(first["__v"]))
+        rn.withColumn(
+            "__rank", F.min("__rn").over(Window.partitionBy("c_acctbal"))
+        )
         .crossJoin(F.broadcast(tot))
         .select(
             "c_custkey",
