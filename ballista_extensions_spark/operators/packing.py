@@ -1,0 +1,201 @@
+"""Sequence packing — the step between training shards and the
+training loop: concatenate the seeded document stream (each document
+followed by an EOS sentinel token) and cut it into fixed
+``context_len`` sequences, reporting per-sequence document boundaries
+and padding waste.
+
+Reference parity note: the reference engine (the DataFusion/Ballista
+extension showcase, src/physical/sample_exec.rs) stops at sampling;
+packing is the standard trainer-handoff stage every published
+pretraining pipeline adds (fixed context windows over a concatenated
+token stream, cf. GPT-3 appendix B "during training we always train
+on sequences of the full context window ... documents are packed",
+arXiv:2005.14165).
+
+Design for 100 TB — everything is ARITHMETIC over the seeded stream
+(operators/shards.py:ranked_stream), never a per-token explode:
+
+- A document with inclusive running total ``cum`` (its cost counted
+  as ``n_tokens``, which the caller makes = tokenizer tokens + EOS)
+  occupies global token positions ``[cum - n_tokens, cum)`` — the
+  same fused rank+cumsum pass the shard writer uses (one range
+  shuffle, O(partitions) driver state).
+- The sequences a document touches are ``start DIV L .. (end-1) DIV
+  L`` — exploding that RANGE multiplies rows by spans-per-doc, so the
+  exploded row count is ``n_docs + n_sequences`` (linear, never
+  per-token).
+- Per-sequence aggregation is one map-side-combined groupBy on
+  ``seq_id``; every sequence except the tail holds exactly ``L``
+  tokens, so ``padding = L - n_tokens`` is nonzero only on the tail
+  row (reported, not hidden).
+- The boundary hash pins WHERE documents start inside each sequence
+  and in which rank order: ``SUM(((off_in_seq + 1) * w(rank)) mod P)
+  mod P`` over the documents that START in the sequence, with the
+  shard writer's nonzero full-period position weight ``w`` — the
+  DuckDB oracle replays it bit-for-bit.
+
+Determinism: a pure function of (corpus, seed, context_len, cost
+column) — same contract as the shard writer, pinned by tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ballista_extensions_spark.operators.shards import (
+    SHARD_PRIME,
+    ranked_stream,
+)
+
+__all__ = ["pack_sequences_manifest", "packing_ctes_duckdb"]
+
+
+def pack_sequences_manifest(
+    df: DataFrame,
+    context_len: int,
+    seed: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cost_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One row per fixed-length training sequence: ``(seq_id,
+    n_tokens, padding, n_docs, n_doc_starts, first_rank, last_rank,
+    boundary_hash)``.
+
+    ``cost_col`` names the per-document token count INCLUDING the EOS
+    sentinel (callers compute ``tokenizer_tokens + 1``); without it
+    the whitespace count + 1 EOS is used. ``n_docs`` counts every
+    document contributing tokens to the sequence (a long document
+    spans many sequences); ``n_doc_starts`` counts documents whose
+    first token lies in this sequence (the trainer's attention-reset
+    boundaries); ``boundary_hash`` pins their in-sequence offsets and
+    rank order. Token conservation (pinned by tests and the oracle):
+    ``SUM(n_tokens) == SUM(per-doc cost)`` and ``padding`` is nonzero
+    only on the final sequence.
+    """
+    if context_len <= 0:
+        raise ValueError(
+            f"context_len must be positive, got {context_len}"
+        )
+    p = SHARD_PRIME
+    L = int(context_len)
+    eos = F.lit(1).cast("long")
+    ranked = ranked_stream(
+        df, seed, text_col, id_col, num_partitions, cost_col=cost_col
+    )
+    if cost_col is None:
+        # whitespace-count stream: add the EOS sentinel here (a
+        # precomputed cost_col already includes it, caller contract)
+        ranked = ranked.withColumn(
+            "n_tokens", F.col("n_tokens") + eos
+        ).withColumn(
+            "cum", F.col("cum") + F.col("rank")
+        )  # rank = number of EOS sentinels up to and incl. this doc
+    # a zero-cost document occupies no positions — drop it rather than
+    # let sequence(a, b) with b < a generate a DESCENDING span (Spark)
+    # vs an empty list (DuckDB); ranks are global and unaffected
+    per = ranked.filter(F.col("n_tokens") > 0).select(
+        "rank",
+        "n_tokens",
+        (F.col("cum") - F.col("n_tokens")).alias("start"),
+        F.col("cum").alias("end"),
+    )
+    spans = per.select(
+        "rank",
+        "start",
+        "end",
+        F.explode(
+            F.sequence(
+                F.expr(f"start DIV {L}"), F.expr(f"(end - 1) DIV {L}")
+            )
+        ).alias("seq_id"),
+    )
+    w_rank = f"((rank - 1) % ({p} - 1)) + 1"
+    return (
+        spans.withColumn(
+            "tok_in_seq",
+            F.expr(f"least(end, (seq_id + 1) * {L})")
+            - F.expr(f"greatest(start, seq_id * {L})"),
+        )
+        .withColumn(
+            "starts_here", (F.col("start") >= F.col("seq_id") * L)
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.sum("tok_in_seq").cast("long").alias("n_tokens"),
+            (F.lit(L) - F.sum("tok_in_seq")).cast("long").alias("padding"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("starts_here").cast("long"))
+            .cast("long")
+            .alias("n_doc_starts"),
+            F.min("rank").cast("long").alias("first_rank"),
+            F.max("rank").cast("long").alias("last_rank"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("starts_here"),
+                        (
+                            (F.col("start") - F.col("seq_id") * L + 1)
+                            * F.expr(w_rank)
+                        )
+                        % p,
+                    ).otherwise(F.lit(0))
+                )
+                % p
+            )
+            .cast("long")
+            .alias("boundary_hash"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+def packing_ctes_duckdb(
+    context_len: int,
+    ranked_table: str = "ranked",
+) -> str:
+    """DuckDB CTE chain replaying :func:`pack_sequences_manifest`
+    downstream of a ``ranked`` CTE exposing (rank, n_tokens, cum) in
+    the SAME unit (cost including EOS) — composes after
+    operators/shards.py:manifest_ctes_duckdb's ranked CTE (built with
+    ``cost_sql`` = tokenizer tokens + 1). Returns CTE text without
+    WITH/final SELECT."""
+    p = SHARD_PRIME
+    L = int(context_len)
+    return f"""perdoc AS (
+      SELECT rank, n_tokens,
+             cum - n_tokens AS start_pos, cum AS end_pos
+      FROM {ranked_table}),
+    spans AS (
+      SELECT rank, start_pos, end_pos,
+             unnest(generate_series(start_pos // {L},
+                                    (end_pos - 1) // {L})) AS seq_id
+      FROM perdoc),
+    seqtok AS (
+      SELECT seq_id, rank, start_pos,
+             least(end_pos, (seq_id + 1) * {L})
+               - greatest(start_pos, seq_id * {L}) AS tok_in_seq,
+             start_pos >= seq_id * {L} AS starts_here
+      FROM spans)"""
+
+
+PACKING_SELECT_DUCKDB = f"""
+    SELECT seq_id,
+           CAST(SUM(tok_in_seq) AS BIGINT) AS n_tokens,
+           CAST({{L}} - SUM(tok_in_seq) AS BIGINT) AS padding,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN starts_here THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_doc_starts,
+           CAST(MIN(rank) AS BIGINT) AS first_rank,
+           CAST(MAX(rank) AS BIGINT) AS last_rank,
+           CAST(SUM(CASE WHEN starts_here THEN
+                      ((start_pos - seq_id * {{L}} + 1)
+                       * (((rank - 1) % ({SHARD_PRIME} - 1)) + 1))
+                      % {SHARD_PRIME}
+                    ELSE 0 END) % {SHARD_PRIME} AS BIGINT)
+             AS boundary_hash
+    FROM seqtok
+    GROUP BY seq_id
+    ORDER BY seq_id
+    """

@@ -70,6 +70,7 @@ __all__ = [
     "assign_training_shards",
     "polyhash_sql_duckdb",
     "polyhash_sql_spark",
+    "ranked_stream",
     "training_shard_manifest",
     "write_training_shards",
 ]
@@ -177,9 +178,8 @@ def _doc_frame(
     )
 
 
-def assign_training_shards(
+def ranked_stream(
     df: DataFrame,
-    capacity: int,
     seed: int,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -188,13 +188,15 @@ def assign_training_shards(
     token_offset: int = 0,
     cost_col: str | None = None,
 ) -> DataFrame:
-    """Per-document shard assignment: returns
-    ``(id, n_tokens, shuffle_key, doc_hash, rank, shard_id)`` where
+    """The seeded global document stream: returns
+    ``(id, n_tokens, shuffle_key, doc_hash, rank, cum)`` where
     ``rank`` is the document's 1-based position in the seeded global
-    shuffle order and ``shard_id`` the fixed-token-budget greedy
-    shard. Fused two-phase rank+cumsum (one range shuffle, one
-    O(partitions) driver collect, broadcast offsets) — see module
-    docstring.
+    shuffle order and ``cum`` the INCLUSIVE running token total at
+    this document. Fused two-phase rank+cumsum (one range shuffle,
+    one O(partitions) driver collect, broadcast offsets) — see module
+    docstring. Shard assignment (:func:`assign_training_shards`) and
+    sequence packing (operators/packing.py) are both arithmetic over
+    this frame.
 
     ``rank_offset``/``token_offset`` start the global rank and the
     running token total past an EXISTING shard set — the incremental
@@ -202,8 +204,6 @@ def assign_training_shards(
     among itself and appended after the history, continuing the last
     partial shard, identical to re-sharding (history ‖ batch) with
     per-epoch keys."""
-    if capacity <= 0:
-        raise ValueError(f"capacity must be positive, got {capacity}")
     base = _doc_frame(df, seed, text_col, id_col, cost_col)
     order = ["shuffle_key", id_col]
     part = _range_partitioned(base, order, num_partitions)
@@ -240,14 +240,45 @@ def assign_training_shards(
     joined = local.join(F.broadcast(off_df), _PID)
     return (
         joined.withColumn("rank", (F.col("__bx_lrn") + F.col("__bx_rnoff")))
+        .withColumn("cum", (F.col("__bx_lcum") + F.col(_OFF)).cast("long"))
+        .drop(_PID, "__bx_lrn", "__bx_lcum", "__bx_rnoff", _OFF)
+    )
+
+
+def assign_training_shards(
+    df: DataFrame,
+    capacity: int,
+    seed: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    rank_offset: int = 0,
+    token_offset: int = 0,
+    cost_col: str | None = None,
+) -> DataFrame:
+    """Per-document shard assignment: returns
+    ``(id, n_tokens, shuffle_key, doc_hash, rank, shard_id)`` —
+    :func:`ranked_stream` plus the greedy arithmetic ``shard_id =
+    exclusive_cum DIV capacity`` (a document that straddles a boundary
+    belongs to the shard it starts in)."""
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    return (
+        ranked_stream(
+            df,
+            seed,
+            text_col,
+            id_col,
+            num_partitions,
+            rank_offset,
+            token_offset,
+            cost_col,
+        )
         .withColumn(
             "shard_id",
-            F.expr(
-                f"CAST((__bx_lcum + {_OFF} - n_tokens) DIV {int(capacity)} "
-                f"AS BIGINT)"
-            ),
+            F.expr(f"CAST((cum - n_tokens) DIV {int(capacity)} AS BIGINT)"),
         )
-        .drop(_PID, "__bx_lrn", "__bx_lcum", "__bx_rnoff", _OFF)
+        .drop("cum")
     )
 
 
