@@ -89,3 +89,143 @@ def sequence_packing_manifest(
     return pack_sequences_manifest(
         with_cost, _PACK_LEN, _PACK_SEED, cost_col="bpe_cost"
     )
+
+
+_REPLAY_CHECKS = [
+    "read_back_matches_manifest",
+    "rank_sequential_within_shard",
+    "shards_tile_global_ranks",
+    "resume_is_partition_pruned",
+    "resume_replays_manifest_tail",
+    "epoch_content_set_equal",
+    "epoch_order_differs",
+]
+
+
+def _replay_audit_oracle() -> str:
+    from ballista_extensions_spark.queries.audits import _const_true_oracle
+
+    return _const_true_oracle(_REPLAY_CHECKS)
+
+
+@register("shard_replay_audit", oracle=_replay_audit_oracle())
+def shard_replay_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shard READ-side / epoch-replay contract (VERDICT r14
+    directive #3) — the write path round-trips in pytest; this audit
+    proves the trainer handoff as driver-hash-checkable rows:
+
+    - read_back_matches_manifest: the manifest aggregation recomputed
+      from the rows READ BACK off disk equals the manifest written
+      beside them (the manifest describes the bytes, not a parallel
+      reconstruction);
+    - rank_sequential_within_shard: every shard's ranks are contiguous
+      (max - min + 1 == count) — the trainer replays intra-shard order
+      by sorting one file;
+    - shards_tile_global_ranks: consecutive shards continue the global
+      rank sequence with no gap or overlap (O(shards) driver state);
+    - resume_is_partition_pruned: resuming from a (shard, rank)
+      checkpoint plans a parquet scan whose PartitionFilters prune
+      shard_id — history shard directories are never read, the I/O
+      contract that makes mid-epoch restart ∝ remainder, not corpus;
+    - resume_replays_manifest_tail: the resumed stream's
+      order-sensitive hash equals the same hash over the assignment
+      tail (rank > checkpoint) recomputed from the corpus — the
+      resumed order IS the manifest order's tail;
+    - epoch_content_set_equal / epoch_order_differs: two epoch seeds
+      hold the identical document SET (order-insensitive hash equal)
+      in different orders (order-sensitive hash differs) — per-epoch
+      reshuffling without data loss.
+
+    Scale note: per-row evidence is aggregated distributively (hash
+    aggregates + O(shards) collects); like every *_contract_audit this
+    is fixed_evidence — the replay scaffolding (write + read back)
+    dominates and is flat in row count."""
+    import os
+    import shutil
+    import tempfile
+
+    from ballista_extensions_spark.operators.shards import (
+        SHARD_PRIME as P,
+        assign_training_shards,
+        manifest_agg,
+        write_training_shards,
+    )
+    from ballista_extensions_spark.queries.audits import _lit_checks
+
+    cap, seed_a, seed_b = 1536, 21, 22
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    out = tempfile.mkdtemp(prefix="bx_shard_replay_")
+    try:
+        man = write_training_shards(d, out, cap, seed_a)
+        man_rows = [tuple(r) for r in man.orderBy("shard_id").collect()]
+        shards = spark.read.parquet(os.path.join(out, "shards"))
+
+        re_man = manifest_agg(
+            shards.select("doc_id", "n_tokens", "doc_hash", "rank", "shard_id")
+        )
+        read_back = [tuple(r) for r in re_man.collect()] == man_rows
+
+        spans = (
+            shards.groupBy("shard_id")
+            .agg(
+                F.min("rank").alias("lo"),
+                F.max("rank").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .orderBy("shard_id")
+            .collect()
+        )  # O(shards) driver state
+        contiguous = all(r["hi"] - r["lo"] + 1 == r["n"] for r in spans)
+        tiles = spans[0]["lo"] == 1 and all(
+            b["lo"] == a["hi"] + 1 for a, b in zip(spans, spans[1:])
+        )
+
+        # resume checkpoint: the boundary after the middle shard —
+        # two scalars a trainer would persist, read off the manifest
+        mid = spans[len(spans) // 2]
+        ck_shard, ck_rank = int(mid["shard_id"]), int(mid["hi"])
+        resumed = spark.read.parquet(os.path.join(out, "shards")).filter(
+            F.col("shard_id") > ck_shard
+        )
+        plan = resumed._jdf.queryExecution().executedPlan().toString()
+        pruned = (
+            "PartitionFilters" in plan
+            and "shard_id" in plan.split("PartitionFilters", 1)[1][:200]
+        )
+        w_rank = f"((rank - 1) % ({P} - 1)) + 1"
+        order_hash = F.expr(
+            f"CAST(SUM((doc_hash * ({w_rank})) % {P}) % {P} AS BIGINT)"
+        )
+        got_tail = resumed.agg(order_hash.alias("h")).collect()[0]["h"]
+        full = assign_training_shards(d, cap, seed_a)
+        want_tail = (
+            full.filter(F.col("rank") > ck_rank)
+            .agg(order_hash.alias("h"))
+            .collect()[0]["h"]
+        )
+        tail_ok = got_tail == want_tail and got_tail is not None
+
+        set_hash = F.expr(f"CAST(SUM(doc_hash) % {P} AS BIGINT)")
+        epoch_b = assign_training_shards(d, cap, seed_b)
+        ra = full.agg(set_hash.alias("s"), order_hash.alias("o")).collect()[0]
+        rb = epoch_b.agg(set_hash.alias("s"), order_hash.alias("o")).collect()[
+            0
+        ]
+        set_equal = ra["s"] == rb["s"] and ra["s"] is not None
+        order_differs = ra["o"] != rb["o"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return _lit_checks(
+        spark,
+        [
+            ("read_back_matches_manifest", read_back),
+            ("rank_sequential_within_shard", contiguous),
+            ("shards_tile_global_ranks", tiles),
+            ("resume_is_partition_pruned", pruned),
+            ("resume_replays_manifest_tail", tail_ok),
+            ("epoch_content_set_equal", set_equal),
+            ("epoch_order_differs", order_differs),
+        ],
+    )

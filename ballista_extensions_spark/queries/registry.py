@@ -144,7 +144,7 @@ FIXED_EVIDENCE: frozenset[str] = frozenset({
     "sample_contract_audit", "sketch_contract_audit",
     "ann_contract_audit", "dedup_probabilistic_audit",
     "compression_contract_audit", "bpe_contract_audit",
-    "shard_contract_audit",
+    "shard_contract_audit", "shard_replay_audit",
 })
 
 
