@@ -131,6 +131,7 @@ def _doc_frame(
     text_col: str,
     id_col: str,
     cost_col: str | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Narrow per-document projection: id, token count, seeded shuffle
     key, content hash — ONE pass over the text column, no shuffle.
@@ -175,6 +176,10 @@ def _doc_frame(
         cost.cast("long").alias("n_tokens"),
         F.expr(key).alias("shuffle_key"),
         F.expr(polyhash_sql_spark(doc_str)).alias("doc_hash"),
+        # payload columns ride the range shuffle instead of a second
+        # corpus-scale join back onto the assignment (curriculum
+        # ordering carries the classifier logit this way)
+        *[F.col(c) for c in carry_cols],
     )
 
 
@@ -187,9 +192,11 @@ def ranked_stream(
     rank_offset: int = 0,
     token_offset: int = 0,
     cost_col: str | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The seeded global document stream: returns
-    ``(id, n_tokens, shuffle_key, doc_hash, rank, cum)`` where
+    ``(id, n_tokens, shuffle_key, doc_hash, rank, cum[, carry_cols])``
+    where
     ``rank`` is the document's 1-based position in the seeded global
     shuffle order and ``cum`` the INCLUSIVE running token total at
     this document. Fused two-phase rank+cumsum (one range shuffle,
@@ -203,8 +210,10 @@ def ranked_stream(
     path (:func:`extend_training_shards`): the new batch is shuffled
     among itself and appended after the history, continuing the last
     partial shard, identical to re-sharding (history ‖ batch) with
-    per-epoch keys."""
-    base = _doc_frame(df, seed, text_col, id_col, cost_col)
+    per-epoch keys. ``carry_cols`` names payload columns of ``df`` to
+    ride the range shuffle (avoids a second corpus-scale join back
+    onto the assignment)."""
+    base = _doc_frame(df, seed, text_col, id_col, cost_col, carry_cols)
     order = ["shuffle_key", id_col]
     part = _range_partitioned(base, order, num_partitions)
     w = (
@@ -255,12 +264,13 @@ def assign_training_shards(
     rank_offset: int = 0,
     token_offset: int = 0,
     cost_col: str | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document shard assignment: returns
-    ``(id, n_tokens, shuffle_key, doc_hash, rank, shard_id)`` —
-    :func:`ranked_stream` plus the greedy arithmetic ``shard_id =
-    exclusive_cum DIV capacity`` (a document that straddles a boundary
-    belongs to the shard it starts in)."""
+    ``(id, n_tokens, shuffle_key, doc_hash, rank, shard_id[,
+    carry_cols])`` — :func:`ranked_stream` plus the greedy arithmetic
+    ``shard_id = exclusive_cum DIV capacity`` (a document that
+    straddles a boundary belongs to the shard it starts in)."""
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
     return (
@@ -273,6 +283,7 @@ def assign_training_shards(
             rank_offset,
             token_offset,
             cost_col,
+            carry_cols,
         )
         .withColumn(
             "shard_id",
@@ -329,12 +340,14 @@ def extend_training_shards(
     )
 
 
-def manifest_agg(assigned: DataFrame) -> DataFrame:
+def manifest_agg(assigned: DataFrame, *extra) -> DataFrame:
     """THE manifest aggregation over an assignment frame — single home
     for the content-hash formula (code-review r14: three copies had
     grown; a change applied to one copy but not the others would
     silently break same_seed_byte_identical or oracle parity). One
-    map-side-combined groupBy; O(corpus_tokens / capacity) rows."""
+    map-side-combined groupBy; O(corpus_tokens / capacity) rows.
+    ``extra``: additional aggregate Columns over carried payload
+    columns (e.g. the curriculum mean score)."""
     p = SHARD_PRIME
     return (
         assigned.groupBy("shard_id")
@@ -357,6 +370,7 @@ def manifest_agg(assigned: DataFrame) -> DataFrame:
             )
             .cast("long")
             .alias("content_hash"),
+            *extra,
         )
         .orderBy("shard_id")
     )
@@ -387,12 +401,15 @@ def manifest_ctes_duckdb(
     seed: int,
     table: str = "documents",
     cost_sql: str | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> str:
     """The CTE chain of the manifest oracle (without WITH/final
     SELECT) so composition oracles can append it after their own
     upstream CTEs — ``table`` is any prior CTE exposing (doc_id,
     text[, cost columns]); ``cost_sql`` overrides the whitespace
-    token count (e.g. a precomputed BPE count column)."""
+    token count (e.g. a precomputed BPE count column); ``carry_cols``
+    names payload columns of ``table`` passed through to the ranked/
+    sharded CTEs (the Spark twin of ranked_stream's carry_cols)."""
     p = SHARD_PRIME
     mult = seed_multiplier(seed)
     key_hash = f"(({polyhash_sql_duckdb('s')} + 1) * {mult}) % {p}"
@@ -402,16 +419,17 @@ def manifest_ctes_duckdb(
         if cost_sql is not None
         else "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)"
     )
+    carry = "".join(f", {c}" for c in carry_cols)
     return f"""strs AS (
       SELECT doc_id,
              {cost} AS n_tokens,
              CAST(doc_id AS VARCHAR) AS s,
-             CAST(doc_id AS VARCHAR) || ':' || text AS d
+             CAST(doc_id AS VARCHAR) || ':' || text AS d{carry}
       FROM {table} WHERE text IS NOT NULL),
     hashed AS (
       SELECT doc_id, n_tokens,
              {key_hash} AS shuffle_key,
-             {doc_hash} AS doc_hash
+             {doc_hash} AS doc_hash{carry}
       FROM strs),
     ranked AS (
       SELECT *,

@@ -229,3 +229,121 @@ def shard_replay_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("epoch_order_differs", order_differs),
         ],
     )
+
+
+_CURR_CAP = 2048
+_CURR_SEED = 20260815
+
+
+def _curriculum_oracle() -> str:
+    from ballista_extensions_spark.operators.qualityclassifier import (
+        FROZEN_QUALITY_WEIGHTS,
+        _weights_lit_duck,
+        quality_logit_sql_duckdb,
+    )
+    from ballista_extensions_spark.operators.shards import (
+        SHARD_PRIME as P,
+        manifest_ctes_duckdb,
+    )
+
+    qw_cte = (
+        f"__qw_t AS (SELECT {_weights_lit_duck(FROZEN_QUALITY_WEIGHTS)} "
+        f"AS __qw)"
+    )
+    logit = quality_logit_sql_duckdb("text", table_ref="__qw")
+    return f"""
+    WITH {qw_cte},
+    q AS (
+      SELECT doc_id, text,
+             CAST(floor(({logit}) * 1000000.0) AS BIGINT) AS qscore
+      FROM documents CROSS JOIN __qw_t
+      WHERE text IS NOT NULL),
+    {manifest_ctes_duckdb(_CURR_CAP, _CURR_SEED, "q",
+                          carry_cols=("qscore",))},
+    man AS (
+      SELECT shard_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(MIN(rank) AS BIGINT) AS min_rank,
+             CAST(MAX(rank) AS BIGINT) AS max_rank,
+             CAST(SUM((doc_hash * (((rank - 1) % ({P} - 1)) + 1)) % {P})
+                  % {P} AS BIGINT) AS content_hash,
+             CAST(SUM(qscore) AS DOUBLE) / 1000000.0 / COUNT(*)
+               AS mean_score
+      FROM sharded
+      GROUP BY shard_id)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY mean_score, shard_id)
+                AS BIGINT) AS sched_pos,
+           shard_id, n_docs, n_tokens, min_rank, max_rank,
+           content_hash, mean_score
+    FROM man
+    ORDER BY sched_pos
+    """
+
+
+@register("curriculum_shard_schedule", oracle=_curriculum_oracle())
+def curriculum_shard_schedule(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-curriculum shard ordering (VERDICT r14 directive #5):
+    the shard manifest gains the shard's mean frozen-classifier logit,
+    and shards are re-indexed ascending by it (easy -> hard curriculum
+    schedule) while the WITHIN-shard seeded shuffle order is untouched
+    (content hashes are the plain manifest's). The classifier score
+    rides the shard writer's range shuffle as a carried payload column
+    (carry_cols) — no second corpus-scale join. Cross-engine exactness:
+    the per-doc logit double is bit-identical in both engines (the
+    sequential HOF fold), but summing doubles across a shard is
+    order-dependent and DuckDB's double->DECIMAL cast double-rounds on
+    arbitrary values (unlike the <=2-digit money columns exact.py
+    handles), so the curriculum key is the mean of MICRO-LOGITS —
+    floor(logit * 1e6) as BIGINT, summed exactly, divided back in one
+    deterministic double sequence. Quantization at 1e-6 is far below
+    any meaningful quality difference between shards. The re-index is
+    a rank over SHARD-COUNT rows (corpus_tokens / capacity —
+    manifest-sized, one small task), never a corpus-scale sort."""
+    from pyspark.sql.window import Window
+
+    from ballista_extensions_spark.operators.qualityclassifier import (
+        quality_logit_sql,
+    )
+    from ballista_extensions_spark.operators.shards import (
+        assign_training_shards,
+        manifest_agg,
+    )
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    scored = d.select(
+        "doc_id",
+        "text",
+        F.expr(
+            f"CAST(floor(({quality_logit_sql('text')}) * 1000000.0) "
+            "AS BIGINT)"
+        ).alias("qscore"),
+    )
+    assigned = assign_training_shards(
+        scored, _CURR_CAP, _CURR_SEED, carry_cols=("qscore",)
+    )
+    man = manifest_agg(
+        assigned,
+        (
+            F.sum("qscore").cast("double")
+            / F.lit(1000000.0)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_score"),
+    )
+    return man.select(
+        F.row_number()
+        .over(Window.orderBy("mean_score", "shard_id"))
+        .cast("long")
+        .alias("sched_pos"),
+        "shard_id",
+        "n_docs",
+        "n_tokens",
+        "min_rank",
+        "max_rank",
+        "content_hash",
+        "mean_score",
+    ).orderBy("sched_pos")

@@ -309,3 +309,38 @@ def test_resume_reads_only_tail_shards(documents, tmp_path):
         .collect()[0]["n"]
     )
     assert resumed.count() == want
+
+
+def test_curriculum_preserves_within_shard_order(documents, sf_dir):
+    """Curriculum re-indexing permutes SHARDS, not documents: the
+    (shard_id -> content_hash/min_rank/max_rank) map is byte-identical
+    to the plain manifest at the same (capacity, seed), and sched_pos
+    is the ascending mean-score order."""
+    from ballista_extensions_spark.queries.analytics15 import (
+        _CURR_CAP,
+        _CURR_SEED,
+        curriculum_shard_schedule,
+    )
+
+    spark = documents.sparkSession
+    sched = curriculum_shard_schedule(spark, sf_dir).collect()
+    plain = {
+        r["shard_id"]: r
+        for r in training_shard_manifest(
+            documents, _CURR_CAP, _CURR_SEED
+        ).collect()
+    }
+    assert {r["shard_id"] for r in sched} == set(plain)
+    for r in sched:
+        p = plain[r["shard_id"]]
+        assert (r["content_hash"], r["min_rank"], r["max_rank"]) == (
+            p["content_hash"],
+            p["min_rank"],
+            p["max_rank"],
+        )
+    ordered = sorted(sched, key=lambda r: r["sched_pos"])
+    keys = [(r["mean_score"], r["shard_id"]) for r in ordered]
+    assert keys == sorted(keys)
+    assert [r["sched_pos"] for r in ordered] == list(
+        range(1, len(sched) + 1)
+    )
