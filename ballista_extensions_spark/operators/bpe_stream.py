@@ -387,16 +387,32 @@ def _rank_priority_tokens(
 _NORM_RE = re.compile(r"[^a-zA-Z0-9]+")
 
 
+def _words_to_chunks(words: list[str]) -> list[str]:
+    return [
+        "#".join(words[i * W_CHUNK:(i + 1) * W_CHUNK]) + "#"
+        for i in range((len(words) + W_CHUNK - 1) // W_CHUNK)
+    ]
+
+
 def _py_chunks(text: str) -> list[str]:
     """The Python mirror of stream_chunks_sql — post-normalization the
     string is pure ASCII [a-z0-9#], where Python, Java and DuckDB
     regex/lower semantics cannot diverge."""
     norm = _NORM_RE.sub("#", text).lower()
-    words = [w for w in norm.split("#") if w]
-    return [
-        "#".join(words[i * W_CHUNK:(i + 1) * W_CHUNK]) + "#"
-        for i in range((len(words) + W_CHUNK - 1) // W_CHUNK)
-    ]
+    return _words_to_chunks([w for w in norm.split("#") if w])
+
+
+def _py_pretok_chunks(text: str) -> list[str]:
+    """Chunks over GPT-2-style pre-tokenized words
+    (operators/pretokenize.py): finer boundaries than the bare ``#``
+    splitter — contraction suffixes split off, letter and digit runs
+    separate — feeding the same chunk machinery, so merges can never
+    cross a pre-token boundary."""
+    from ballista_extensions_spark.operators.pretokenize import (
+        py_pretok_words,
+    )
+
+    return _words_to_chunks(py_pretok_words(text))
 
 
 def bpe_stream_token_counts(
@@ -406,6 +422,7 @@ def bpe_stream_token_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
     nfc: bool = False,
+    pretokenize: bool = False,
 ) -> DataFrame:
     """Tokenize the corpus with the rank-priority applier: per document
     ``(doc_id, n_symbols, n_tokens)`` where n_symbols is the base
@@ -419,11 +436,16 @@ def bpe_stream_token_counts(
     ``nfc=True`` canonicalizes the text (Unicode NFC,
     functions/udf.py:py_nfc_normalize) before chunking — real crawls
     mix decomposed/precomposed forms, which would otherwise tokenize
-    identical-looking text differently."""
+    identical-looking text differently. ``pretokenize=True`` pre-splits
+    each document with the GPT-2-style byte-level pattern
+    (operators/pretokenize.py) before the stream normalization —
+    production tokenizer word boundaries (contractions split off,
+    letter/digit runs separate) at identical plan shape and cost."""
     if nfc:
         from ballista_extensions_spark.functions.udf import py_nfc_normalize
 
         docs = docs.withColumn(text_col, py_nfc_normalize(F.col(text_col)))
+    chunker = _py_pretok_chunks if pretokenize else _py_chunks
     ranks = {p: i for i, p in enumerate(merges)}
     out_schema = f"{id_col} long, n_symbols long, n_tokens long"
 
@@ -437,7 +459,7 @@ def bpe_stream_token_counts(
                 return 0, 0
             n_sym = 0
             n_tok = 0
-            for ch in _py_chunks(text):
+            for ch in chunker(text):
                 n_sym += len(ch)
                 t = memo.get(ch)
                 if t is None:

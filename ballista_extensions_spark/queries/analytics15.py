@@ -347,3 +347,95 @@ def curriculum_shard_schedule(
         "content_hash",
         "mean_score",
     ).orderBy("sched_pos")
+
+
+def _pretok_class_pats() -> dict[str, str]:
+    # raw patterns; engine-specific quoting applied at use sites
+    return {
+        "ws": r"^[ \t\n\r\f\x0B]+$",
+        "word": r"^ ?\p{L}+$",
+        "digit": r"^ ?\p{N}+$",
+        "contr": r"^'(s|t|ll|ve|re|d|m)$",
+    }
+
+
+def _pretok_oracle() -> str:
+    from ballista_extensions_spark.operators.pretokenize import (
+        pretok_segments_sql_duckdb,
+        seg_sig_sql_duckdb,
+    )
+
+    pats = _pretok_class_pats()
+
+    def m(p: str) -> str:
+        return p.replace("'", "''")
+
+    counts = {
+        k: f"len(list_filter(segs, s -> regexp_matches(s, '{m(p)}')))"
+        for k, p in pats.items()
+    }
+    return f"""
+    WITH segged AS (
+      SELECT doc_id, {pretok_segments_sql_duckdb("text")} AS segs
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id,
+           CAST(len(segs) AS BIGINT) AS n_segments,
+           CAST({counts["word"]} AS BIGINT) AS n_words,
+           CAST({counts["digit"]} AS BIGINT) AS n_digits,
+           CAST({counts["contr"]} AS BIGINT) AS n_contractions,
+           CAST(len(segs) - {counts["word"]} - {counts["digit"]}
+                - {counts["contr"]} - {counts["ws"]} AS BIGINT)
+             AS n_puncts,
+           CAST({seg_sig_sql_duckdb("segs")} AS BIGINT) AS seg_sig
+    FROM segged
+    ORDER BY doc_id
+    """
+
+
+@register("bpe_byte_pretokenize_counts", oracle=_pretok_oracle())
+def bpe_byte_pretokenize_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Byte-level (GPT-2 style) pre-tokenization over the corpus
+    (operators/pretokenize.py, VERDICT r14 directive #7): per document
+    the segment count, per-class counts (letter runs / digit runs /
+    contraction suffixes / punctuation runs), and the order-sensitive
+    segmentation signature (polyhash of the segment-length sequence —
+    equal signatures mean equal BOUNDARIES, so the oracle grades the
+    segmentation itself, not just totals). One codegen'd narrow
+    projection, zero shuffle; the identical lookahead-free pattern
+    runs in both engines (Java-regex/RE2 common subset)."""
+    from ballista_extensions_spark.operators.pretokenize import (
+        pretok_segments_sql_spark,
+        seg_sig_sql_spark,
+    )
+
+    pats = _pretok_class_pats()
+
+    def q(p: str) -> str:
+        return p.replace("\\", "\\\\").replace("'", "\\'")
+
+    counts = {
+        k: f"size(filter(segs, s -> s RLIKE '{q(p)}'))"
+        for k, p in pats.items()
+    }
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    segged = d.select(
+        "doc_id", F.expr(pretok_segments_sql_spark("text")).alias("segs")
+    )
+    return segged.select(
+        "doc_id",
+        F.expr("size(segs)").cast("long").alias("n_segments"),
+        F.expr(counts["word"]).cast("long").alias("n_words"),
+        F.expr(counts["digit"]).cast("long").alias("n_digits"),
+        F.expr(counts["contr"]).cast("long").alias("n_contractions"),
+        F.expr(
+            f"size(segs) - {counts['word']} - {counts['digit']} "
+            f"- {counts['contr']} - {counts['ws']}"
+        )
+        .cast("long")
+        .alias("n_puncts"),
+        F.expr(seg_sig_sql_spark("segs")).cast("long").alias("seg_sig"),
+    )
