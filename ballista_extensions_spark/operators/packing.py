@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ballista_extensions_spark.operators.shards import (
     SHARD_PRIME,
+    position_weight_sql,
     ranked_stream,
 )
 
@@ -111,7 +112,7 @@ def pack_sequences_manifest(
             )
         ).alias("seq_id"),
     )
-    w_rank = f"((rank - 1) % ({p} - 1)) + 1"
+    w_rank = position_weight_sql()
     return (
         spans.withColumn(
             "tok_in_seq",
@@ -191,7 +192,7 @@ PACKING_SELECT_DUCKDB = f"""
            CAST(MAX(rank) AS BIGINT) AS last_rank,
            CAST(SUM(CASE WHEN starts_here THEN
                       ((start_pos - seq_id * {{L}} + 1)
-                       * (((rank - 1) % ({SHARD_PRIME} - 1)) + 1))
+                       * {position_weight_sql()})
                       % {SHARD_PRIME}
                     ELSE 0 END) % {SHARD_PRIME} AS BIGINT)
              AS boundary_hash

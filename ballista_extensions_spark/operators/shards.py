@@ -79,6 +79,16 @@ SHARD_BASE = 31
 SHARD_PRIME = 1_000_000_007
 
 
+def position_weight_sql(rank_expr: str = "rank") -> str:
+    """THE content-hash position weight, one home for all engines and
+    callers (code-review r15 — the r14 weight fix had to touch four
+    files): ``((rank - 1) % (P - 1)) + 1`` — never zero, full period
+    P-1, so every document's content affects the hash at ANY rank.
+    Pure integer arithmetic spelled identically in Spark SQL and
+    DuckDB."""
+    return f"((({rank_expr} - 1) % ({SHARD_PRIME} - 1)) + 1)"
+
+
 def polyhash_py(s: str) -> int:
     """Python mirror of the SQL char fold (seed-constant derivation +
     tests)."""
@@ -158,7 +168,7 @@ def _doc_frame(
             F.raise_error(
                 F.concat(
                     F.lit(
-                        f"assign_training_shards: cost_col {cost_col!r} "
+                        f"ranked_stream: cost_col {cost_col!r} "
                         "must be non-null and >= 0, got "
                     ),
                     F.coalesce(
@@ -356,14 +366,10 @@ def manifest_agg(assigned: DataFrame, *extra) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("n_tokens"),
             F.min("rank").cast("long").alias("min_rank"),
             F.max("rank").cast("long").alias("max_rank"),
-            # position weight ((rank-1) % (P-1)) + 1: nonzero, full
-            # period — see module docstring (ADVICE r14)
+            # position weight: see position_weight_sql (ADVICE r14)
             (
                 F.sum(
-                    (
-                        F.col("doc_hash")
-                        * ((F.col("rank") - 1) % (p - 1) + 1)
-                    )
+                    (F.col("doc_hash") * F.expr(position_weight_sql()))
                     % p
                 )
                 % p
@@ -444,18 +450,28 @@ def manifest_ctes_duckdb(
       FROM ranked)"""
 
 
-MANIFEST_SELECT_DUCKDB = f"""
+def manifest_select_duckdb(extra_cols_sql: str = "", ordered: bool = True) -> str:
+    """The manifest's final SELECT over the ``sharded`` CTE —
+    parameterized so composition oracles can append extra aggregates
+    (curriculum mean score) instead of restating the column list.
+    ``extra_cols_sql`` is inserted verbatim after ``content_hash``
+    (lead with a comma)."""
+    p = SHARD_PRIME
+    order = "\n    ORDER BY shard_id" if ordered else ""
+    return f"""
     SELECT shard_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
            CAST(MIN(rank) AS BIGINT) AS min_rank,
            CAST(MAX(rank) AS BIGINT) AS max_rank,
-           CAST(SUM((doc_hash * (((rank - 1) % ({SHARD_PRIME} - 1)) + 1))
-                % {SHARD_PRIME}) % {SHARD_PRIME} AS BIGINT) AS content_hash
+           CAST(SUM((doc_hash * {position_weight_sql()})
+                % {p}) % {p} AS BIGINT) AS content_hash{extra_cols_sql}
     FROM sharded
-    GROUP BY shard_id
-    ORDER BY shard_id
+    GROUP BY shard_id{order}
     """
+
+
+MANIFEST_SELECT_DUCKDB = manifest_select_duckdb()
 
 
 def manifest_oracle_sql(

@@ -497,6 +497,7 @@ def _inc_shards_oracle() -> str:
     from ballista_extensions_spark.operators.shards import (
         SHARD_PRIME as P,
         polyhash_sql_duckdb,
+        position_weight_sql,
         seed_multiplier,
     )
 
@@ -535,7 +536,7 @@ def _inc_shards_oracle() -> str:
            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
            CAST(MIN(rank) AS BIGINT) AS min_rank,
            CAST(MAX(rank) AS BIGINT) AS max_rank,
-           CAST(SUM((doc_hash * (((rank - 1) % ({P} - 1)) + 1)) % {P})
+           CAST(SUM((doc_hash * {position_weight_sql()}) % {P})
                 % {P} AS BIGINT)
              AS content_hash
     FROM sharded

@@ -178,25 +178,50 @@ def shard_replay_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )  # O(shards) driver state
         contiguous = all(r["hi"] - r["lo"] + 1 == r["n"] for r in spans)
-        tiles = spans[0]["lo"] == 1 and all(
-            b["lo"] == a["hi"] + 1 for a, b in zip(spans, spans[1:])
+        tiles = (
+            bool(spans)
+            and spans[0]["lo"] == 1
+            and all(
+                b["lo"] == a["hi"] + 1 for a, b in zip(spans, spans[1:])
+            )
         )
 
-        # resume checkpoint: the boundary after the middle shard —
-        # two scalars a trainer would persist, read off the manifest
-        mid = spans[len(spans) // 2]
-        ck_shard, ck_rank = int(mid["shard_id"]), int(mid["hi"])
+        # resume checkpoint: the boundary after a middle shard — two
+        # scalars a trainer would persist, read off the manifest. Never
+        # the LAST shard (a <=2-shard corpus would make the resumed
+        # frame empty and false-fail the tail check — code-review r15);
+        # a 1-shard corpus has no resumable boundary, so those checks
+        # degrade to the full-stream comparison at ck_rank = 0.
+        mid = spans[min(len(spans) // 2, len(spans) - 2)] if len(spans) > 1 else None
+        ck_shard = int(mid["shard_id"]) if mid is not None else -1
+        ck_rank = int(mid["hi"]) if mid is not None else 0
         resumed = spark.read.parquet(os.path.join(out, "shards")).filter(
             F.col("shard_id") > ck_shard
         )
-        plan = resumed._jdf.queryExecution().executedPlan().toString()
+        try:
+            plan = resumed._jdf.queryExecution().executedPlan().toString()
+        except Exception:
+            # Spark Connect: no client-side JVM plan object — fall back
+            # to the string form of explain (same PartitionFilters
+            # evidence; io.py anticipates Connect the same way)
+            import contextlib
+            import io as _io
+
+            buf = _io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                resumed.explain(True)
+            plan = buf.getvalue()
         pruned = (
             "PartitionFilters" in plan
             and "shard_id" in plan.split("PartitionFilters", 1)[1][:200]
         )
-        w_rank = f"((rank - 1) % ({P} - 1)) + 1"
+        from ballista_extensions_spark.operators.shards import (
+            position_weight_sql,
+        )
+
         order_hash = F.expr(
-            f"CAST(SUM((doc_hash * ({w_rank})) % {P}) % {P} AS BIGINT)"
+            f"CAST(SUM((doc_hash * {position_weight_sql()}) % {P}) % {P}"
+            " AS BIGINT)"
         )
         got_tail = resumed.agg(order_hash.alias("h")).collect()[0]["h"]
         full = assign_training_shards(d, cap, seed_a)
@@ -242,8 +267,8 @@ def _curriculum_oracle() -> str:
         quality_logit_sql_duckdb,
     )
     from ballista_extensions_spark.operators.shards import (
-        SHARD_PRIME as P,
         manifest_ctes_duckdb,
+        manifest_select_duckdb,
     )
 
     qw_cte = (
@@ -251,6 +276,10 @@ def _curriculum_oracle() -> str:
         f"AS __qw)"
     )
     logit = quality_logit_sql_duckdb("text", table_ref="__qw")
+    mean_sql = (
+        ",\n           CAST(SUM(qscore) AS DOUBLE) / 1000000.0 / COUNT(*)"
+        "\n             AS mean_score"
+    )
     return f"""
     WITH {qw_cte},
     q AS (
@@ -260,18 +289,7 @@ def _curriculum_oracle() -> str:
       WHERE text IS NOT NULL),
     {manifest_ctes_duckdb(_CURR_CAP, _CURR_SEED, "q",
                           carry_cols=("qscore",))},
-    man AS (
-      SELECT shard_id,
-             CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-             CAST(MIN(rank) AS BIGINT) AS min_rank,
-             CAST(MAX(rank) AS BIGINT) AS max_rank,
-             CAST(SUM((doc_hash * (((rank - 1) % ({P} - 1)) + 1)) % {P})
-                  % {P} AS BIGINT) AS content_hash,
-             CAST(SUM(qscore) AS DOUBLE) / 1000000.0 / COUNT(*)
-               AS mean_score
-      FROM sharded
-      GROUP BY shard_id)
+    man AS ({manifest_select_duckdb(mean_sql, ordered=False)})
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY mean_score, shard_id)
                 AS BIGINT) AS sched_pos,
            shard_id, n_docs, n_tokens, min_rank, max_rank,

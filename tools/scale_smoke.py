@@ -259,6 +259,17 @@ def main() -> None:
         "training_shards": lambda d, e: _shards(d),
         "nfc_normalize": lambda d, e: _nfc(d),
         "multimodal_funnel": lambda d, e: _mm_funnel(d),
+        # round-15 (VERDICT r14 directives #2/#5/#6/#7): the two shard
+        # siblings previously inheriting 0.26 "by plan identity" now
+        # measured (query shapes as registered), plus sequence packing
+        # (whitespace costs — isolates the span/groupBy machinery from
+        # the separately-measured BPE applier), curriculum ordering,
+        # and the byte-level pretokenizer projection
+        "shards_incremental": lambda d, e: _shards_inc(d),
+        "shards_bpe_budget": lambda d, e: _shards_bpe(d),
+        "sequence_packing": lambda d, e: _packing(d),
+        "curriculum_shards": lambda d, e: _curriculum(d),
+        "pretokenize_counts": lambda d, e: _pretok(d),
     }
 
     def _shards(d):
@@ -268,6 +279,96 @@ def main() -> None:
 
         man = training_shard_manifest(d, 2048, 20260816)
         return man.agg(F.sum("n_docs").alias("n")).collect()[0]["n"]
+
+    def _shards_inc(d):
+        from ballista_extensions_spark.operators.shards import (
+            extend_training_shards,
+            training_shard_manifest,
+        )
+
+        base = d.filter(F.col("text").isNotNull())
+        b1 = base.filter(F.col("doc_id") % 3 < 2)
+        b2 = base.filter(F.col("doc_id") % 3 == 2)
+        hist = training_shard_manifest(b1, 2048, 3)
+        inc = extend_training_shards(b2, hist, 2048, 4)
+        return inc.agg(F.sum("n_docs").alias("n")).collect()[0]["n"]
+
+    def _shards_bpe(d):
+        from ballista_extensions_spark.operators.bpe_stream import (
+            FROZEN_STREAM_MERGES,
+            bpe_stream_token_counts,
+        )
+        from ballista_extensions_spark.operators.shards import (
+            training_shard_manifest,
+        )
+
+        base = d.filter(F.col("text").isNotNull())
+        counts = bpe_stream_token_counts(
+            base, FROZEN_STREAM_MERGES
+        ).select("doc_id", F.col("n_tokens").alias("bpe_tokens"))
+        with_cost = base.select("doc_id", "text").join(counts, "doc_id")
+        man = training_shard_manifest(
+            with_cost, 4096, 20260817, cost_col="bpe_tokens"
+        )
+        return man.agg(F.sum("n_docs").alias("n")).collect()[0]["n"]
+
+    def _packing(d):
+        from ballista_extensions_spark.operators.packing import (
+            pack_sequences_manifest,
+        )
+
+        base = d.filter(F.col("text").isNotNull())
+        man = pack_sequences_manifest(base, 1024, 20260816)
+        return man.agg(F.sum("n_tokens").alias("n")).collect()[0]["n"]
+
+    def _curriculum(d):
+        from ballista_extensions_spark.operators.qualityclassifier import (
+            quality_logit_sql,
+        )
+        from ballista_extensions_spark.operators.shards import (
+            assign_training_shards,
+            manifest_agg,
+        )
+
+        base = d.filter(F.col("text").isNotNull())
+        scored = base.select(
+            "doc_id",
+            "text",
+            F.expr(
+                f"CAST(floor(({quality_logit_sql('text')}) * 1000000.0)"
+                " AS BIGINT)"
+            ).alias("qscore"),
+        )
+        assigned = assign_training_shards(
+            scored, 2048, 20260815, carry_cols=("qscore",)
+        )
+        man = manifest_agg(
+            assigned,
+            (
+                F.sum("qscore").cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_score"),
+        )
+        return man.count()
+
+    def _pretok(d):
+        from ballista_extensions_spark.operators.pretokenize import (
+            pretok_segments_sql_spark,
+            seg_sig_sql_spark,
+        )
+
+        base = d.filter(F.col("text").isNotNull())
+        segged = base.select(
+            "doc_id",
+            F.expr(pretok_segments_sql_spark("text")).alias("segs"),
+        )
+        return segged.select(
+            F.expr("size(segs)").alias("n"),
+            F.expr(seg_sig_sql_spark("segs")).alias("sig"),
+        ).agg(
+            F.sum("n").alias("t"), F.sum("sig").alias("s")
+        ).collect()[0]["t"]
 
     def _nfc(d):
         from ballista_extensions_spark.functions.udf import (
