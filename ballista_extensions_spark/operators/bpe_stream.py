@@ -526,6 +526,78 @@ def bpe_stream_tokens(
     )
 
 
+#: stream alphabet: chunks are lowercase alnum + the ``#`` joint
+STREAM_BASE_SYMBOLS = "abcdefghijklmnopqrstuvwxyz0123456789#"
+
+
+def token_vocab(merges: Merges) -> dict[str, int]:
+    """Stable token-id space for a merge list: base symbols first
+    (fixed order), then one id per merge in rank order — the id a
+    token gets never changes when the vocabulary is EXTENDED (training
+    more merges appends ids), which is what lets checkpointed training
+    runs resume against a grown vocab. The EOS sentinel is the next id
+    after the last merge (``len(vocab)``), reserved by convention."""
+    vocab = {s: i for i, s in enumerate(STREAM_BASE_SYMBOLS)}
+    base = len(vocab)
+    for i, (x, y) in enumerate(merges):
+        vocab[x + y] = base + i
+    return vocab
+
+
+def bpe_stream_token_ids(
+    docs: DataFrame,
+    merges: Merges,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    append_eos: bool = True,
+) -> DataFrame:
+    """Per-document token-ID arrays (doc_id, ids, n_ids) — the
+    trainer-facing integer form of :func:`bpe_stream_tokens`: same
+    Arrow-batched rank-priority applier, tokens mapped through
+    :func:`token_vocab` inside the same pass (no second corpus scan),
+    EOS id (= vocab size) appended per document when ``append_eos``.
+    ``n_ids`` includes the EOS — exactly the packing cost column."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    vocab = token_vocab(merges)
+    eos = len(vocab)
+    out_schema = f"{id_col} long, ids array<int>, n_ids long"
+
+    def apply_batches(
+        it: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[int]] = {}
+
+        def ids_doc(text: str | None) -> list[int]:
+            out: list[int] = []
+            for ch in _py_chunks(text or ""):
+                t = memo.get(ch)
+                if t is None:
+                    t = [
+                        vocab[s]
+                        for s in _rank_priority_tokens(ch, ranks)
+                    ]
+                    memo[ch] = t
+                out.extend(t)
+            if append_eos:
+                out.append(eos)
+            return out
+
+        for pdf in it:
+            ids = [ids_doc(t) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "ids": ids,
+                    "n_ids": [len(x) for x in ids],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        apply_batches, schema=out_schema
+    )
+
+
 def _parse_frozen(spec: str) -> Merges:
     return tuple(
         (x, y)

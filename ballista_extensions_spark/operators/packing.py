@@ -48,7 +48,11 @@ from ballista_extensions_spark.operators.shards import (
     ranked_stream,
 )
 
-__all__ = ["pack_sequences_manifest", "packing_ctes_duckdb"]
+__all__ = [
+    "emit_packed_sequences",
+    "pack_sequences_manifest",
+    "packing_ctes_duckdb",
+]
 
 
 def pack_sequences_manifest(
@@ -200,3 +204,96 @@ PACKING_SELECT_DUCKDB = f"""
     GROUP BY seq_id
     ORDER BY seq_id
     """
+
+
+def emit_packed_sequences(
+    df: DataFrame,
+    merges,
+    context_len: int,
+    seed: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The trainer's actual input rows: ``(seq_id, ids, n_tokens,
+    padding)`` where ``ids`` is the fixed-context token-ID sequence —
+    every document's frozen-vocab token ids + one EOS, concatenated in
+    the seeded stream order and cut at ``context_len`` (unpadded; the
+    tail's ``padding`` reports the shortfall, the trainer chooses its
+    pad id).
+
+    Scale shape: the applier's one Arrow pass produces per-doc id
+    ARRAYS which then ride the range shuffle as a carried payload
+    column (carry_cols — no per-token rows anywhere); each (doc,
+    sequence) overlap contributes ``slice(ids, ...)``, and a sequence
+    assembles with ``flatten(array_sort(collect_list(struct(rank,
+    part))))`` — per-group state is bounded by ``context_len`` ids, so
+    a 100 TB stream packs with one range shuffle + one seq_id
+    shuffle. Consistency with :func:`pack_sequences_manifest` at the
+    same (merges, context_len, seed) is driver-hash-graded by
+    ``packing_contract_audit`` (position-weighted stream-hash equality
+    proves the emitted ids are byte-for-byte the manifest's stream)."""
+    from ballista_extensions_spark.operators.bpe_stream import (
+        bpe_stream_token_ids,
+    )
+
+    if context_len <= 0:
+        raise ValueError(
+            f"context_len must be positive, got {context_len}"
+        )
+    L = int(context_len)
+    with_ids = df.filter(F.col(text_col).isNotNull())
+    ids = bpe_stream_token_ids(
+        with_ids, merges, text_col=text_col, id_col=id_col
+    )
+    joined = with_ids.select(id_col, text_col).join(ids, id_col)
+    ranked = ranked_stream(
+        joined,
+        seed,
+        text_col,
+        id_col,
+        num_partitions,
+        cost_col="n_ids",
+        carry_cols=("ids",),
+    )
+    per = ranked.filter(F.col("n_tokens") > 0).select(
+        "rank",
+        "ids",
+        (F.col("cum") - F.col("n_tokens")).alias("start"),
+        F.col("cum").alias("end"),
+    )
+    spans = per.select(
+        "rank",
+        "ids",
+        "start",
+        "end",
+        F.explode(
+            F.sequence(
+                F.expr(f"start DIV {L}"), F.expr(f"(end - 1) DIV {L}")
+            )
+        ).alias("seq_id"),
+    )
+    part = spans.withColumn(
+        "part",
+        F.expr(
+            f"slice(ids, CAST(greatest(start, seq_id * {L}) - start + 1 "
+            f"AS INT), CAST(least(end, (seq_id + 1) * {L}) "
+            f"- greatest(start, seq_id * {L}) AS INT))"
+        ),
+    )
+    return (
+        part.groupBy("seq_id")
+        .agg(
+            F.expr(
+                "flatten(transform(array_sort(collect_list("
+                "struct(rank, part))), s -> s.part))"
+            ).alias("ids"),
+        )
+        .select(
+            "seq_id",
+            "ids",
+            F.size("ids").cast("long").alias("n_tokens"),
+            (F.lit(L) - F.size("ids")).cast("long").alias("padding"),
+        )
+        .orderBy("seq_id")
+    )

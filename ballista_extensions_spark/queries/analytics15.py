@@ -457,3 +457,138 @@ def bpe_byte_pretokenize_counts(
         .alias("n_puncts"),
         F.expr(seg_sig_sql_spark("segs")).cast("long").alias("seg_sig"),
     )
+
+
+_PACK_AUDIT_CHECKS = [
+    "lengths_match_manifest",
+    "token_conservation",
+    "id_range_valid",
+    "eos_per_document",
+    "stream_hash_equal",
+    "padding_tail_only",
+]
+
+
+def _pack_audit_oracle() -> str:
+    from ballista_extensions_spark.queries.audits import _const_true_oracle
+
+    return _const_true_oracle(_PACK_AUDIT_CHECKS)
+
+
+@register("packing_contract_audit", oracle=_pack_audit_oracle())
+def packing_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The emitted token-ID sequences against the graded packing
+    manifest — proves `emit_packed_sequences` hands the trainer
+    byte-for-byte the stream `sequence_packing_manifest` describes:
+
+    - lengths_match_manifest: per-sequence (n_tokens, padding) equal
+      the manifest's, full-outer join, zero mismatches;
+    - token_conservation: Σ ids across sequences == Σ per-doc ids;
+    - id_range_valid: every id in [0, EOS]; EOS = vocab size;
+    - eos_per_document: EOS occurrences == document count (one
+      sentinel per doc, none lost at sequence boundaries);
+    - stream_hash_equal: the position-weighted stream hash computed
+      from the SEQUENCES (position = seq_id*L + i) equals the same
+      hash computed from the DOCUMENTS (position = start + i) — equal
+      sums mean the concatenated ids are identical at every global
+      position, the strongest order pin short of collecting the
+      stream;
+    - padding_tail_only: padding is nonzero only on the final
+      sequence.
+
+    All checks are distributed aggregates (HOF folds + joins); like
+    every *_contract_audit this is fixed_evidence."""
+    from ballista_extensions_spark.operators.bpe_stream import (
+        FROZEN_STREAM_MERGES,
+        bpe_stream_token_ids,
+        token_vocab,
+    )
+    from ballista_extensions_spark.operators.packing import (
+        emit_packed_sequences,
+        pack_sequences_manifest,
+    )
+    from ballista_extensions_spark.operators.shards import (
+        SHARD_PRIME as P,
+        position_weight_sql,
+        ranked_stream,
+    )
+    from ballista_extensions_spark.queries.audits import _lit_checks
+
+    L, seed = _PACK_LEN, _PACK_SEED
+    eos_id = len(token_vocab(FROZEN_STREAM_MERGES))
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    seqs = emit_packed_sequences(
+        d, FROZEN_STREAM_MERGES, L, seed
+    ).localCheckpoint()
+
+    ids = bpe_stream_token_ids(d, FROZEN_STREAM_MERGES)
+    joined = d.select("doc_id", "text").join(ids, "doc_id")
+    ranked = ranked_stream(
+        joined, seed, cost_col="n_ids", carry_cols=("ids",)
+    )
+
+    man = pack_sequences_manifest(
+        joined, L, seed, cost_col="n_ids"
+    ).select("seq_id", "n_tokens", "padding")
+    mism = (
+        seqs.select("seq_id", "n_tokens", "padding")
+        .join(man, ["seq_id", "n_tokens", "padding"], "full_outer")
+        .count()
+    )
+    n_seq = seqs.count()
+    lengths_ok = mism == n_seq == man.count()
+
+    doc_tot = ids.agg(F.sum("n_ids").alias("t")).collect()[0]["t"]
+    srow = seqs.agg(
+        F.sum(F.size("ids")).alias("t"),
+        F.min(F.expr("array_min(ids)")).alias("lo"),
+        F.max(F.expr("array_max(ids)")).alias("hi"),
+        F.sum(
+            F.expr(f"size(filter(ids, x -> x = {eos_id}))")
+        ).alias("eos"),
+        F.max(F.when(F.col("padding") > 0, F.col("seq_id"))).alias(
+            "padseq"
+        ),
+        F.sum(F.when(F.col("padding") > 0, 1).otherwise(0)).alias(
+            "npad"
+        ),
+        F.max("seq_id").alias("maxseq"),
+    ).collect()[0]
+    conserved = int(srow["t"]) == int(doc_tot)
+    id_range = srow["lo"] >= 0 and srow["hi"] == eos_id
+    eos_count = int(srow["eos"]) == d.count()
+    pad_tail = int(srow["npad"] or 0) <= 1 and (
+        srow["npad"] == 0 or srow["padseq"] == srow["maxseq"]
+    )
+
+    w_seq = position_weight_sql(f"(seq_id * {L} + i + 1)")
+    h_seq = seqs.select(
+        F.expr(
+            f"aggregate(transform(ids, (x, i) -> "
+            f"((CAST(x AS BIGINT) + 1) * {w_seq}) % {P}), "
+            f"0L, (a, b) -> (a + b) % {P})"
+        ).alias("h")
+    ).agg((F.sum("h") % P).alias("h")).collect()[0]["h"]
+    w_doc = position_weight_sql("(cum - n_tokens + i + 1)")
+    h_doc = ranked.select(
+        F.expr(
+            f"aggregate(transform(ids, (x, i) -> "
+            f"((CAST(x AS BIGINT) + 1) * {w_doc}) % {P}), "
+            f"0L, (a, b) -> (a + b) % {P})"
+        ).alias("h")
+    ).agg((F.sum("h") % P).alias("h")).collect()[0]["h"]
+    stream_ok = h_seq == h_doc and h_seq is not None
+
+    return _lit_checks(
+        spark,
+        [
+            ("lengths_match_manifest", lengths_ok),
+            ("token_conservation", conserved),
+            ("id_range_valid", id_range),
+            ("eos_per_document", eos_count),
+            ("stream_hash_equal", stream_ok),
+            ("padding_tail_only", pad_tail),
+        ],
+    )

@@ -143,6 +143,7 @@ FIXED_EVIDENCE: frozenset[str] = frozenset({
     "ann_contract_audit", "dedup_probabilistic_audit",
     "compression_contract_audit", "bpe_contract_audit",
     "shard_contract_audit", "shard_replay_audit",
+    "packing_contract_audit",
 })
 
 

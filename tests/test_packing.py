@@ -98,3 +98,64 @@ def test_seed_determinism(documents):
 def test_context_len_validation(documents):
     with pytest.raises(ValueError, match="context_len"):
         pack_sequences_manifest(documents, 0, SEED)
+
+
+def test_emit_packed_sequences_round_trip(spark):
+    """The emitted token-ID stream reconstructs every document: invert
+    the vocab, split the concatenated sequence ids on EOS, and each
+    piece equals the document's normalized chunk stream in the seeded
+    rank order — plus conservation and fixed-length invariants."""
+    from ballista_extensions_spark.operators.bpe_stream import (
+        FROZEN_STREAM_MERGES,
+        _py_chunks,
+        token_vocab,
+    )
+    from ballista_extensions_spark.operators.packing import (
+        emit_packed_sequences,
+    )
+    from ballista_extensions_spark.operators.shards import (
+        assign_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs 123"),
+            (3, "a" * 40),
+            (4, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    L, seed = 16, 5
+    seqs = (
+        emit_packed_sequences(docs, FROZEN_STREAM_MERGES, L, seed)
+        .orderBy("seq_id")
+        .collect()
+    )
+    # fixed length everywhere but the tail
+    for r in seqs[:-1]:
+        assert r["n_tokens"] == L and r["padding"] == 0
+    assert seqs[-1]["n_tokens"] + seqs[-1]["padding"] == L
+
+    vocab = token_vocab(FROZEN_STREAM_MERGES)
+    inv = {i: s for s, i in vocab.items()}
+    eos = len(vocab)
+    stream = [i for r in seqs for i in r["ids"]]
+    pieces, cur = [], []
+    for i in stream:
+        if i == eos:
+            pieces.append("".join(inv[x] for x in cur))
+            cur = []
+        else:
+            cur.append(i)
+    assert not cur, "stream must end on an EOS boundary"
+    # seeded rank order from the same (corpus, seed)
+    order = [
+        r["doc_id"]
+        for r in assign_training_shards(docs, 10**9, seed)
+        .orderBy("rank")
+        .collect()
+    ]
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    want = ["".join(_py_chunks(texts[d])) for d in order]
+    assert pieces == want
