@@ -9,6 +9,8 @@ round-14 operators:
   3. write        one parquet file per shard + manifest
   4. extend       a later batch continues the shard set from two
                   manifest scalars — history is never re-read
+  5. pack         fixed-context token-ID sequences over the frozen
+                  BPE vocab (one EOS per doc), the trainer's input
 
 Usage: python examples/training_shards.py [sf_dir] [capacity] [seed]
 """
@@ -71,6 +73,27 @@ def main() -> None:
     a = [tuple(r) for r in manifest.orderBy("shard_id").collect()]
     b = [tuple(r) for r in again.orderBy("shard_id").collect()]
     print(f"re-run byte-identical: {a == b}")
+
+    # 5. the trainer handoff: fixed-context token-ID sequences over
+    # the frozen vocab — every doc's BPE ids + EOS, concatenated in
+    # the same seeded order and cut at context_len
+    from ballista_extensions_spark.operators.bpe_stream import (
+        FROZEN_STREAM_MERGES,
+    )
+    from ballista_extensions_spark.operators.packing import (
+        emit_packed_sequences,
+    )
+
+    seqs = emit_packed_sequences(
+        selected, FROZEN_STREAM_MERGES, 256, seed
+    )
+    print("packed training sequences (ids truncated for display):")
+    seqs.select(
+        "seq_id",
+        F.expr("slice(ids, 1, 8)").alias("ids_head"),
+        "n_tokens",
+        "padding",
+    ).show(5, truncate=False)
 
 
 if __name__ == "__main__":

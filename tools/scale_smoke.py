@@ -268,6 +268,7 @@ def main() -> None:
         "shards_incremental": lambda d, e: _shards_inc(d),
         "shards_bpe_budget": lambda d, e: _shards_bpe(d),
         "sequence_packing": lambda d, e: _packing(d),
+        "packed_emit": lambda d, e: _packed_emit(d),
         "curriculum_shards": lambda d, e: _curriculum(d),
         "pretokenize_counts": lambda d, e: _pretok(d),
     }
@@ -320,6 +321,17 @@ def main() -> None:
         base = d.filter(F.col("text").isNotNull())
         man = pack_sequences_manifest(base, 1024, 20260816)
         return man.agg(F.sum("n_tokens").alias("n")).collect()[0]["n"]
+
+    def _packed_emit(d):
+        from ballista_extensions_spark.operators.bpe_stream import (
+            FROZEN_STREAM_MERGES,
+        )
+        from ballista_extensions_spark.operators.packing import (
+            emit_packed_sequences,
+        )
+
+        seqs = emit_packed_sequences(d, FROZEN_STREAM_MERGES, 1024, 7)
+        return seqs.agg(F.sum("n_tokens").alias("n")).collect()[0]["n"]
 
     def _curriculum(d):
         from ballista_extensions_spark.operators.qualityclassifier import (
