@@ -223,18 +223,24 @@ def shard_replay_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(SUM((doc_hash * {position_weight_sql()}) % {P}) % {P}"
             " AS BIGINT)"
         )
-        got_tail = resumed.agg(order_hash.alias("h")).collect()[0]["h"]
-        full = assign_training_shards(d, cap, seed_a)
-        want_tail = (
-            full.filter(F.col("rank") > ck_rank)
-            .agg(order_hash.alias("h"))
-            .collect()[0]["h"]
+        tail_hash = F.expr(
+            f"CAST(SUM(CASE WHEN rank > {ck_rank} THEN "
+            f"(doc_hash * {position_weight_sql()}) % {P} ELSE 0 END) "
+            f"% {P} AS BIGINT)"
         )
-        tail_ok = got_tail == want_tail and got_tail is not None
-
         set_hash = F.expr(f"CAST(SUM(doc_hash) % {P} AS BIGINT)")
+        got_tail = resumed.agg(order_hash.alias("h")).collect()[0]["h"]
+        # epoch-a set/order hashes AND the expected tail hash come out
+        # of ONE corpus pass over the re-derived assignment (the three
+        # separate aggregations here were the audit's main fixed cost)
+        full = assign_training_shards(d, cap, seed_a)
+        ra = full.agg(
+            set_hash.alias("s"),
+            order_hash.alias("o"),
+            tail_hash.alias("t"),
+        ).collect()[0]
+        tail_ok = got_tail == ra["t"] and got_tail is not None
         epoch_b = assign_training_shards(d, cap, seed_b)
-        ra = full.agg(set_hash.alias("s"), order_hash.alias("o")).collect()[0]
         rb = epoch_b.agg(set_hash.alias("s"), order_hash.alias("o")).collect()[
             0
         ]
@@ -523,7 +529,12 @@ def packing_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, FROZEN_STREAM_MERGES, L, seed
     ).localCheckpoint()
 
-    ids = bpe_stream_token_ids(d, FROZEN_STREAM_MERGES)
+    # checkpoint the applier output: three consumers below (doc total,
+    # ranked stream, manifest) would otherwise each re-run the
+    # mapInPandas pass — the audit's main fixed cost
+    ids = bpe_stream_token_ids(d, FROZEN_STREAM_MERGES).localCheckpoint(
+        eager=False
+    )
     joined = d.select("doc_id", "text").join(ids, "doc_id")
     ranked = ranked_stream(
         joined, seed, cost_col="n_ids", carry_cols=("ids",)
