@@ -541,6 +541,14 @@ def token_vocab(merges: Merges) -> dict[str, int]:
     base = len(vocab)
     for i, (x, y) in enumerate(merges):
         vocab[x + y] = base + i
+    if len(vocab) != len(STREAM_BASE_SYMBOLS) + len(merges):
+        raise ValueError(
+            "token_vocab: merge list has colliding concatenations "
+            "(two merges produce the same token string) — ids would "
+            "silently collapse and the EOS id (= vocab size) would "
+            f"collide: {len(vocab)} ids for "
+            f"{len(STREAM_BASE_SYMBOLS)} base + {len(merges)} merges"
+        )
     return vocab
 
 

@@ -171,7 +171,8 @@ def packing_ctes_duckdb(
     return f"""perdoc AS (
       SELECT rank, n_tokens,
              cum - n_tokens AS start_pos, cum AS end_pos
-      FROM {ranked_table}),
+      FROM {ranked_table}
+      WHERE n_tokens > 0),
     spans AS (
       SELECT rank, start_pos, end_pos,
              unnest(generate_series(start_pos // {L},
