@@ -39,5 +39,6 @@ from ballista_extensions_spark.queries import analytics12  # noqa: E402,F401
 from ballista_extensions_spark.queries import analytics13  # noqa: E402,F401
 from ballista_extensions_spark.queries import analytics14  # noqa: E402,F401
 from ballista_extensions_spark.queries import analytics15  # noqa: E402,F401
+from ballista_extensions_spark.queries import analytics16  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register", "get_queries", "get_oracles"]
