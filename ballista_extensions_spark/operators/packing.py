@@ -51,40 +51,27 @@ from ballista_extensions_spark.operators.shards import (
 __all__ = [
     "emit_packed_sequences",
     "pack_sequences_manifest",
+    "packed_segment_ids",
     "packing_ctes_duckdb",
+    "segment_ids_select_duckdb",
 ]
 
 
-def pack_sequences_manifest(
+def _span_parts(
     df: DataFrame,
-    context_len: int,
+    L: int,
     seed: int,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    cost_col: str | None = None,
-    num_partitions: int | None = None,
+    text_col: str,
+    id_col: str,
+    cost_col: str | None,
+    num_partitions: int | None,
 ) -> DataFrame:
-    """One row per fixed-length training sequence: ``(seq_id,
-    n_tokens, padding, n_docs, n_doc_starts, first_rank, last_rank,
-    boundary_hash)``.
-
-    ``cost_col`` names the per-document token count INCLUDING the EOS
-    sentinel (callers compute ``tokenizer_tokens + 1``); without it
-    the whitespace count + 1 EOS is used. ``n_docs`` counts every
-    document contributing tokens to the sequence (a long document
-    spans many sequences); ``n_doc_starts`` counts documents whose
-    first token lies in this sequence (the trainer's attention-reset
-    boundaries); ``boundary_hash`` pins their in-sequence offsets and
-    rank order. Token conservation (pinned by tests and the oracle):
-    ``SUM(n_tokens) == SUM(per-doc cost)`` and ``padding`` is nonzero
-    only on the final sequence.
-    """
-    if context_len <= 0:
-        raise ValueError(
-            f"context_len must be positive, got {context_len}"
-        )
-    p = SHARD_PRIME
-    L = int(context_len)
+    """Shared span machinery: one row per (document, sequence)
+    overlap — ``(rank, start, end, seq_id, tok_in_seq, starts_here)``
+    — exploding each document's RANGE of touched sequences (rows =
+    n_docs + n_sequences, never per-token)."""
+    if L <= 0:
+        raise ValueError(f"context_len must be positive, got {L}")
     eos = F.lit(1).cast("long")
     ranked = ranked_stream(
         df, seed, text_col, id_col, num_partitions, cost_col=cost_col
@@ -116,17 +103,47 @@ def pack_sequences_manifest(
             )
         ).alias("seq_id"),
     )
+    return spans.withColumn(
+        "tok_in_seq",
+        F.expr(f"least(end, (seq_id + 1) * {L})")
+        - F.expr(f"greatest(start, seq_id * {L})"),
+    ).withColumn(
+        "starts_here", (F.col("start") >= F.col("seq_id") * L)
+    )
+
+
+def pack_sequences_manifest(
+    df: DataFrame,
+    context_len: int,
+    seed: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cost_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One row per fixed-length training sequence: ``(seq_id,
+    n_tokens, padding, n_docs, n_doc_starts, first_rank, last_rank,
+    boundary_hash)``.
+
+    ``cost_col`` names the per-document token count INCLUDING the EOS
+    sentinel (callers compute ``tokenizer_tokens + 1``); without it
+    the whitespace count + 1 EOS is used. ``n_docs`` counts every
+    document contributing tokens to the sequence (a long document
+    spans many sequences); ``n_doc_starts`` counts documents whose
+    first token lies in this sequence (the trainer's attention-reset
+    boundaries); ``boundary_hash`` pins their in-sequence offsets and
+    rank order. Token conservation (pinned by tests and the oracle):
+    ``SUM(n_tokens) == SUM(per-doc cost)`` and ``padding`` is nonzero
+    only on the final sequence.
+    """
+    p = SHARD_PRIME
+    L = int(context_len)
+    parts = _span_parts(
+        df, L, seed, text_col, id_col, cost_col, num_partitions
+    )
     w_rank = position_weight_sql()
     return (
-        spans.withColumn(
-            "tok_in_seq",
-            F.expr(f"least(end, (seq_id + 1) * {L})")
-            - F.expr(f"greatest(start, seq_id * {L})"),
-        )
-        .withColumn(
-            "starts_here", (F.col("start") >= F.col("seq_id") * L)
-        )
-        .groupBy("seq_id")
+        parts.groupBy("seq_id")
         .agg(
             F.sum("tok_in_seq").cast("long").alias("n_tokens"),
             (F.lit(L) - F.sum("tok_in_seq")).cast("long").alias("padding"),
@@ -203,6 +220,85 @@ PACKING_SELECT_DUCKDB = f"""
              AS boundary_hash
     FROM seqtok
     GROUP BY seq_id
+    ORDER BY seq_id
+    """
+
+
+def packed_segment_ids(
+    df: DataFrame,
+    context_len: int,
+    seed: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cost_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-sequence attention-reset boundaries as trainer-ready
+    columns (VERDICT r15 directive #6): ``(seq_id, n_tokens,
+    n_segments, boundaries, segment_ids)`` where ``boundaries`` is
+    the sorted in-sequence offsets at which documents START and
+    ``segment_ids`` is the per-position segment index (length
+    ``n_tokens``) — ``segment_ids[p] = |{b in boundaries : b <= p}|``,
+    so positions continuing the PREVIOUS sequence's unfinished
+    document carry segment id 0 and each in-sequence document start
+    increments the id. ``n_segments`` counts distinct segments
+    (boundary count, +1 when a continuation prefix exists).
+
+    Scale: the same n_docs + n_sequences span rows as the manifest
+    (one range shuffle + one seq_id groupBy); the per-position array
+    is emitted per SEQUENCE row (bounded by context_len — it IS the
+    trainer's mask tensor), built by a codegen'd HOF at O(context_len
+    × boundaries-per-sequence) per row, never via per-token rows. The
+    DuckDB oracle replays the span arithmetic and both HOF lambdas
+    element-for-element."""
+    L = int(context_len)
+    parts = _span_parts(
+        df, L, seed, text_col, id_col, cost_col, num_partitions
+    )
+    agg = parts.groupBy("seq_id").agg(
+        F.sum("tok_in_seq").cast("long").alias("n_tokens"),
+        F.expr(
+            f"array_sort(collect_list(CASE WHEN starts_here THEN "
+            f"start - seq_id * {L} END))"
+        ).alias("bounds"),
+    )
+    return agg.select(
+        "seq_id",
+        "n_tokens",
+        F.expr(
+            "CAST(size(bounds) + (CASE WHEN size(bounds) = 0 "
+            "OR bounds[0] > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_segments"),
+        F.col("bounds").alias("boundaries"),
+        F.expr(
+            "transform(sequence(CAST(0 AS BIGINT), n_tokens - 1), "
+            "p -> CAST(size(filter(bounds, b -> b <= p)) AS BIGINT))"
+        ).alias("segment_ids"),
+    ).orderBy("seq_id")
+
+
+def segment_ids_select_duckdb(context_len: int) -> str:
+    """Final SELECT replaying :func:`packed_segment_ids` downstream
+    of :func:`packing_ctes_duckdb`'s ``seqtok`` CTE (note DuckDB's
+    1-based list indexing vs the shared 0-based offsets)."""
+    L = int(context_len)
+    return f"""
+    SELECT seq_id, n_tokens,
+           CAST(len(bounds) + (CASE WHEN len(bounds) = 0
+                OR bounds[1] > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_segments,
+           bounds AS boundaries,
+           list_transform(
+             generate_series(0, n_tokens - 1),
+             p -> CAST(len(list_filter(bounds, b -> b <= p))
+                       AS BIGINT)) AS segment_ids
+    FROM (
+      SELECT seq_id,
+             CAST(SUM(tok_in_seq) AS BIGINT) AS n_tokens,
+             COALESCE(list(start_pos - seq_id * {L}
+                           ORDER BY start_pos)
+                        FILTER (WHERE starts_here), []) AS bounds
+      FROM seqtok GROUP BY seq_id)
     ORDER BY seq_id
     """
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ballista_extensions_spark.io import load_table
+from ballista_extensions_spark.io import ensure_parallelism, load_table
 from ballista_extensions_spark.operators.retrieval import (
     bm25_score_sql,
     bm25_topk,
@@ -163,3 +163,118 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e.filter(F.col("vec_id") == _RRF_QVEC), k=_BM25_K
     ).select(F.col("c_id").alias("doc_id"), F.col("rn").alias("rank"))
     return rrf_fuse(lex, sem, k=_RRF_K)
+
+
+#: same packing parameters as sequence_packing_manifest — the mask is
+#: the manifest's companion tensor and must describe the same cuts
+_PACK_LEN = 1024
+_PACK_SEED = 20260816
+
+
+def _segment_ids_oracle() -> str:
+    from ballista_extensions_spark.operators.bpe_stream import (
+        FROZEN_STREAM_MERGES,
+        chain_cte_duckdb,
+    )
+    from ballista_extensions_spark.operators.packing import (
+        packing_ctes_duckdb,
+        segment_ids_select_duckdb,
+    )
+    from ballista_extensions_spark.operators.shards import (
+        manifest_ctes_duckdb,
+    )
+
+    chain = chain_cte_duckdb(
+        FROZEN_STREAM_MERGES,
+        from_sql="(SELECT doc_id, text FROM documents "
+        "WHERE text IS NOT NULL)",
+    )
+    return f"""
+    WITH {chain},
+    bpedocs AS (
+      SELECT d.doc_id, d.text,
+             CAST((length(c.s) - length(replace(c.s, ' ', ''))) / 2
+                  AS BIGINT) AS bpe_tokens
+      FROM documents d JOIN __bpe_chain c ON c.doc_id = d.doc_id
+      WHERE d.text IS NOT NULL),
+    {manifest_ctes_duckdb(1 << 40, _PACK_SEED, "bpedocs",
+                          cost_sql="bpe_tokens + 1")},
+    {packing_ctes_duckdb(_PACK_LEN)}
+    {segment_ids_select_duckdb(_PACK_LEN)}
+    """
+
+
+@register("packed_segment_ids", oracle=_segment_ids_oracle())
+def packed_segment_ids_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-sequence attention-reset masks for the packed training
+    sequences (VERDICT r15 directive #6,
+    operators/packing.py:packed_segment_ids): for every fixed-length
+    sequence of the seeded BPE stream, the sorted in-sequence offsets
+    where documents start (``boundaries``) and the per-position
+    segment-id array the trainer consumes (id 0 = continuation of the
+    previous sequence's document; each boundary increments). Same
+    (merges, context_len, seed) as sequence_packing_manifest — the
+    mask describes exactly the manifest's cuts (pinned by pytest).
+    The oracle replays the span arithmetic AND both HOF lambdas
+    element-for-element, grading every position of every mask."""
+    from ballista_extensions_spark.operators.bpe_stream import (
+        FROZEN_STREAM_MERGES,
+        bpe_stream_token_counts,
+    )
+    from ballista_extensions_spark.operators.packing import (
+        packed_segment_ids,
+    )
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.col("text").isNotNull())
+    counts = bpe_stream_token_counts(d, FROZEN_STREAM_MERGES).select(
+        "doc_id", (F.col("n_tokens") + 1).alias("bpe_cost")
+    )
+    with_cost = d.select("doc_id", "text").join(counts, "doc_id")
+    return packed_segment_ids(
+        with_cost, _PACK_LEN, _PACK_SEED, cost_col="bpe_cost"
+    )
+
+
+def _store_curriculum_oracle() -> str:
+    # the SCHEDULE is the contract: scoring once and joining must
+    # yield exactly the inline-fold schedule, so the oracle is the
+    # curriculum oracle verbatim (score equality pinned by pytest)
+    from ballista_extensions_spark.queries.analytics15 import (
+        _curriculum_oracle,
+    )
+
+    return _curriculum_oracle()
+
+
+@register("curriculum_schedule_from_store", oracle=_store_curriculum_oracle())
+def curriculum_schedule_from_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curriculum shard schedule from the persisted classifier-score
+    store (VERDICT r15 directive #5): the frozen classifier scores
+    each document ONCE (operators/scorestore.py:quality_score_frame —
+    the gate-time pass a real pipeline already ran), and curriculum
+    ordering JOINS ``(doc_id, qscore)`` instead of re-paying the
+    hashed-BoW fold over the corpus (BASELINE.md r15 measured that
+    re-fold at exponent 0.86 — the highest in the table). The output
+    is bit-identical to curriculum_shard_schedule (same oracle; the
+    store path's equality with the recompute path is additionally
+    pinned by tests/test_scorestore.py, and the bucketed-table
+    exchange-free join + append-only increment ingest are
+    plan-asserted there)."""
+    from ballista_extensions_spark.operators.scorestore import (
+        curriculum_from_scores,
+        quality_score_frame,
+    )
+    from ballista_extensions_spark.queries.analytics15 import (
+        _CURR_CAP,
+        _CURR_SEED,
+    )
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    scores = quality_score_frame(d)
+    return curriculum_from_scores(d, scores, _CURR_CAP, _CURR_SEED)

@@ -159,3 +159,108 @@ def test_emit_packed_sequences_round_trip(spark):
     texts = {r["doc_id"]: r["text"] for r in docs.collect()}
     want = ["".join(_py_chunks(texts[d])) for d in order]
     assert pieces == want
+
+
+def test_segment_ids_match_manifest(documents):
+    """packed_segment_ids describes exactly the manifest's cuts
+    (VERDICT r15 directive #6): same (corpus, seed, context_len) —
+    per sequence, token counts agree, boundary count equals
+    n_doc_starts, and n_segments adds 1 exactly when the sequence
+    opens mid-document (continuation prefix, segment id 0)."""
+    from ballista_extensions_spark.operators.packing import (
+        packed_segment_ids,
+    )
+
+    d = documents.filter(F.col("text").isNotNull())
+    man = {
+        r["seq_id"]: r
+        for r in pack_sequences_manifest(d, L, SEED).collect()
+    }
+    seg = {
+        r["seq_id"]: r for r in packed_segment_ids(d, L, SEED).collect()
+    }
+    assert man.keys() == seg.keys() and len(man) > 2
+    for sid, m in man.items():
+        s = seg[sid]
+        assert s["n_tokens"] == m["n_tokens"]
+        assert len(s["boundaries"]) == m["n_doc_starts"]
+        cont = 0 if (s["boundaries"] and s["boundaries"][0] == 0) else 1
+        assert s["n_segments"] == m["n_doc_starts"] + cont
+
+
+def test_segment_ids_shape_invariants(documents):
+    """Mask semantics: per-position array has length n_tokens, is
+    non-decreasing, changes value exactly at the boundary offsets,
+    and its distinct count is n_segments."""
+    from ballista_extensions_spark.operators.packing import (
+        packed_segment_ids,
+    )
+
+    d = documents.filter(F.col("text").isNotNull())
+    rows = packed_segment_ids(d, L, SEED).collect()
+    for r in rows:
+        ids = r["segment_ids"]
+        assert len(ids) == r["n_tokens"]
+        assert all(a <= b for a, b in zip(ids, ids[1:]))
+        changes = [
+            p for p in range(len(ids)) if p == 0 and ids[0] > 0
+            or (p > 0 and ids[p] != ids[p - 1])
+        ]
+        # a boundary at offset 0 flips position 0 from the implicit
+        # continuation id 0; later boundaries flip in place
+        assert changes == [b for b in r["boundaries"]] or (
+            r["boundaries"] and r["boundaries"][0] == 0
+            and changes == r["boundaries"]
+        )
+        assert len(set(ids)) == r["n_segments"]
+
+
+def test_segment_ids_align_with_emitted_eos(spark):
+    """Tie the mask to the actual token stream: with the SAME cost
+    basis as emit_packed_sequences (BPE ids + EOS), the token
+    immediately before every in-sequence boundary is the previous
+    document's EOS sentinel."""
+    from ballista_extensions_spark.operators.bpe_stream import (
+        FROZEN_STREAM_MERGES,
+        bpe_stream_token_ids,
+        token_vocab,
+    )
+    from ballista_extensions_spark.operators.packing import (
+        emit_packed_sequences,
+        packed_segment_ids,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs 123"),
+            (3, "a" * 40),
+            (4, "short words here"),
+        ],
+        "doc_id long, text string",
+    )
+    Lc, seed = 16, 5
+    eos = len(token_vocab(FROZEN_STREAM_MERGES))
+    seqs = {
+        r["seq_id"]: r["ids"]
+        for r in emit_packed_sequences(
+            docs, FROZEN_STREAM_MERGES, Lc, seed
+        ).collect()
+    }
+    ids_frame = bpe_stream_token_ids(docs, FROZEN_STREAM_MERGES)
+    with_cost = docs.join(
+        ids_frame.select("doc_id", F.col("n_ids").alias("c")), "doc_id"
+    )
+    masks = packed_segment_ids(
+        with_cost, Lc, seed, cost_col="c"
+    ).collect()
+    assert masks and set(seqs) == {r["seq_id"] for r in masks}
+    saw_inner_boundary = False
+    for r in masks:
+        toks = seqs[r["seq_id"]]
+        assert len(toks) == r["n_tokens"] == len(r["segment_ids"])
+        for b in r["boundaries"]:
+            if b > 0:
+                saw_inner_boundary = True
+                assert toks[b - 1] == eos
+    assert saw_inner_boundary
