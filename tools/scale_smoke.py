@@ -279,7 +279,29 @@ def main() -> None:
         # the directive's re-measurement target)
         "bm25_retrieval": lambda d, e: _bm25(d),
         "curriculum_from_store": lambda d, e: _curriculum_store(d),
+        # round-16 (directive #6): per-sequence attention-reset masks
+        # (whitespace costs — isolates the span/HOF machinery from the
+        # separately-measured BPE applier, same isolation as
+        # sequence_packing)
+        "segment_ids": lambda d, e: _segment_ids(d),
     }
+
+    def _segment_ids(d):
+        from ballista_extensions_spark.operators.packing import (
+            packed_segment_ids,
+        )
+
+        base = d.filter(F.col("text").isNotNull())
+        out = packed_segment_ids(base, 1024, 20260816)
+        # aggregate over the mask arrays: a bare count() would let
+        # Catalyst prune the HOF lambda bodies out of the timed plan
+        return out.agg(
+            F.sum(F.expr(
+                "aggregate(segment_ids, CAST(0 AS BIGINT), "
+                "(a, x) -> a + x)"
+            )).alias("s"),
+            F.sum("n_segments").alias("n"),
+        ).collect()[0]["n"]
 
     def _bm25(d):
         from ballista_extensions_spark.operators.retrieval import (
@@ -290,22 +312,38 @@ def main() -> None:
             d, ("vector", "spark", "merge", "filter"), k=20
         ).count()
 
-    _score_cache: dict[int, object] = {}
+    _score_cache: dict[int, tuple] = {}
 
     def _curriculum_store(d):
+        # the documented production posture: corpus AND score store
+        # persisted bucketed by doc_id (build_score_store's contract),
+        # so the curriculum join is exchange-free — built once per
+        # corpus (the gate-time pass; rep 1 pays it, min-of-reps then
+        # times curriculum-from-store itself)
+        from ballista_extensions_spark.io import write_bucketed
         from ballista_extensions_spark.operators.scorestore import (
+            build_score_store,
             curriculum_from_scores,
-            quality_score_frame,
         )
 
-        sc = _score_cache.get(id(d))
-        if sc is None:
-            # the gate-time scoring pass, materialized once per corpus
-            # (the store build) — the first rep pays it, later reps
-            # measure curriculum-from-store itself
-            sc = quality_score_frame(d).localCheckpoint()
-            _score_cache[id(d)] = sc
-        return curriculum_from_scores(d, sc, 2048, 20260815).count()
+        spark = d.sparkSession
+        cached = _score_cache.get(id(d))
+        if cached is None:
+            n = len(_score_cache)
+            dt, st = f"smoke_curr_docs_{n}", f"smoke_curr_scores_{n}"
+            write_bucketed(
+                d.filter(F.col("text").isNotNull()).select(
+                    "doc_id", "text"
+                ),
+                dt, "doc_id", 32, sort_by="doc_id",
+            )
+            build_score_store(d, st, buckets=32)
+            cached = (dt, st)
+            _score_cache[id(d)] = cached
+        dt, st = cached
+        return curriculum_from_scores(
+            spark.table(dt), spark.table(st), 2048, 20260815
+        ).count()
 
     def _shards(d):
         from ballista_extensions_spark.operators.shards import (
