@@ -93,13 +93,16 @@ def _check_terms(terms: tuple[str, ...]) -> tuple[str, ...]:
     terms = tuple(terms)
     if not terms:
         raise ValueError("bm25: empty query term set")
-    if len(set(terms)) != len(terms):
+    # Spark resolves identifiers case-insensitively by default, so
+    # s_Filter and s_filter would collide at resolution time — reject
+    # case-folded duplicates with a clean error instead
+    if len({t.lower() for t in terms}) != len(terms):
         raise ValueError(f"bm25: duplicate query terms in {terms!r}")
     for t in terms:
-        if not t.isalnum():
+        if not (t.isascii() and t.isalnum()):
             raise ValueError(
-                f"bm25: term {t!r} is not alphanumeric — it cannot "
-                "name a pivot column (and would need SQL quoting)"
+                f"bm25: term {t!r} is not ASCII-alphanumeric — it "
+                "cannot name an unquoted pivot column in both engines"
             )
     return terms
 

@@ -42,6 +42,7 @@ __all__ = [
     "build_score_store",
     "extend_score_store",
     "curriculum_from_scores",
+    "drop_score_store",
 ]
 
 #: micro-logit quantization (shared with curriculum_shard_schedule)

@@ -206,12 +206,10 @@ def test_segment_ids_shape_invariants(documents):
             p for p in range(len(ids)) if p == 0 and ids[0] > 0
             or (p > 0 and ids[p] != ids[p - 1])
         ]
-        # a boundary at offset 0 flips position 0 from the implicit
-        # continuation id 0; later boundaries flip in place
-        assert changes == [b for b in r["boundaries"]] or (
-            r["boundaries"] and r["boundaries"][0] == 0
-            and changes == r["boundaries"]
-        )
+        # positions where the id steps (incl. a boundary at offset 0
+        # flipping position 0 off the implicit continuation id 0) are
+        # exactly the boundary offsets
+        assert changes == list(r["boundaries"])
         assert len(set(ids)) == r["n_segments"]
 
 

@@ -21,8 +21,14 @@ def test_bm25_validation(documents):
         bm25_topk(documents, ())
     with pytest.raises(ValueError, match="duplicate query terms"):
         bm25_topk(documents, ("a", "a"))
-    with pytest.raises(ValueError, match="not alphanumeric"):
+    # Spark resolves identifiers case-insensitively: s_Filter/s_filter
+    # would collide at resolution — rejected up front
+    with pytest.raises(ValueError, match="duplicate query terms"):
+        bm25_topk(documents, ("Filter", "filter"))
+    with pytest.raises(ValueError, match="not ASCII-alphanumeric"):
         bm25_topk(documents, ("ok", "bad term"))
+    with pytest.raises(ValueError, match="not ASCII-alphanumeric"):
+        bm25_topk(documents, ("café",))
     with pytest.raises(ValueError, match="k must be positive"):
         bm25_topk(documents, TERMS, k=0)
 
@@ -123,12 +129,26 @@ def test_bm25_plan_scale_posture(documents):
     """The corpus-wide explode is filtered to the query terms before
     the exchange (postings, not corpus, shuffle); the df table joins
     broadcast; no cartesian product anywhere."""
+    import re
+
+    from ballista_extensions_spark import plans as P
+
     out = bm25_topk(documents, TERMS, k=20)
+    out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
-    # the isin filter on the exploded term sits plan-side of the agg
-    assert "filter" in plan.lower()
+    # the TERM filter itself (not just the isNotNull gate) runs inside
+    # a whole-stage-codegen span — i.e. the same stage as the explode,
+    # before any exchange; postings, not the corpus, hit the shuffle
+    assert re.search(
+        r"\*\(\d+\) Filter term#\d+ IN \(" + ",".join(TERMS) + r"\)",
+        plan,
+    ), plan
+    # exchange budget: postings agg + df agg + pivot agg + TakeOrdered
+    # partials (6 at HEAD) — a regression that shuffles the raw corpus
+    # explode adds to this count
+    assert P.shuffle_exchanges(out) <= 6
 
 
 def test_rrf_fusion_arithmetic(spark):

@@ -12,7 +12,7 @@ from ballista_extensions_spark.operators import scorestore as SC
 CAP, SEED = 2048, 20260815
 
 
-def test_store_schedule_equals_recompute(spark, documents):
+def test_store_schedule_equals_recompute(spark, documents, sf_dir):
     """The directive's core contract: curriculum from the persisted
     scores is BIT-identical to the inline-fold schedule
     (curriculum_shard_schedule's exact frame)."""
@@ -20,9 +20,7 @@ def test_store_schedule_equals_recompute(spark, documents):
         curriculum_shard_schedule,
     )
 
-    inline = curriculum_shard_schedule(
-        spark, "/root/testdata/sf0.001"
-    ).collect()
+    inline = curriculum_shard_schedule(spark, sf_dir).collect()
     scores = SC.quality_score_frame(documents)
     via_store = SC.curriculum_from_scores(
         documents, scores, CAP, SEED

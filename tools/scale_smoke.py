@@ -338,9 +338,11 @@ def main() -> None:
                 dt, "doc_id", 32, sort_by="doc_id",
             )
             build_score_store(d, st, buckets=32)
-            cached = (dt, st)
+            # hold d in the cache value: the id(d) key stays valid
+            # (no GC id-reuse) for the run; tables drop at exit below
+            cached = (d, dt, st)
             _score_cache[id(d)] = cached
-        dt, st = cached
+        _, dt, st = cached
         return curriculum_from_scores(
             spark.table(dt), spark.table(st), 2048, 20260815
         ).count()
@@ -1084,6 +1086,12 @@ def main() -> None:
         # op's run — in local mode those blocks share the one JVM with
         # broadcast build memory
         gc.collect()
+
+    # drop the curriculum-store measurement tables (the only op with
+    # persistent side effects; every other op is side-effect-free)
+    for _, dt, st in _score_cache.values():
+        for t in (dt, st):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 if __name__ == "__main__":
