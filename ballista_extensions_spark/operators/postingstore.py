@@ -1,0 +1,209 @@
+"""Persisted inverted-index posting store for BM25 retrieval — the
+sigstore/annstore/scorestore cross-run-state pattern applied to the
+lexical index: tokenize the corpus ONCE at ingest time, persist the
+``(term, doc_id, tf, dl)`` postings bucketed by term, and serve every
+later query from the store instead of re-exploding the corpus.
+
+Reference parity note: the reference engine (the DataFusion/Ballista
+extension showcase) stops at sampling; a persisted retrieval index is
+north-star LLM-pipeline surface (SURVEY.md §2 addendum) — the
+decontamination/curation workload runs MANY queries against one
+corpus snapshot, so paying the corpus explode per query
+(operators/retrieval.py:bm25_topk) is the curriculum-fold mistake
+(VERDICT r15 #5) in lexical form.
+
+Design for 100 TB:
+
+- **Ingest** writes postings bucketed (and sorted) by ``term``:
+  the explode + map-side-combined groupBy is the only corpus-scale
+  stage, paid once per ingest, never per query.
+- **Probe** filters ``term IN (query terms)`` on the bucket column —
+  Spark prunes the scan to the ≤ |terms| matching buckets
+  (SelectedBucketsCount evidence, plan-asserted in
+  tests/test_postingstore.py), so query cost follows posting-list
+  length, not corpus size, and NOTHING re-tokenizes.
+- **Corpus scalars** (N, Σdl) live in a tiny side table with one row
+  per ingest batch; a probe aggregates O(ingests) rows to two
+  integers of driver state — the shard-manifest scalar pattern
+  (operators/shards.py).
+- **Increments** append postings computed from the new documents
+  alone (the stored postings are never scanned — plan-asserted), the
+  same contract as extend_score_store: the pipeline assigns new
+  doc_ids, so per-(term, doc) tf rows never need merging across
+  batches and per-term df is the plain row count.
+
+Exactness: the probe reuses the inline path's score template and
+epilogue verbatim (bm25_score_sql / bm25_pivot_topk), so
+``bm25_from_store(store(corpus)) == bm25_topk(corpus)`` bit-for-bit —
+pinned by tests/test_postingstore.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ballista_extensions_spark.operators.retrieval import (
+    _check_terms,
+    bm25_pivot_topk,
+    bm25_score_sql,
+)
+from ballista_extensions_spark.operators.text import TOKENS_SQL
+
+__all__ = [
+    "posting_frame",
+    "build_posting_store",
+    "extend_posting_store",
+    "bm25_from_store",
+    "drop_posting_store",
+]
+
+
+def _stats_table(table: str) -> str:
+    return f"{table}_stats"
+
+
+def posting_frame(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full inverted-index postings ``(term, doc_id, tf, dl)`` for a
+    document frame — the same tokenizer expression the inline BM25
+    path uses (TOKENS_SQL), so a store probe and a fresh
+    :func:`~ballista_extensions_spark.operators.retrieval.bm25_topk`
+    agree exactly. One explode + one map-side-combined groupBy."""
+    d = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(TOKENS_SQL.format(col=text_col)).alias("toks"),
+        )
+        .withColumn("dl", F.size("toks").cast("long"))
+    )
+    return (
+        d.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def _corpus_stats(docs: DataFrame, text_col: str) -> DataFrame:
+    """One-row ``(n_docs, sum_dl)`` frame for an ingest batch —
+    appended to the side table, never merged in place."""
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.size(
+                F.expr(TOKENS_SQL.format(col=text_col))
+            ).cast("long").alias("dl")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias(
+                "sum_dl"
+            ),
+        )
+    )
+
+
+def build_posting_store(
+    docs: DataFrame,
+    table: str,
+    *,
+    buckets: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus once and persist the postings bucketed +
+    sorted by ``term`` (probes bucket-prune to the query's terms);
+    write the corpus scalars as the first row of the stats side
+    table. Returns the read-back postings handle."""
+    from ballista_extensions_spark.io import write_bucketed
+
+    postings = posting_frame(docs, text_col=text_col, id_col=id_col)
+    write_bucketed(postings, table, "term", buckets, sort_by="term")
+    _corpus_stats(docs, text_col).write.mode("overwrite").format(
+        "parquet"
+    ).saveAsTable(_stats_table(table))
+    return docs.sparkSession.table(table)
+
+
+def extend_posting_store(
+    new_docs: DataFrame,
+    table: str,
+    *,
+    buckets: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest a crawl increment: tokenize ONLY the new documents,
+    append their postings and one stats row — the stored postings are
+    never scanned (cost ∝ increment, plan-asserted in tests). Caller
+    contract: increment doc_ids are new (the pipeline assigns
+    monotone ids), same as extend_score_store."""
+    postings = posting_frame(
+        new_docs, text_col=text_col, id_col=id_col
+    )
+    (
+        postings.write.mode("append")
+        .format("parquet")
+        .bucketBy(buckets, "term")
+        .sortBy("term")
+        .saveAsTable(table)
+    )
+    _corpus_stats(new_docs, text_col).write.mode("append").format(
+        "parquet"
+    ).saveAsTable(_stats_table(table))
+    return new_docs.sparkSession.table(table)
+
+
+def bm25_from_store(
+    spark: SparkSession,
+    table: str,
+    terms: tuple[str, ...],
+    k: int = 20,
+) -> DataFrame:
+    """Exact BM25 top-``k`` served from the persisted index: the scan
+    is pruned to the buckets holding the query terms, df is a
+    |terms|-row aggregate of the pruned postings, and the corpus
+    scalars come from O(ingests) stats rows. Output schema and values
+    are identical to the inline ``bm25_topk`` on the same corpus:
+    ``(doc_id, n_terms, bm25, rank)``."""
+    terms = _check_terms(terms)
+    if k <= 0:
+        raise ValueError(f"bm25: k must be positive, got {k}")
+    stats = (
+        spark.table(_stats_table(table))
+        .agg(
+            F.sum("n_docs").cast("long").alias("n"),
+            F.sum("sum_dl").cast("long").alias("sdl"),
+        )
+        .collect()[0]
+    )
+    n_docs, sum_dl = int(stats["n"] or 0), int(stats["sdl"] or 0)
+    if n_docs == 0:
+        raise ValueError(f"bm25: posting store {table!r} is empty")
+    n_sql = f"CAST({n_docs} AS DOUBLE)"
+    avgdl_sql = f"(CAST({sum_dl} AS DOUBLE) / CAST({n_docs} AS DOUBLE))"
+
+    # bucket-pruned probe: the IN-filter sits directly on the bucketed
+    # scan, so it reads <= |terms| of the store's buckets. No
+    # ensure_parallelism here — the probe never tokenizes (no
+    # CPU-heavy per-row stage), and a repartition between filter and
+    # scan would only add an exchange.
+    tf = spark.table(table).filter(F.col("term").isin(*terms))
+    df_tbl = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    scored = tf.join(F.broadcast(df_tbl), "term").withColumn(
+        "score", F.expr(bm25_score_sql(n_sql, avgdl_sql))
+    )
+    return bm25_pivot_topk(scored, terms, k)
+
+
+def drop_posting_store(spark: SparkSession, table: str) -> None:
+    """Drop the postings and stats tables (test/maintenance helper)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {_stats_table(table)}")

@@ -50,6 +50,7 @@ __all__ = [
     "BM25_B_SQL",
     "bm25_score_sql",
     "bm25_total_sql",
+    "bm25_pivot_topk",
     "bm25_topk",
     "rrf_score_sql",
     "rrf_fuse",
@@ -107,6 +108,40 @@ def _check_terms(terms: tuple[str, ...]) -> tuple[str, ...]:
     return terms
 
 
+def bm25_pivot_topk(
+    scored: DataFrame, terms: tuple[str, ...], k: int
+) -> DataFrame:
+    """Shared scoring epilogue over ``(doc_id, term, score)`` rows:
+    pivot to fixed per-term columns, take the fixed-order total, then
+    distributed TakeOrdered top-``k`` with rank assigned over the
+    k-row result only (never a global single-partition window over
+    the corpus). Used by both the inline :func:`bm25_topk` and the
+    posting-store probe (operators/postingstore.py) so the two paths
+    stay expression-identical."""
+    pivoted = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        *[
+            F.max(F.when(F.col("term") == t, F.col("score"))).alias(
+                f"s_{t}"
+            )
+            for t in terms
+        ],
+    )
+    topk = (
+        pivoted.select(
+            "doc_id",
+            "n_terms",
+            F.expr(bm25_total_sql(terms)).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return topk.select(
+        "*", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     terms: tuple[str, ...],
@@ -158,31 +193,7 @@ def bm25_topk(
     scored = tf.join(F.broadcast(df_tbl), "term").withColumn(
         "score", F.expr(bm25_score_sql(n_sql, avgdl_sql))
     )
-    # pivot to fixed per-term columns, then the fixed-order total
-    pivoted = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_terms"),
-        *[
-            F.max(F.when(F.col("term") == t, F.col("score"))).alias(
-                f"s_{t}"
-            )
-            for t in terms
-        ],
-    )
-    topk = (
-        pivoted.select(
-            "doc_id",
-            "n_terms",
-            F.expr(bm25_total_sql(terms)).alias("bm25"),
-        )
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(k)
-    )
-    # rank over the k-row result only (never a global single-partition
-    # window over the corpus)
-    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
-    return topk.select(
-        "*", F.row_number().over(w).cast("long").alias("rank")
-    )
+    return bm25_pivot_topk(scored, terms, k)
 
 
 def rrf_score_sql(rank_cols: tuple[str, ...], k_rrf: int = 60) -> str:

@@ -325,6 +325,77 @@ def repetition_stats(
     )
 
 
+def line_repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style LINE/PARAGRAPH duplicate fractions per document —
+    the structural half of the Rae et al. 2021 §A.1.1 repetition
+    battery (:func:`repetition_stats` covers the token/n-gram half):
+    the fraction of lines (paragraphs) that are repeats of an earlier
+    identical line (paragraph), and the character-weighted versions of
+    both. Boilerplate-heavy web text (nav bars, cookie banners,
+    templated footers) shows high duplicate-LINE fractions even when
+    token n-grams look diverse — the standard MassiveText/RefinedWeb
+    filter thresholds are dup_line_frac > 0.30 and
+    dup_line_char_frac > 0.20.
+
+    Units: lines split on ``\\n``, paragraphs on blank-line runs
+    (``\\n\\s*\\n``); both are trimmed and empty units dropped, and the
+    character totals count the TRIMMED units (numerator and
+    denominator alike, so the fractions are well-defined on [0, 1]).
+    A duplicate means an exact repeat of the full trimmed unit.
+
+    Scale: entirely narrow per-row array arithmetic in one projection
+    — zero shuffles, linear in corpus bytes. The arrays are
+    MATERIALIZED columns before the aggregate() folds (outer
+    expressions inside HOF lambdas re-evaluate per element — see
+    shingle_expr). Documents with no non-empty line are dropped.
+    """
+    units = (
+        "filter(transform(split({col}, '{sep}'), x -> trim(x)),"
+        " x -> length(x) > 0)"
+    )
+    d = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.expr(
+            units.format(col=text_col, sep="\\\\n")
+        ).alias("ls"),
+        F.expr(
+            units.format(col=text_col, sep="\\\\n\\\\s*\\\\n")
+        ).alias("ps"),
+    )
+    d = d.filter(F.size("ls") > 0).select(
+        id_col,
+        "ls",
+        "ps",
+        F.array_distinct("ls").alias("ld"),
+        F.array_distinct("ps").alias("pd"),
+    )
+    chars = "aggregate({a}, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
+
+    def _frac(whole: str, dedup: str) -> Column:
+        return (
+            F.lit(1.0)
+            - F.size(dedup).cast("double") / F.size(whole).cast("double")
+        )
+
+    def _char_frac(whole: str, dedup: str) -> Column:
+        return F.lit(1.0) - (
+            F.expr(chars.format(a=dedup)).cast("double")
+            / F.expr(chars.format(a=whole)).cast("double")
+        )
+
+    return d.select(
+        id_col,
+        F.size("ls").cast("long").alias("n_lines"),
+        F.size("ps").cast("long").alias("n_paragraphs"),
+        _frac("ls", "ld").alias("dup_line_frac"),
+        _char_frac("ls", "ld").alias("dup_line_char_frac"),
+        _frac("ps", "pd").alias("dup_para_frac"),
+        _char_frac("ps", "pd").alias("dup_para_char_frac"),
+    )
+
+
 def ngram_novelty(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

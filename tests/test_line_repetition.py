@@ -1,0 +1,77 @@
+"""Line/paragraph duplicate fractions (operators/text.py
+line_repetition_stats) — the structural Gopher §A.1.1 signals."""
+
+from __future__ import annotations
+
+from ballista_extensions_spark.operators.text import (
+    line_repetition_stats,
+)
+
+
+def _one(spark, text):
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    rows = line_repetition_stats(df).collect()
+    return rows[0] if rows else None
+
+
+def test_no_repeats(spark):
+    r = _one(spark, "alpha\nbeta\ngamma")
+    assert r["n_lines"] == 3 and r["n_paragraphs"] == 1
+    assert r["dup_line_frac"] == 0.0
+    assert r["dup_line_char_frac"] == 0.0
+    assert r["dup_para_frac"] == 0.0
+    assert r["dup_para_char_frac"] == 0.0
+
+
+def test_line_repeats_counted_beyond_first(spark):
+    # "spam" x3 + "unique": 2 of 4 lines are repeats; chars 4+4 of 18
+    r = _one(spark, "spam\nspam\nspam\nunique")
+    assert r["n_lines"] == 4
+    assert abs(r["dup_line_frac"] - 0.5) < 1e-12
+    assert abs(r["dup_line_char_frac"] - 8.0 / 18.0) < 1e-12
+
+
+def test_paragraph_repeats(spark):
+    # two identical paragraphs (multi-line), one distinct
+    text = "a b\nc d\n\na b\nc d\n\nfresh here"
+    r = _one(spark, text)
+    assert r["n_paragraphs"] == 3
+    assert abs(r["dup_para_frac"] - 1.0 / 3.0) < 1e-12
+    # paragraphs keep interior newlines: "a b\nc d" repeats
+    assert r["dup_para_char_frac"] > 0.0
+    # lines: a b / c d / a b / c d / fresh here -> 2 of 5 duplicates
+    assert abs(r["dup_line_frac"] - 2.0 / 5.0) < 1e-12
+
+
+def test_trimming_and_empty_lines(spark):
+    # trailing spaces trim to equal lines; blank lines never count
+    r = _one(spark, "x  \nx\n\n\n   \ny")
+    assert r["n_lines"] == 3
+    assert abs(r["dup_line_frac"] - 1.0 / 3.0) < 1e-12
+
+
+def test_whitespace_only_doc_dropped(spark):
+    df = spark.createDataFrame(
+        [(0, "\n  \n"), (1, None), (2, "keep")], ["doc_id", "text"]
+    )
+    rows = line_repetition_stats(df).collect()
+    assert [r["doc_id"] for r in rows] == [2]
+
+
+def test_corpus_run_narrow_plan(spark, documents):
+    """Runs over the real documents table; values in range and the
+    plan stays exchange-free (narrow projection — the 100 TB shape)."""
+    from ballista_extensions_spark import plans as P
+
+    out = line_repetition_stats(documents)
+    assert P.shuffle_exchanges(out) == 0
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        for c in (
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "dup_para_frac",
+            "dup_para_char_frac",
+        ):
+            assert 0.0 <= r[c] <= 1.0
