@@ -325,6 +325,69 @@ def repetition_stats(
     )
 
 
+#: Unit separators for line_repetition_stats, in the Java-regex/RE2
+#: common subset (both engines read these byte-identically; the
+#: paragraph class is ``\s`` spelled out MINUS the engines' one
+#: disagreement — RE2's ``\s`` lacks ``\x0B``).
+LINE_SEP_REGEX = "\\\\n"
+PARA_SEP_REGEX = "\\\\n[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]*\\\\n"
+
+
+def line_repetition_sql_duckdb(
+    text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`line_repetition_stats` — same unit
+    regexes (RE2 reads the explicit class identically to Java), same
+    trim/drop/fold order, same double expression trees, for the r17
+    oracle. DuckDB string literals do not process backslash escapes,
+    so the regex spellings below reach RE2 byte-identical to what
+    Spark's escape-processing literals hand Java."""
+    chars = "list_sum(list_transform({a}, x -> length(x)))"
+
+    def frac(whole: str, dedup: str) -> str:
+        return (
+            f"1.0 - CAST(len({dedup}) AS DOUBLE)"
+            f" / CAST(len({whole}) AS DOUBLE)"
+        )
+
+    def char_frac(whole: str, dedup: str) -> str:
+        return (
+            f"1.0 - (CAST({chars.format(a=dedup)} AS DOUBLE)"
+            f" / CAST({chars.format(a=whole)} AS DOUBLE))"
+        )
+
+    units = (
+        "list_filter(list_transform("
+        "regexp_split_to_array({col}, '{sep}'), x -> trim(x)),"
+        " x -> length(x) > 0)"
+    )
+    ls_units = units.format(col=text_col, sep="\\n")
+    ps_units = units.format(
+        col=text_col, sep="\\n[ \\t\\n\\x0B\\f\\r]*\\n"
+    )
+    return f"""
+WITH raw AS (
+  SELECT {id_col} AS doc_id,
+         {ls_units} AS ls,
+         {ps_units} AS ps
+  FROM documents
+  WHERE {text_col} IS NOT NULL
+), arr AS (
+  SELECT doc_id, ls, ps,
+         list_distinct(ls) AS ld, list_distinct(ps) AS pd
+  FROM raw WHERE len(ls) > 0
+)
+SELECT doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(ps) AS BIGINT) AS n_paragraphs,
+       {frac('ls', 'ld')} AS dup_line_frac,
+       {char_frac('ls', 'ld')} AS dup_line_char_frac,
+       {frac('ps', 'pd')} AS dup_para_frac,
+       {char_frac('ps', 'pd')} AS dup_para_char_frac
+FROM arr
+"""
+
+
 def line_repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -340,8 +403,12 @@ def line_repetition_stats(
     dup_line_char_frac > 0.20.
 
     Units: lines split on ``\\n``, paragraphs on blank-line runs
-    (``\\n\\s*\\n``); both are trimmed and empty units dropped, and the
-    character totals count the TRIMMED units (numerator and
+    (``\\n[ \\t\\n\\x0B\\f\\r]*\\n`` — the whitespace class spelled
+    explicitly so the Java-regex and RE2/DuckDB readings are
+    byte-identical; bare ``\\s`` differs on ``\\x0B``, the
+    pretokenizer's documented divergence). Both unit kinds are trimmed
+    (ASCII space, matching DuckDB ``trim``) and empty units dropped;
+    the character totals count the TRIMMED units (numerator and
     denominator alike, so the fractions are well-defined on [0, 1]).
     A duplicate means an exact repeat of the full trimmed unit.
 
@@ -358,10 +425,10 @@ def line_repetition_stats(
     d = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.expr(
-            units.format(col=text_col, sep="\\\\n")
+            units.format(col=text_col, sep=LINE_SEP_REGEX)
         ).alias("ls"),
         F.expr(
-            units.format(col=text_col, sep="\\\\n\\\\s*\\\\n")
+            units.format(col=text_col, sep=PARA_SEP_REGEX)
         ).alias("ps"),
     )
     d = d.filter(F.size("ls") > 0).select(

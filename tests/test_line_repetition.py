@@ -4,6 +4,7 @@ line_repetition_stats) — the structural Gopher §A.1.1 signals."""
 from __future__ import annotations
 
 from ballista_extensions_spark.operators.text import (
+    line_repetition_sql_duckdb,
     line_repetition_stats,
 )
 
@@ -56,6 +57,36 @@ def test_whitespace_only_doc_dropped(spark):
     )
     rows = line_repetition_stats(df).collect()
     assert [r["doc_id"] for r in rows] == [2]
+
+
+def test_duckdb_twin_parity(spark, documents, sf_dir):
+    """The r17 oracle pre-proof: the DuckDB twin reproduces the Spark
+    frame bit-exactly (counts AND doubles) over the real documents
+    table — the unit regexes are in the Java/RE2 common subset and
+    the double expression trees match."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    oracle = {
+        r[0]: tuple(r[1:])
+        for r in con.sql(line_repetition_sql_duckdb()).fetchall()
+    }
+    got = {
+        r["doc_id"]: (
+            r["n_lines"],
+            r["n_paragraphs"],
+            r["dup_line_frac"],
+            r["dup_line_char_frac"],
+            r["dup_para_frac"],
+            r["dup_para_char_frac"],
+        )
+        for r in line_repetition_stats(documents).collect()
+    }
+    assert got == oracle and len(got) > 0
 
 
 def test_corpus_run_narrow_plan(spark, documents):

@@ -284,6 +284,16 @@ def main() -> None:
         # separately-measured BPE applier, same isolation as
         # sequence_packing)
         "segment_ids": lambda d, e: _segment_ids(d),
+        # late round-16 (r17 registration pending): the persisted BM25
+        # posting store. Probe cost should track the query terms'
+        # posting-list length (never corpus scan/tokenize cost), and a
+        # FIXED-size increment's ingest should be flat vs store size —
+        # the store-family contracts (sigstore/annstore/scorestore).
+        "posting_store_probe": lambda d, e: _posting_probe(d),
+        "posting_store_ingest": lambda d, e: _posting_ingest(d),
+        # late round-16: structural Gopher repetition signals — one
+        # narrow zero-shuffle projection (aggregate defeats pruning)
+        "line_repetition": lambda d, e: _line_rep(d),
     }
 
     def _segment_ids(d):
@@ -346,6 +356,66 @@ def main() -> None:
         return curriculum_from_scores(
             spark.table(dt), spark.table(st), 2048, 20260815
         ).count()
+
+    _posting_cache: dict[int, tuple] = {}
+    _PROBE_TERMS = ("vector", "spark", "merge", "filter")
+
+    def _posting_probe(d):
+        # store built once per corpus (the ingest-time pass; rep 1 of
+        # the FIRST probe pays nothing extra since build happens before
+        # timing starts inside this helper's memo-miss branch — the
+        # timed op is bm25_from_store alone on later reps via min-of-n)
+        from ballista_extensions_spark.operators.postingstore import (
+            bm25_from_store,
+            build_posting_store,
+        )
+
+        spark = d.sparkSession
+        cached = _posting_cache.get(id(d))
+        if cached is None:
+            pt = f"smoke_postings_{len(_posting_cache)}"
+            build_posting_store(d, pt, buckets=32)
+            cached = (d, pt)
+            _posting_cache[id(d)] = cached
+        _, pt = cached
+        return len(bm25_from_store(spark, pt, _PROBE_TERMS, 20).collect())
+
+    _posting_inc_cache: dict[int, tuple] = {}
+
+    def _posting_ingest(d):
+        # FIXED increment (original-copy doc_ids ≡ 3 mod 7) extended
+        # into a store built from everything else: ingest cost must be
+        # flat vs store size (the extend plan never scans stored
+        # postings)
+        from ballista_extensions_spark.operators.postingstore import (
+            build_posting_store,
+            extend_posting_store,
+        )
+
+        inc_pred = (F.col("doc_id") % 7 == 3) & (
+            F.col("doc_id") < F.lit(n_docs)
+        )
+        cached = _posting_inc_cache.get(id(d))
+        if cached is None:
+            pt = f"smoke_postings_inc_{len(_posting_inc_cache)}"
+            build_posting_store(d.filter(~inc_pred), pt, buckets=32)
+            cached = (d, pt)
+            _posting_inc_cache[id(d)] = cached
+        _, pt = cached
+        handle = extend_posting_store(d.filter(inc_pred), pt, buckets=32)
+        return handle is not None
+
+    def _line_rep(d):
+        from ballista_extensions_spark.operators.text import (
+            line_repetition_stats,
+        )
+
+        out = line_repetition_stats(d)
+        return out.agg(
+            F.sum("n_lines").alias("l"),
+            F.sum("dup_line_char_frac").alias("c"),
+            F.sum("dup_para_char_frac").alias("p"),
+        ).collect()[0]["l"]
 
     def _shards(d):
         from ballista_extensions_spark.operators.shards import (
@@ -1087,11 +1157,19 @@ def main() -> None:
         # broadcast build memory
         gc.collect()
 
-    # drop the curriculum-store measurement tables (the only op with
-    # persistent side effects; every other op is side-effect-free)
+    # drop the measurement tables of the store-backed ops (the only
+    # ops with persistent side effects; every other op is
+    # side-effect-free)
     for _, dt, st in _score_cache.values():
         for t in (dt, st):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+    from ballista_extensions_spark.operators.postingstore import (
+        drop_posting_store,
+    )
+
+    for cache in (_posting_cache, _posting_inc_cache):
+        for _, pt in cache.values():
+            drop_posting_store(spark, pt)
 
 
 if __name__ == "__main__":
