@@ -40,7 +40,7 @@ pinned by tests/test_postingstore.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ballista_extensions_spark.operators.retrieval import (
@@ -55,6 +55,7 @@ __all__ = [
     "build_posting_store",
     "extend_posting_store",
     "bm25_from_store",
+    "bm25_batch_topk",
     "drop_posting_store",
 ]
 
@@ -201,6 +202,143 @@ def bm25_from_store(
         "score", F.expr(bm25_score_sql(n_sql, avgdl_sql))
     )
     return bm25_pivot_topk(scored, terms, k)
+
+
+def bm25_batch_topk(
+    spark: SparkSession,
+    table: str,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    df_cap: int | None = None,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """BM25 top-``k`` per query for a whole QUERY TABLE against the
+    persisted index in ONE job — the decontamination shape: a
+    benchmark suite is thousands of queries, and running
+    :func:`bm25_from_store` per query pays the fixed job cost
+    thousands of times. Input: ``(query_id, terms array<string>)``.
+    Output: ``(query_id, doc_id, n_terms, bm25, rank)`` with rank
+    1..≤k per query; queries whose terms match nothing yield no rows
+    (a decontamination "no hit").
+
+    Contract and scale posture:
+
+    - The query table is benchmark-sized BY CONTRACT (thousands of
+      rows, not a corpus): its distinct term universe is collected to
+      the driver (O(total query terms) state) so the store scan keeps
+      the literal IN-filter that bucket-prunes it, and the per-term
+      df table and the query↔term map are broadcast.
+    - Candidate rows per query are bounded by the posting lists of
+      its terms (df-bounded, never corpus-wide); the only wide
+      exchange after the pruned scan is the per-(query, doc) groupBy,
+      and the top-k window partitions by query_id over those bounded
+      candidates — never a global sort.
+    - Duplicate terms within a query score once (standard
+      set-of-terms BM25; query-side multiplicity is ignored).
+    - ``df_cap`` is the batch's SCALE CONTROL (the semdedup-n_lists
+      analogue): candidate volume is Θ(Σ_q Σ_{t∈q} df(t)), so
+      stop-grade terms (df ≈ N) make it Θ(queries × corpus) — the
+      measured worst case on the 31-term synthetic corpus where
+      every term's df ≈ 0.77·N (BASELINE.md). Setting ``df_cap``
+      drops terms with df > cap from scoring entirely (they carry
+      near-zero idf mass anyway); capped-out queries then simply
+      rank by their surviving terms, identical to querying with
+      those terms removed (pinned by tests). ``None`` = exact,
+      uncapped.
+
+    Exactness: per-(query, doc) totals fold the per-term scores in
+    SORTED-TERM order via a materialized, sorted struct array —
+    deterministic and engine-replayable (DuckDB: list_sort +
+    ordered list fold), unlike a SUM over doubles whose accumulation
+    order is partition-dependent. A single-query batch therefore
+    equals :func:`bm25_from_store` called with its terms in sorted
+    order (pinned by tests/test_postingstore.py).
+    """
+    if k <= 0:
+        raise ValueError(f"bm25: k must be positive, got {k}")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.array_distinct(F.col(terms_col)).alias("terms"),
+    )
+    universe = sorted(
+        {
+            t
+            for r in q.select(
+                F.explode("terms").alias("t")
+            ).distinct().collect()
+            for t in [r["t"]]
+        }
+    )
+    _check_terms(tuple(universe))
+    stats = (
+        spark.table(_stats_table(table))
+        .agg(
+            F.sum("n_docs").cast("long").alias("n"),
+            F.sum("sum_dl").cast("long").alias("sdl"),
+        )
+        .collect()[0]
+    )
+    n_docs, sum_dl = int(stats["n"] or 0), int(stats["sdl"] or 0)
+    if n_docs == 0:
+        raise ValueError(f"bm25: posting store {table!r} is empty")
+    n_sql = f"CAST({n_docs} AS DOUBLE)"
+    avgdl_sql = f"(CAST({sum_dl} AS DOUBLE) / CAST({n_docs} AS DOUBLE))"
+
+    # one bucket-pruned scan for the whole batch (literal IN keeps
+    # static bucket pruning, which a broadcast join would forfeit)
+    tf = spark.table(table).filter(F.col("term").isin(*universe))
+    df_tbl = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    if df_cap is not None:
+        if df_cap <= 0:
+            raise ValueError(
+                f"bm25: df_cap must be positive, got {df_cap}"
+            )
+        # the inner join below then drops capped-out terms' postings
+        # BEFORE the query fan-out — the candidate volume collapses
+        # at the |terms|-row df table, never downstream
+        df_tbl = df_tbl.filter(F.col("df") <= df_cap)
+    scored = tf.join(F.broadcast(df_tbl), "term").withColumn(
+        "score", F.expr(bm25_score_sql(n_sql, avgdl_sql))
+    )
+    qterms = q.select(
+        "query_id", F.explode("terms").alias("term")
+    )
+    hits = scored.join(F.broadcast(qterms), "term")
+    # fixed-order fold: sorted (term, score) structs per (query, doc)
+    totals = (
+        hits.groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sort_array(
+                F.collect_list(F.struct("term", "score"))
+            ).alias("parts"),
+        )
+        .withColumn(
+            "bm25",
+            F.expr(
+                "aggregate(parts, CAST(0 AS DOUBLE),"
+                " (acc, x) -> acc + x.score)"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), "doc_id"
+    )
+    return (
+        totals.select(
+            "query_id",
+            "doc_id",
+            "n_terms",
+            "bm25",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
 
 
 def drop_posting_store(spark: SparkSession, table: str) -> None:

@@ -95,6 +95,116 @@ def test_probe_scan_is_bucket_pruned(spark, documents):
         PS.drop_posting_store(spark, table)
 
 
+def test_batch_equals_single_probes(spark, documents):
+    """One batch job reproduces per-query single probes bit-for-bit
+    (doubles included): both fold per-term scores in sorted-term
+    order when the single probe is handed sorted terms."""
+    table = "postings_test_batch"
+    qsets = {
+        1: ("data", "model"),
+        2: ("quality", "training", "vector"),
+        3: ("zzznothing",),  # no-hit query
+    }
+    try:
+        PS.build_posting_store(documents, table, buckets=8)
+        queries = spark.createDataFrame(
+            [(qid, list(ts)) for qid, ts in qsets.items()],
+            "query_id long, terms array<string>",
+        )
+        batch = PS.bm25_batch_topk(spark, table, queries, k=7)
+        got = {}
+        for r in batch.collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["n_terms"], r["bm25"], r["rank"])
+            )
+        assert 3 not in got  # no-hit query yields no rows
+        for qid in (1, 2):
+            single = [
+                (r["doc_id"], r["n_terms"], r["bm25"], r["rank"])
+                for r in PS.bm25_from_store(
+                    spark, table, qsets[qid], 7
+                ).collect()
+            ]
+            assert got[qid] == single and len(single) == 7
+    finally:
+        PS.drop_posting_store(spark, table)
+
+
+def test_batch_duplicate_terms_scored_once(spark, documents):
+    """Query-side term multiplicity is ignored (set-of-terms BM25):
+    a query with a repeated term equals the deduplicated query."""
+    table = "postings_test_batchdup"
+    try:
+        PS.build_posting_store(documents, table, buckets=8)
+        queries = spark.createDataFrame(
+            [(1, ["data", "data", "model"]), (2, ["data", "model"])],
+            "query_id long, terms array<string>",
+        )
+        rows = PS.bm25_batch_topk(spark, table, queries, k=5).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["n_terms"], r["bm25"], r["rank"])
+            )
+        assert by_q[1] == by_q[2]
+    finally:
+        PS.drop_posting_store(spark, table)
+
+
+def test_batch_df_cap_equals_term_removal(spark, documents):
+    """The scale control's semantics: capping out high-df terms is
+    EXACTLY querying with those terms removed — and a cap above
+    every df is a no-op."""
+    from pyspark.sql import functions as SF
+
+    table = "postings_test_cap"
+    try:
+        PS.build_posting_store(documents, table, buckets=8)
+        dfs = {
+            r["term"]: r["df"]
+            for r in spark.table(table)
+            .groupBy("term")
+            .agg(SF.count(SF.lit(1)).alias("df"))
+            .collect()
+        }
+        cap = (min(dfs.values()) + max(dfs.values())) // 2
+        keep = sorted(t for t in dfs if dfs[t] <= cap)
+        drop = sorted(t for t in dfs if dfs[t] > cap)
+        if not keep or not drop:
+            import pytest
+
+            pytest.skip("corpus dfs too uniform to split")
+
+        def key(r):
+            return (r["query_id"], r["doc_id"], r["n_terms"],
+                    r["bm25"], r["rank"])
+
+        mixed_terms = sorted({keep[0], drop[0], keep[-1]})
+        mixed = spark.createDataFrame(
+            [(1, mixed_terms)], "query_id long, terms array<string>"
+        )
+        reduced = spark.createDataFrame(
+            [(1, sorted({keep[0], keep[-1]}))],
+            "query_id long, terms array<string>",
+        )
+        capped = [key(r) for r in PS.bm25_batch_topk(
+            spark, table, mixed, k=9, df_cap=cap
+        ).collect()]
+        removed = [key(r) for r in PS.bm25_batch_topk(
+            spark, table, reduced, k=9
+        ).collect()]
+        assert capped == removed and len(capped) > 0
+        uncapped = [key(r) for r in PS.bm25_batch_topk(
+            spark, table, mixed, k=9
+        ).collect()]
+        noop = [key(r) for r in PS.bm25_batch_topk(
+            spark, table, mixed, k=9, df_cap=max(dfs.values())
+        ).collect()]
+        assert noop == uncapped
+    finally:
+        PS.drop_posting_store(spark, table)
+
+
 def test_validation(spark, documents):
     table = "postings_test_val"
     try:

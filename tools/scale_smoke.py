@@ -291,6 +291,10 @@ def main() -> None:
         # the store-family contracts (sigstore/annstore/scorestore).
         "posting_store_probe": lambda d, e: _posting_probe(d),
         "posting_store_ingest": lambda d, e: _posting_ingest(d),
+        # fixed 220-query benchmark suite against the 1x vs 100x
+        # store: one batch job, cost bounded by the suite's posting
+        # lists (the decontamination posture)
+        "posting_store_batch": lambda d, e: _posting_batch(d),
         # late round-16: structural Gopher repetition signals — one
         # narrow zero-shuffle projection (aggregate defeats pruning)
         "line_repetition": lambda d, e: _line_rep(d),
@@ -379,6 +383,38 @@ def main() -> None:
             _posting_cache[id(d)] = cached
         _, pt = cached
         return len(bm25_from_store(spark, pt, _PROBE_TERMS, 20).collect())
+
+    def _posting_batch(d):
+        # deterministic 220-query suite: all 2- and 3-subsets of a
+        # 12-word lexicon drawn from the corpus domain (no RNG)
+        import itertools
+
+        from ballista_extensions_spark.operators.postingstore import (
+            bm25_batch_topk,
+        )
+
+        spark = d.sparkSession
+        cached = _posting_cache.get(id(d))
+        if cached is None:
+            # share the probe op's store (built on miss, same corpus)
+            _posting_probe(d)
+            cached = _posting_cache[id(d)]
+        _, pt = cached
+        lex = (
+            "vector", "spark", "merge", "filter", "data", "model",
+            "training", "quality", "join", "stream", "token", "batch",
+        )
+        suite = [
+            (i, list(c))
+            for i, c in enumerate(
+                list(itertools.combinations(lex, 2))
+                + list(itertools.combinations(lex, 3))[:154]
+            )
+        ]
+        queries = spark.createDataFrame(
+            suite, "query_id long, terms array<string>"
+        )
+        return bm25_batch_topk(spark, pt, queries, k=10).count()
 
     _posting_inc_cache: dict[int, tuple] = {}
 
