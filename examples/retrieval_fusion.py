@@ -5,6 +5,8 @@
   3. fusion       reciprocal-rank fusion (K=60) of the two rankings
   4. score store  classifier logits persisted once at gate time
   5. curriculum   shard schedule joining the store (never re-folding)
+  6. index store  postings persisted once; probe == inline, cheaper
+  7. batch        a whole query suite against the index in one job
 
 Usage: python examples/retrieval_fusion.py [sf_dir]
 """
@@ -66,6 +68,39 @@ def main() -> None:
         sched.show(10, truncate=False)
     finally:
         drop_score_store(spark, table)
+
+    # 6. the lexical index persisted once (the score-store pattern
+    # for retrieval): later probes bucket-prune to the query terms
+    # and never re-tokenize the corpus
+    from ballista_extensions_spark.operators.postingstore import (
+        bm25_batch_topk,
+        bm25_from_store,
+        build_posting_store,
+        drop_posting_store,
+    )
+
+    index = "example_posting_store"
+    try:
+        build_posting_store(docs, index, buckets=8)
+        from_store = bm25_from_store(spark, index, terms, k=20)
+        same = from_store.collect() == lex.collect()
+        print(f"store probe == inline BM25: {same}")
+
+        # 7. decontamination shape: a benchmark suite of queries in
+        # ONE batch job against the index
+        suite = spark.createDataFrame(
+            [
+                (1, ["vector", "spark"]),
+                (2, ["merge", "filter", "data"]),
+                (3, ["join", "stream"]),
+            ],
+            "query_id long, terms array<string>",
+        )
+        hits = bm25_batch_topk(spark, index, suite, k=3)
+        print("batch top-3 per benchmark query:")
+        hits.show(truncate=False)
+    finally:
+        drop_posting_store(spark, index)
 
 
 if __name__ == "__main__":
