@@ -90,22 +90,18 @@ def posting_frame(
     )
 
 
-def _corpus_stats(docs: DataFrame, text_col: str) -> DataFrame:
-    """One-row ``(n_docs, sum_dl)`` frame for an ingest batch —
-    appended to the side table, never merged in place."""
-    return (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(
-            F.size(
-                F.expr(TOKENS_SQL.format(col=text_col))
-            ).cast("long").alias("dl")
-        )
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias(
-                "sum_dl"
-            ),
-        )
+def _stats_from_postings(postings: DataFrame) -> DataFrame:
+    """One-row ``(n_docs, sum_dl)`` frame derived from POSTING rows
+    (never a second tokenization pass): every non-NULL-text document
+    yields at least one posting (``split`` maps even the empty string
+    to ``['']``, the same expression the inline BM25 path uses), so
+    ``n_docs`` is the distinct doc count and ``Σ tf`` telescopes to
+    ``Σ dl``. Appended to the side table, never merged in place."""
+    return postings.agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.coalesce(F.sum("tf"), F.lit(0)).cast("long").alias(
+            "sum_dl"
+        ),
     )
 
 
@@ -117,18 +113,21 @@ def build_posting_store(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Tokenize the corpus once and persist the postings bucketed +
+    """Tokenize the corpus ONCE and persist the postings bucketed +
     sorted by ``term`` (probes bucket-prune to the query's terms);
-    write the corpus scalars as the first row of the stats side
-    table. Returns the read-back postings handle."""
+    the corpus scalars are then derived from the WRITTEN postings —
+    a columnar aggregate over the fresh store, not a second
+    tokenization pass over the corpus. Returns the read-back
+    postings handle."""
     from ballista_extensions_spark.io import write_bucketed
 
     postings = posting_frame(docs, text_col=text_col, id_col=id_col)
     write_bucketed(postings, table, "term", buckets, sort_by="term")
-    _corpus_stats(docs, text_col).write.mode("overwrite").format(
+    handle = docs.sparkSession.table(table)
+    _stats_from_postings(handle).write.mode("overwrite").format(
         "parquet"
     ).saveAsTable(_stats_table(table))
-    return docs.sparkSession.table(table)
+    return handle
 
 
 def extend_posting_store(
@@ -139,24 +138,29 @@ def extend_posting_store(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Ingest a crawl increment: tokenize ONLY the new documents,
-    append their postings and one stats row — the stored postings are
-    never scanned (cost ∝ increment, plan-asserted in tests). Caller
-    contract: increment doc_ids are new (the pipeline assigns
-    monotone ids), same as extend_score_store."""
+    """Ingest a crawl increment: tokenize ONLY the new documents —
+    once (the increment's postings are persisted across the write and
+    the stats aggregate, then released; increments are bounded by
+    contract) — append their postings and one stats row. The stored
+    postings are never scanned (cost ∝ increment, plan-asserted in
+    tests). Caller contract: increment doc_ids are new (the pipeline
+    assigns monotone ids), same as extend_score_store."""
     postings = posting_frame(
         new_docs, text_col=text_col, id_col=id_col
-    )
-    (
-        postings.write.mode("append")
-        .format("parquet")
-        .bucketBy(buckets, "term")
-        .sortBy("term")
-        .saveAsTable(table)
-    )
-    _corpus_stats(new_docs, text_col).write.mode("append").format(
-        "parquet"
-    ).saveAsTable(_stats_table(table))
+    ).persist()
+    try:
+        (
+            postings.write.mode("append")
+            .format("parquet")
+            .bucketBy(buckets, "term")
+            .sortBy("term")
+            .saveAsTable(table)
+        )
+        _stats_from_postings(postings).write.mode("append").format(
+            "parquet"
+        ).saveAsTable(_stats_table(table))
+    finally:
+        postings.unpersist()
     return new_docs.sparkSession.table(table)
 
 
@@ -175,6 +179,27 @@ def bm25_from_store(
     terms = _check_terms(terms)
     if k <= 0:
         raise ValueError(f"bm25: k must be positive, got {k}")
+    scored = _scored_postings(spark, table, terms)
+    return bm25_pivot_topk(scored, terms, k)
+
+
+def _scored_postings(
+    spark: SparkSession,
+    table: str,
+    terms: tuple[str, ...],
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Shared probe front: stats scalars → bucket-pruned posting scan
+    → broadcast df table → per-(doc, term) BM25 scores. BOTH store
+    entry points (single probe and batch) go through this one
+    function so their score expressions stay identical by
+    construction — the bit-for-bit equality the tests pin.
+
+    The IN-filter sits directly on the bucketed scan, so it reads
+    <= |terms| of the store's buckets. No ensure_parallelism here —
+    the probe never tokenizes (no CPU-heavy per-row stage), and a
+    repartition between filter and scan would only add an exchange.
+    """
     stats = (
         spark.table(_stats_table(table))
         .agg(
@@ -188,20 +213,22 @@ def bm25_from_store(
         raise ValueError(f"bm25: posting store {table!r} is empty")
     n_sql = f"CAST({n_docs} AS DOUBLE)"
     avgdl_sql = f"(CAST({sum_dl} AS DOUBLE) / CAST({n_docs} AS DOUBLE))"
-
-    # bucket-pruned probe: the IN-filter sits directly on the bucketed
-    # scan, so it reads <= |terms| of the store's buckets. No
-    # ensure_parallelism here — the probe never tokenizes (no
-    # CPU-heavy per-row stage), and a repartition between filter and
-    # scan would only add an exchange.
     tf = spark.table(table).filter(F.col("term").isin(*terms))
     df_tbl = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
-    scored = tf.join(F.broadcast(df_tbl), "term").withColumn(
+    if df_cap is not None:
+        if df_cap <= 0:
+            raise ValueError(
+                f"bm25: df_cap must be positive, got {df_cap}"
+            )
+        # the inner join below then drops capped-out terms' postings
+        # BEFORE any downstream fan-out — the candidate volume
+        # collapses at the |terms|-row df table
+        df_tbl = df_tbl.filter(F.col("df") <= df_cap)
+    return tf.join(F.broadcast(df_tbl), "term").withColumn(
         "score", F.expr(bm25_score_sql(n_sql, avgdl_sql))
     )
-    return bm25_pivot_topk(scored, terms, k)
 
 
 def bm25_batch_topk(
@@ -237,6 +264,9 @@ def bm25_batch_topk(
       candidates — never a global sort.
     - Duplicate terms within a query score once (standard
       set-of-terms BM25; query-side multiplicity is ignored).
+      Case-VARIANT terms are distinct terms here (the tokenizer is
+      case-sensitive) — unlike the single probe, whose pivot-column
+      spelling forces it to reject case-folded collisions.
     - ``df_cap`` is the batch's SCALE CONTROL (the semdedup-n_lists
       analogue): candidate volume is Θ(Σ_q Σ_{t∈q} df(t)), so
       stop-grade terms (df ≈ N) make it Θ(queries × corpus) — the
@@ -262,48 +292,33 @@ def bm25_batch_topk(
         F.col(query_id_col).alias("query_id"),
         F.array_distinct(F.col(terms_col)).alias("terms"),
     )
-    universe = sorted(
-        {
-            t
-            for r in q.select(
-                F.explode("terms").alias("t")
-            ).distinct().collect()
-            for t in [r["t"]]
-        }
-    )
-    _check_terms(tuple(universe))
-    stats = (
-        spark.table(_stats_table(table))
-        .agg(
-            F.sum("n_docs").cast("long").alias("n"),
-            F.sum("sum_dl").cast("long").alias("sdl"),
+    raw = {
+        r["t"]
+        for r in q.select(F.explode("terms").alias("t"))
+        .distinct()
+        .collect()
+    }
+    if None in raw:
+        raise ValueError(
+            "bm25: NULL term inside a query's terms array"
         )
-        .collect()[0]
-    )
-    n_docs, sum_dl = int(stats["n"] or 0), int(stats["sdl"] or 0)
-    if n_docs == 0:
-        raise ValueError(f"bm25: posting store {table!r} is empty")
-    n_sql = f"CAST({n_docs} AS DOUBLE)"
-    avgdl_sql = f"(CAST({sum_dl} AS DOUBLE) / CAST({n_docs} AS DOUBLE))"
+    if not raw:
+        raise ValueError("bm25: empty query term set")
+    bad = [t for t in raw if not (t.isascii() and t.isalnum())]
+    if bad:
+        # same per-term rule as the single probe; the batch skips only
+        # the cross-set case-fold check (it builds no pivot columns,
+        # so s_Data/s_data collisions cannot occur here)
+        raise ValueError(
+            f"bm25: terms {sorted(bad)[:5]!r} are not "
+            "ASCII-alphanumeric"
+        )
+    universe = tuple(sorted(raw))
 
-    # one bucket-pruned scan for the whole batch (literal IN keeps
-    # static bucket pruning, which a broadcast join would forfeit)
-    tf = spark.table(table).filter(F.col("term").isin(*universe))
-    df_tbl = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
-    if df_cap is not None:
-        if df_cap <= 0:
-            raise ValueError(
-                f"bm25: df_cap must be positive, got {df_cap}"
-            )
-        # the inner join below then drops capped-out terms' postings
-        # BEFORE the query fan-out — the candidate volume collapses
-        # at the |terms|-row df table, never downstream
-        df_tbl = df_tbl.filter(F.col("df") <= df_cap)
-    scored = tf.join(F.broadcast(df_tbl), "term").withColumn(
-        "score", F.expr(bm25_score_sql(n_sql, avgdl_sql))
-    )
+    # one bucket-pruned scan + scoring front shared with
+    # bm25_from_store (literal IN keeps static bucket pruning, which
+    # a broadcast join would forfeit)
+    scored = _scored_postings(spark, table, universe, df_cap)
     qterms = q.select(
         "query_id", F.explode("terms").alias("term")
     )

@@ -329,19 +329,37 @@ def repetition_stats(
 #: common subset (both engines read these byte-identically; the
 #: paragraph class is ``\s`` spelled out MINUS the engines' one
 #: disagreement — RE2's ``\s`` lacks ``\x0B``).
-LINE_SEP_REGEX = "\\\\n"
-PARA_SEP_REGEX = "\\\\n[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]*\\\\n"
+#: Canonical PLAIN regex spellings (what the regex engine must see).
+#: Both engine spellings derive from these — never re-spell inline
+#: (the two-spelling drift a parity test on a single-line corpus
+#: would not catch).
+LINE_SEP_REGEX = r"\n"
+PARA_SEP_REGEX = r"\n[ \t\n\x0B\f\r]*\n"
+#: Edge-trim for units: ASCII whitespace minus ``\n`` (a unit can
+#: never start/end with ``\n`` — it is the split boundary — but CRLF
+#: text leaves edge ``\r``s, and space-only trim would keep tab-only
+#: "content" lines alive).
+UNIT_TRIM_REGEX = r"^[ \t\x0B\f\r]+|[ \t\x0B\f\r]+$"
+
+
+def _sql_regex(plain: str) -> str:
+    """Spark-SQL string-literal spelling of a plain regex: Spark
+    literals process backslash escapes once, so each ``\\`` doubles.
+    DuckDB literals process none — the plain spelling IS the DuckDB
+    spelling."""
+    return plain.replace("\\", "\\\\")
 
 
 def line_repetition_sql_duckdb(
     text_col: str = "text", id_col: str = "doc_id"
 ) -> str:
-    """DuckDB twin of :func:`line_repetition_stats` — same unit
-    regexes (RE2 reads the explicit class identically to Java), same
-    trim/drop/fold order, same double expression trees, for the r17
-    oracle. DuckDB string literals do not process backslash escapes,
-    so the regex spellings below reach RE2 byte-identical to what
-    Spark's escape-processing literals hand Java."""
+    """DuckDB twin of :func:`line_repetition_stats` — the SAME plain
+    regex constants (RE2 reads the explicit classes identically to
+    Java), same trim/drop/fold order, same double expression trees,
+    for the r17 oracle. DuckDB string literals do not process
+    backslash escapes, so the plain spellings are used verbatim;
+    DuckDB's regexp_replace needs the explicit 'g' flag to match
+    Spark's replace-all default."""
     chars = "list_sum(list_transform({a}, x -> length(x)))"
 
     def frac(whole: str, dedup: str) -> str:
@@ -358,12 +376,15 @@ def line_repetition_sql_duckdb(
 
     units = (
         "list_filter(list_transform("
-        "regexp_split_to_array({col}, '{sep}'), x -> trim(x)),"
+        "regexp_split_to_array({col}, '{sep}'),"
+        " x -> regexp_replace(x, '{trim}', '', 'g')),"
         " x -> length(x) > 0)"
     )
-    ls_units = units.format(col=text_col, sep="\\n")
+    ls_units = units.format(
+        col=text_col, sep=LINE_SEP_REGEX, trim=UNIT_TRIM_REGEX
+    )
     ps_units = units.format(
-        col=text_col, sep="\\n[ \\t\\n\\x0B\\f\\r]*\\n"
+        col=text_col, sep=PARA_SEP_REGEX, trim=UNIT_TRIM_REGEX
     )
     return f"""
 WITH raw AS (
@@ -403,14 +424,20 @@ def line_repetition_stats(
     dup_line_char_frac > 0.20.
 
     Units: lines split on ``\\n``, paragraphs on blank-line runs
-    (``\\n[ \\t\\n\\x0B\\f\\r]*\\n`` — the whitespace class spelled
-    explicitly so the Java-regex and RE2/DuckDB readings are
-    byte-identical; bare ``\\s`` differs on ``\\x0B``, the
-    pretokenizer's documented divergence). Both unit kinds are trimmed
-    (ASCII space, matching DuckDB ``trim``) and empty units dropped;
-    the character totals count the TRIMMED units (numerator and
-    denominator alike, so the fractions are well-defined on [0, 1]).
-    A duplicate means an exact repeat of the full trimmed unit.
+    (``PARA_SEP_REGEX`` — the whitespace class spelled explicitly so
+    the Java-regex and RE2/DuckDB readings are byte-identical; bare
+    ``\\s`` differs on ``\\x0B``, the pretokenizer's documented
+    divergence). Every unit is edge-trimmed of ASCII whitespace
+    (``UNIT_TRIM_REGEX`` — regex-based, NOT space-only ``trim``, so
+    CRLF text behaves: a trailing ``\\r`` never distinguishes equal
+    lines and a bare ``\\r`` "line" is empty, not content) and empty
+    units dropped; the character totals count the TRIMMED units
+    (numerator and denominator alike, so the fractions are
+    well-defined on [0, 1]). A duplicate means an exact repeat of
+    the full trimmed unit. No output column is ever NULL: a
+    surviving line contains a non-whitespace character, that
+    character survives in some paragraph unit too, so ``ps`` is
+    non-empty whenever ``ls`` is.
 
     Scale: entirely narrow per-row array arithmetic in one projection
     — zero shuffles, linear in corpus bytes. The arrays are
@@ -419,16 +446,25 @@ def line_repetition_stats(
     shingle_expr). Documents with no non-empty line are dropped.
     """
     units = (
-        "filter(transform(split({col}, '{sep}'), x -> trim(x)),"
+        "filter(transform(split({col}, '{sep}'),"
+        " x -> regexp_replace(x, '{trim}', '')),"
         " x -> length(x) > 0)"
     )
     d = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.expr(
-            units.format(col=text_col, sep=LINE_SEP_REGEX)
+            units.format(
+                col=text_col,
+                sep=_sql_regex(LINE_SEP_REGEX),
+                trim=_sql_regex(UNIT_TRIM_REGEX),
+            )
         ).alias("ls"),
         F.expr(
-            units.format(col=text_col, sep=PARA_SEP_REGEX)
+            units.format(
+                col=text_col,
+                sep=_sql_regex(PARA_SEP_REGEX),
+                trim=_sql_regex(UNIT_TRIM_REGEX),
+            )
         ).alias("ps"),
     )
     d = d.filter(F.size("ls") > 0).select(

@@ -130,6 +130,31 @@ def test_batch_equals_single_probes(spark, documents):
         PS.drop_posting_store(spark, table)
 
 
+def test_batch_null_term_and_cross_query_case(spark, documents):
+    """A NULL inside a terms array fails fast with a targeted error;
+    case-variant terms ACROSS queries are legal in the batch path
+    (no pivot columns to collide — each is just a distinct
+    case-sensitive term)."""
+    table = "postings_test_batchval"
+    try:
+        PS.build_posting_store(documents, table, buckets=4)
+        bad = spark.createDataFrame(
+            [(1, ["data", None])], "query_id long, terms array<string>"
+        )
+        with pytest.raises(ValueError, match="NULL term"):
+            PS.bm25_batch_topk(spark, table, bad, k=3)
+        cased = spark.createDataFrame(
+            [(1, ["Data"]), (2, ["data"])],
+            "query_id long, terms array<string>",
+        )
+        rows = PS.bm25_batch_topk(spark, table, cased, k=3).collect()
+        # "Data" (capitalized) matches nothing in the lowercase
+        # corpus; "data" ranks normally — and nothing raises
+        assert {r["query_id"] for r in rows} == {2}
+    finally:
+        PS.drop_posting_store(spark, table)
+
+
 def test_batch_duplicate_terms_scored_once(spark, documents):
     """Query-side term multiplicity is ignored (set-of-terms BM25):
     a query with a repeated term equals the deduplicated query."""
