@@ -137,6 +137,7 @@ def extend_posting_store(
     buckets: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    check_fresh_ids: bool = False,
 ) -> DataFrame:
     """Ingest a crawl increment: tokenize ONLY the new documents —
     once (the increment's postings are persisted across the write and
@@ -144,7 +145,36 @@ def extend_posting_store(
     contract) — append their postings and one stats row. The stored
     postings are never scanned (cost ∝ increment, plan-asserted in
     tests). Caller contract: increment doc_ids are new (the pipeline
-    assigns monotone ids), same as extend_score_store."""
+    assigns monotone ids), same as extend_score_store.
+
+    ``check_fresh_ids=True`` verifies that contract loudly instead of
+    letting a repeated doc_id silently double-count ``n_docs``/
+    ``sum_dl`` and inflate df (ADVICE r16): a semi-join of the stored
+    doc_ids against the increment's. Debug/ingest-validation mode —
+    it scans the stored postings' doc_id column, so it trades the
+    cost-∝-increment property for a corruption guard; leave it off on
+    the hot path."""
+    spark = new_docs.sparkSession
+    if check_fresh_ids:
+        if spark.catalog.tableExists(table):
+            dup = (
+                spark.table(table)
+                .select("doc_id")
+                .join(
+                    new_docs.select(F.col(id_col).alias("doc_id")),
+                    "doc_id",
+                    "left_semi",
+                )
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    f"extend_posting_store({table!r}): increment "
+                    "contains doc_ids the store already holds — "
+                    "appending would double-count n_docs/sum_dl and "
+                    "inflate df for every shared term"
+                )
     postings = posting_frame(
         new_docs, text_col=text_col, id_col=id_col
     ).persist()

@@ -450,8 +450,10 @@ def line_repetition_stats(
         " x -> regexp_replace(x, '{trim}', '')),"
         " x -> length(x) > 0)"
     )
+    # id aliased to doc_id so Spark output and the DuckDB twin agree
+    # for ANY id_col, not just the default (ADVICE r16)
     d = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col),
+        F.col(id_col).alias("doc_id"),
         F.expr(
             units.format(
                 col=text_col,
@@ -468,7 +470,7 @@ def line_repetition_stats(
         ).alias("ps"),
     )
     d = d.filter(F.size("ls") > 0).select(
-        id_col,
+        "doc_id",
         "ls",
         "ps",
         F.array_distinct("ls").alias("ld"),
@@ -489,7 +491,7 @@ def line_repetition_stats(
         )
 
     return d.select(
-        id_col,
+        "doc_id",
         F.size("ls").cast("long").alias("n_lines"),
         F.size("ps").cast("long").alias("n_paragraphs"),
         _frac("ls", "ld").alias("dup_line_frac"),

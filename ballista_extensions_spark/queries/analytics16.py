@@ -199,8 +199,13 @@ def _segment_ids_oracle() -> str:
       WHERE d.text IS NOT NULL),
     {manifest_ctes_duckdb(1 << 40, _PACK_SEED, "bpedocs",
                           cost_sql="bpe_tokens + 1")},
-    {packing_ctes_duckdb(_PACK_LEN)}
-    {segment_ids_select_duckdb(_PACK_LEN)}
+    {packing_ctes_duckdb(_PACK_LEN)},
+    masks AS ({segment_ids_select_duckdb(_PACK_LEN)})
+    SELECT seq_id, n_tokens, n_segments,
+           COALESCE(array_to_string(boundaries, ','), '') AS boundaries,
+           array_to_string(segment_ids, ',') AS segment_ids
+    FROM masks
+    ORDER BY seq_id
     """
 
 
@@ -218,7 +223,16 @@ def packed_segment_ids_query(
     (merges, context_len, seed) as sequence_packing_manifest — the
     mask describes exactly the manifest's cuts (pinned by pytest).
     The oracle replays the span arithmetic AND both HOF lambdas
-    element-for-element, grading every position of every mask."""
+    element-for-element, grading every position of every mask.
+
+    Output shape (r17): the two array columns are serialized to CSV
+    strings in the final projection of BOTH engines — the driver's
+    canonicalizer factorizes pandas cells and cannot hash ndarray
+    cells (CORRECTNESS_r16 recorded TypeError for the array-typed
+    registration), so ARRAY output columns are ungradable. Every
+    position still rides the string, so grading coverage is
+    unchanged; the operator keeps native arrays for the trainer
+    (tests/test_packing.py)."""
     from ballista_extensions_spark.operators.bpe_stream import (
         FROZEN_STREAM_MERGES,
         bpe_stream_token_counts,
@@ -234,8 +248,17 @@ def packed_segment_ids_query(
         "doc_id", (F.col("n_tokens") + 1).alias("bpe_cost")
     )
     with_cost = d.select("doc_id", "text").join(counts, "doc_id")
-    return packed_segment_ids(
+    masks = packed_segment_ids(
         with_cost, _PACK_LEN, _PACK_SEED, cost_col="bpe_cost"
+    )
+    return masks.select(
+        "seq_id",
+        "n_tokens",
+        "n_segments",
+        F.concat_ws(",", F.col("boundaries").cast("array<string>"))
+        .alias("boundaries"),
+        F.concat_ws(",", F.col("segment_ids").cast("array<string>"))
+        .alias("segment_ids"),
     )
 
 

@@ -113,6 +113,24 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             continue
         dt = time.time() - t0
+        # Nested output columns are ungradable by the driver: its
+        # canonicalizer sorts the collected pandas frame and cannot
+        # factorize ndarray/dict cells (r16: packed_segment_ids died
+        # with TypeError before any comparison). Fail them here the
+        # way the r11 gate fails HUGEINT — one layer up.
+        nested = [
+            (c, t)
+            for c, t in sdf.dtypes
+            if t.startswith(("array", "map", "struct"))
+        ]
+        if nested:
+            failures.append(name)
+            print(
+                f"FAIL {name}: nested output columns {nested} — the "
+                "driver canonicalizer cannot hash these; serialize to "
+                "scalar strings in both engines"
+            )
+            continue
         if name not in oracles:
             print(f"okNR {name}: rows={len(srows)} (rows-only, {dt:.1f}s)")
             continue

@@ -69,9 +69,15 @@ def main() -> None:
 
     root = tempfile.mkdtemp(prefix="sink_batch_scale_")
 
-    def timed(fn, reps: int = 2) -> float:
+    def timed(fn, reset, reps: int = 2) -> float:
+        # each rep runs against the SAME store state: the store dir is
+        # restored from its post-seed snapshot before every rep, so
+        # rep 2 never re-deletes rep 1's batch=1 partitions or probes a
+        # differently-laid-out tree — min-of-reps measures identical
+        # work (ADVICE r16)
         ts = []
         for _ in range(reps):
+            reset()
             t0 = time.time()
             fn()
             ts.append(time.time() - t0)
@@ -79,10 +85,17 @@ def main() -> None:
 
     def run_foreach(name, make_sink, seed, small, big):
         d = os.path.join(root, name)
+        snap = os.path.join(root, name + ".snap")
         sink = make_sink(d)
         sink(seed, 0)  # committed batch 0 seeds the store (untimed)
-        t_small = timed(lambda: sink(small, 1))
-        t_big = timed(lambda: sink(big, 1))
+        shutil.copytree(d, snap)
+
+        def reset():
+            shutil.rmtree(d, ignore_errors=True)
+            shutil.copytree(snap, d)
+
+        t_small = timed(lambda: sink(small, 1), reset)
+        t_big = timed(lambda: sink(big, 1), reset)
         return t_small, t_big
 
     def _hash_media(d):
