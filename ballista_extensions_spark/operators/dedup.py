@@ -20,7 +20,7 @@ Scale design (the point of these ops is the 100 TB corpus case):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ballista_extensions_spark.io import ensure_parallelism
@@ -272,14 +272,22 @@ def near_dup_pairs_lsh_verified(
 
 
 def _word_postings(
-    df: DataFrame, text_col: str, id_col: str, n: int
+    df: DataFrame, text_col: str, id_col: str, n: int,
+    distinct: bool = True,
 ) -> DataFrame:
     """Raw distinct (doc, shingle) postings — the cap-free posting
     front (sigstore builds on this directly; the near-dup paths apply
     the df cap on top). Postings explode token POSITIONS (codegen'd
     int sequence) with the shingle built in the post-Generate
     projection; see near_dup_pairs_exact for why (the lambda-built
-    alternative runs interpreted, ~7x slower)."""
+    alternative runs interpreted, ~7x slower).
+
+    ``distinct=False`` skips the set-semantics shuffle for consumers
+    whose downstream aggregates are duplicate-insensitive anyway
+    (collect_set, MinHash min, countDistinct): their partial
+    aggregation dedupes map-side, so the explicit distinct is a whole
+    extra exchange of the posting payload for nothing (guide §2.4 —
+    r17, used by streaming/storededup.py's sigstore sink)."""
     tok_sql = TOKENS_SQL.format(col=text_col)
     base = (
         ensure_parallelism(df)
@@ -291,9 +299,10 @@ def _word_postings(
         "toks",
         F.explode(F.expr(f"sequence(1, size(toks) - {n - 1})")).alias("i"),
     )
-    return pos.select(
+    out = pos.select(
         "doc", F.expr(f"array_join(slice(toks, i, {n}), ' ')").alias("s")
-    ).distinct()
+    )
+    return out.distinct() if distinct else out
 
 
 def _capped_word_postings(
@@ -311,6 +320,39 @@ def _capped_word_postings(
     return posting.join(heavy, "s", "left_anti")
 
 
+def _minhash_sig_aggs(num_hashes: int) -> list[Column]:
+    """The MinHash signature aggregate expressions: min(h*A_i+B_i) per
+    hash function over a column ``h = xxhash64(s)``. Shared by
+    :func:`_minhash_band_buckets` and by callers that fuse the
+    signature aggregation with other per-doc aggregates into one
+    shuffle (streaming/storededup.py computes signatures AND capped
+    sets in a single groupBy so each micro-batch tokenizes once)."""
+    sig_aggs: list[Column] = []
+    for i in range(num_hashes):
+        a, b = _affine_consts(i)
+        sig_aggs.append(F.min(F.expr(f"h * {a}L + {b}L")).alias(f"m{i}"))
+    return sig_aggs
+
+
+def _band_explode(
+    sigs: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(doc, band_id, band_hash) rows from a per-doc signature frame
+    carrying columns ``m0..m{bands*rows_per_band-1}``."""
+    band_structs = []
+    for bi in range(bands):
+        cols = ", ".join(
+            f"m{bi * rows_per_band + r_i}" for r_i in range(rows_per_band)
+        )
+        band_structs.append(
+            f"struct({bi}L AS band_id, xxhash64({cols}) AS band_hash)"
+        )
+    return sigs.select(
+        "doc",
+        F.explode(F.expr(f"array({', '.join(band_structs)})")).alias("bd"),
+    ).select("doc", "bd.band_id", "bd.band_hash")
+
+
 def _minhash_band_buckets(
     capped: DataFrame, bands: int, rows_per_band: int
 ) -> DataFrame:
@@ -324,27 +366,12 @@ def _minhash_band_buckets(
     functions sit outside codegen, the same cliff shingle_expr
     documents."""
     num_hashes = bands * rows_per_band
-    sig_aggs = []
-    for i in range(num_hashes):
-        a, b = _affine_consts(i)
-        sig_aggs.append(F.min(F.expr(f"h * {a}L + {b}L")).alias(f"m{i}"))
     sigs = (
         capped.select("doc", F.xxhash64("s").alias("h"))
         .groupBy("doc")
-        .agg(*sig_aggs)
+        .agg(*_minhash_sig_aggs(num_hashes))
     )
-    band_structs = []
-    for bi in range(bands):
-        cols = ", ".join(
-            f"m{bi * rows_per_band + r_i}" for r_i in range(rows_per_band)
-        )
-        band_structs.append(
-            f"struct({bi}L AS band_id, xxhash64({cols}) AS band_hash)"
-        )
-    return sigs.select(
-        "doc",
-        F.explode(F.expr(f"array({', '.join(band_structs)})")).alias("bd"),
-    ).select("doc", "bd.band_id", "bd.band_hash")
+    return _band_explode(sigs, bands, rows_per_band)
 
 
 def _verify_capped_jaccard(

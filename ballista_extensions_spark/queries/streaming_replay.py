@@ -59,16 +59,62 @@ def _stage_dir(name: str, sf_dir: str) -> str:
 def _write_ordered_slices(slices: list[DataFrame], in_dir: str) -> None:
     """Write each slice as one parquet file with strictly increasing
     mtimes: FileStreamSource orders files oldest-first, so with
-    maxFilesPerTrigger=1 micro-batch k replays slice k exactly."""
-    seen: set[str] = set()
+    maxFilesPerTrigger=1 micro-batch k replays slice k exactly.
+
+    r17: ONE Spark job stages every slice — the slices union with a
+    literal slice index and hash-repartition on it (all rows of a
+    slice land in one reduce task, so ``partitionBy`` emits exactly
+    one parquet file per slice), then the files move into ``in_dir``
+    with the ordered mtimes. The pre-r17 shape was k sequential
+    ``coalesce(1)`` writes, and coalesce collapses the WHOLE plan
+    into the single write task — k single-threaded scan+filter+write
+    jobs (~0.7 s each at sf0.1) where one parallel job suffices
+    (guide §2.6: idle capacity; §1.2: fix the job shape first)."""
+    import shutil as _shutil
+
     base = os.path.getmtime(in_dir)
+    stage = in_dir + ".stage"
+    tagged: DataFrame | None = None
     for k, s in enumerate(slices):
-        s.coalesce(1).write.mode("append").parquet(in_dir)
-        for f in os.listdir(in_dir):
-            p = os.path.join(in_dir, f)
-            if f.endswith(".parquet") and p not in seen:
-                os.utime(p, (base + 100 * k, base + 100 * k))
-                seen.add(p)
+        t = s.withColumn("__k", F.lit(k))
+        tagged = t if tagged is None else tagged.unionAll(t)
+    assert tagged is not None
+    tagged.repartition(F.col("__k")).write.mode("overwrite").partitionBy(
+        "__k"
+    ).parquet(stage)
+    for k, s in enumerate(slices):
+        d = os.path.join(stage, f"__k={k}")
+        files = (
+            [f for f in os.listdir(d) if f.endswith(".parquet")]
+            if os.path.isdir(d)
+            else []
+        )
+        if files:
+            if len(files) != 1:
+                # hash partitioning sends every row of a key to one
+                # reduce task -> one file; anything else means the
+                # staging write no longer guarantees slice = file
+                raise RuntimeError(
+                    f"slice {k} staged as {len(files)} files; "
+                    "micro-batch replay needs exactly one"
+                )
+            p = os.path.join(in_dir, f"slice{k:05d}.parquet")
+            _shutil.move(os.path.join(d, files[0]), p)
+        else:
+            # empty slice: stage a schema-only file so batch k still
+            # exists (degenerate corpora only; never at tested SFs)
+            p = os.path.join(in_dir, f"slice{k:05d}.parquet")
+            s.limit(0).coalesce(1).write.mode("overwrite").parquet(
+                d + ".empty"
+            )
+            one = [
+                f
+                for f in os.listdir(d + ".empty")
+                if f.endswith(".parquet")
+            ][0]
+            _shutil.move(os.path.join(d + ".empty", one), p)
+        os.utime(p, (base + 100 * k, base + 100 * k))
+    _shutil.rmtree(stage, ignore_errors=True)
 
 
 def _replay(

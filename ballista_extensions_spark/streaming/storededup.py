@@ -137,14 +137,13 @@ def sigstore_dedup_sink(
     (only BATCH band rows drive the join); per-batch writes ∝ the
     increment's accepted signatures."""
     from ballista_extensions_spark.operators.dedup import (
-        _minhash_band_buckets,
+        _band_explode,
+        _minhash_sig_aggs,
         _verify_capped_jaccard,
         _word_postings,
     )
     from ballista_extensions_spark.operators.sigstore import (
         SignatureStore,
-        batch_signatures,
-        ingest_against_store,
     )
 
     stop_dir = os.path.join(store_dir, "stop")
@@ -156,28 +155,60 @@ def sigstore_dedup_sink(
         spark = batch_df.sparkSession
         batch = batch_df.select(
             F.col(id_col).alias(id_col), F.col(text_col)
-        ).localCheckpoint()
-        stop = _read_or_empty(
-            spark, stop_dir, "s string", before_batch=batch_id
         )
+        # non-distinct postings: every consumer below is
+        # duplicate-insensitive (countDistinct df, collect_set,
+        # MinHash min), so the set-semantics distinct would be a whole
+        # extra exchange of the posting payload per batch (r17)
+        raw = _word_postings(batch, text_col, id_col, n, distinct=False)
         if not _committed_before(stop_dir, batch_id):
             # bootstrap: freeze the stop list from the first committed
             # batch's own postings (sigstore's build-time contract); a
             # redelivery of this batch recomputes it identically. The
             # sentinel is PARTITION EXISTENCE, not row count — a
             # committed stop with zero heavy shingles is a valid
-            # frozen state, not a reason to re-bootstrap
-            stop = (
-                _word_postings(batch, text_col, id_col, n)
-                .groupBy("s")
-                .agg(F.count(F.lit(1)).alias("df_s"))
+            # frozen state, not a reason to re-bootstrap. The raw
+            # postings are checkpointed so the bootstrap batch
+            # tokenizes ONCE (stop agg + signature agg both read the
+            # materialized postings — r17 job-count optimization).
+            # df = countDistinct(doc) over the non-distinct postings —
+            # exactly the document frequency the distinct+count pair
+            # computed, in one partially-aggregated shuffle.
+            raw = raw.localCheckpoint()
+            (
+                raw.groupBy("s")
+                .agg(F.count_distinct("doc").alias("df_s"))
                 .filter(F.col("df_s") > max_df)
                 .select("s")
-                .localCheckpoint()
+                .write.mode("overwrite")
+                .parquet(os.path.join(stop_dir, f"batch={batch_id}"))
             )
-            stop.write.mode("overwrite").parquet(
-                os.path.join(stop_dir, f"batch={batch_id}")
+        # the frozen stop as of AFTER any bootstrap this batch did —
+        # reading it back off disk (instead of carrying the lazy
+        # bootstrap plan) keeps the cap join a small parquet scan
+        stop = _read_or_empty(
+            spark, stop_dir, "s string", before_batch=batch_id + 1
+        )
+        capped = raw.join(stop, "s", "left_anti")
+        # ONE shuffle produces BOTH the capped sets and the MinHash
+        # signatures (guide §2.3 "aggregate before you shuffle" /
+        # §2.4 two operations keyed the same way share one exchange):
+        # the pre-r17 sink materialized bands and sets separately, so
+        # every micro-batch tokenized and capped its documents twice.
+        num_hashes = bands * rows_per_band
+        grouped = (
+            capped.select("doc", "s", F.xxhash64("s").alias("h"))
+            .groupBy("doc")
+            .agg(
+                F.collect_set("s").alias("shset"),
+                *_minhash_sig_aggs(num_hashes),
             )
+            .localCheckpoint()
+        )
+        bsets = grouped.select("doc", "shset")
+        bbands = _band_explode(grouped, bands, rows_per_band).select(
+            "doc", F.xxhash64("band_id", "band_hash").alias("bkey")
+        )
         store = SignatureStore(
             bands=_read_or_empty(
                 spark, bands_dir, "doc long, bkey long",
@@ -189,60 +220,74 @@ def sigstore_dedup_sink(
             ),
             stop=stop,
         )
-        bsig = batch_signatures(
-            store, batch, text_col=text_col, id_col=id_col, n=n,
-            bands=bands, rows_per_band=rows_per_band,
+        # ONE candidate union + ONE distinct + ONE verification join
+        # (r17, guide §2.4): store-probe candidates (stored doc_a vs
+        # batch doc_b — id sets disjoint by the store's first-wins
+        # compaction) and intra-batch candidates (doc_a < doc_b, both
+        # batch ids) cannot overlap, so distinct-then-union equals
+        # union-then-distinct and a single _verify_capped_jaccard pass
+        # over the unioned candidates replaces the pre-r17 pair of
+        # verify joins (2 repartitions + 4 set joins -> 1 + 2). This
+        # is ingest_against_store's exact candidate/verify arithmetic,
+        # fused with the intra pass; pair values are bit-identical.
+        nb = bbands.select(F.col("doc").alias("doc_b"), "bkey")
+        store_cands = (
+            store.bands.select(F.col("doc").alias("doc_a"), "bkey")
+            .join(nb, "bkey")
+            .select("doc_a", "doc_b")
         )
-        bsig = SignatureStore(
-            bands=bsig.bands.localCheckpoint(),
-            sets=bsig.sets.localCheckpoint(),
-            stop=stop,
-        )
-        store_pairs = ingest_against_store(
-            store, bsig, threshold=threshold
-        ).select(
-            F.col("doc_stored").alias("stored_id"),
-            F.col("doc_new").alias("new_id"),
-            "jaccard",
-        )
-        nb = bsig.bands
         intra_cands = (
-            nb.select(F.col("doc").alias("doc_a"), "bkey")
-            .join(nb.select(F.col("doc").alias("doc_b"), "bkey"), "bkey")
+            bbands.select(F.col("doc").alias("doc_a"), "bkey")
+            .join(nb, "bkey")
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b")
-            .distinct()
         )
-        intra_pairs = _verify_capped_jaccard(
-            intra_cands, bsig.sets, threshold, spark
+        cands = store_cands.unionByName(intra_cands).distinct()
+        all_sets = store.sets.unionByName(bsets)
+        # write pairs FIRST, then derive rejects from the committed
+        # files: one job instead of localCheckpoint + write, and on an
+        # at-least-once redelivery the read-back sees exactly this
+        # batch's own (just rewritten) pairs
+        pairs = _verify_capped_jaccard(
+            cands, all_sets, threshold, spark
         ).select(
             F.col("doc_a").alias("stored_id"),
             F.col("doc_b").alias("new_id"),
             "jaccard",
         )
-        pairs = store_pairs.unionByName(intra_pairs).localCheckpoint()
         pairs.withColumn(
             "phase", F.lit(batch_id).cast("long")
         ).write.mode("overwrite").parquet(
             os.path.join(pairs_dir, f"batch={batch_id}")
         )
-        rejects = pairs.select(F.col("new_id").alias("doc")).distinct()
+        rejects = (
+            spark.read.schema(
+                "stored_id long, new_id long, jaccard double, phase long"
+            )
+            .parquet(os.path.join(pairs_dir, f"batch={batch_id}"))
+            .select(F.col("new_id").alias("doc"))
+            .distinct()
+        )
         # first-wins id guard (the phashstore compaction contract,
         # code-review r12): a doc id the store already holds signatures
         # for must not be compacted a second time — duplicate shset
         # rows would fan out every later verification join on that id.
         # Ids whose first occurrence produced NO signatures (empty
         # capped set) hold no store state to collide with.
+        #
+        # Both keep writes read only the grouped checkpoint, the pairs
+        # read-back and store partitions batch < batch_id — the
+        # batch=k overwrite can never delete a file these plans read
+        # (static partition prune), so no checkpoint-before-write is
+        # needed.
         stored_ids = store.sets.select("doc")
         keep_bands = (
-            bsig.bands.join(rejects, "doc", "left_anti")
+            bbands.join(rejects, "doc", "left_anti")
             .join(stored_ids, "doc", "left_anti")
-            .localCheckpoint()
         )
         keep_sets = (
-            bsig.sets.join(rejects, "doc", "left_anti")
+            bsets.join(rejects, "doc", "left_anti")
             .join(stored_ids, "doc", "left_anti")
-            .localCheckpoint()
         )
         keep_bands.write.mode("overwrite").parquet(
             os.path.join(bands_dir, f"batch={batch_id}")
@@ -334,25 +379,33 @@ def semdedup_store_sink(
         cos = F.expr(dot_sql("__va", "__vb")) / (
             F.col("__na") * F.col("__nb")
         )
-        store_pairs = (
-            s.join(b, "cell")
-            .filter(cos >= F.lit(float(tau)))
-            .select(
-                F.col("__id_a").alias("stored_id"),
-                F.col("__id_b").alias("new_id"),
-                cos.alias("cosine"),
-            )
-        )
+        # ONE cell equi-join probes the store AND the batch itself
+        # (r17, guide §2.4): the store side and the batch-as-probe side
+        # union into one left input (store rows pair with every batch
+        # row of the cell, batch rows only with larger batch ids — the
+        # __st flag keeps the two conditions apart), so the batch rows
+        # cross a single exchange instead of driving two separate
+        # joins. Pair values are bit-identical to the pre-r17 pair of
+        # joins; still never a cartesian.
         a2 = b.select(
             F.col("__id_b").alias("__id_a"),
             F.col("__vb").alias("__va"),
             F.col("__nb").alias("__na"),
             "cell",
         )
-        intra_pairs = (
-            a2.join(b, "cell")
+        probe = s.withColumn("__st", F.lit(True)).unionByName(
+            a2.withColumn("__st", F.lit(False))
+        )
+        # write pairs FIRST, then derive rejects from the committed
+        # files (r17): one job instead of localCheckpoint + write, and
+        # the accepted write reads only the assigned checkpoint, the
+        # just-committed pairs and store partitions batch < batch_id —
+        # the batch=k overwrite can never delete a file its plan reads
+        # (static partition prune), so no checkpoint-before-write.
+        pairs = (
+            probe.join(b, "cell")
             .filter(
-                (F.col("__id_a") < F.col("__id_b"))
+                (F.col("__st") | (F.col("__id_a") < F.col("__id_b")))
                 & (cos >= F.lit(float(tau)))
             )
             .select(
@@ -361,14 +414,20 @@ def semdedup_store_sink(
                 cos.alias("cosine"),
             )
         )
-        pairs = store_pairs.unionByName(intra_pairs).localCheckpoint()
         pairs.withColumn(
             "phase", F.lit(batch_id).cast("long")
         ).write.mode("overwrite").parquet(
             os.path.join(pairs_dir, f"batch={batch_id}")
         )
-        rejects = pairs.select(F.col("new_id").alias(id_col)).distinct()
-        accepted = assigned.join(rejects, id_col, "left_anti").localCheckpoint()
+        rejects = (
+            spark.read.schema(
+                "stored_id long, new_id long, cosine double, phase long"
+            )
+            .parquet(os.path.join(pairs_dir, f"batch={batch_id}"))
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        accepted = assigned.join(rejects, id_col, "left_anti")
         accepted.write.mode("overwrite").partitionBy("cell").parquet(
             os.path.join(members_dir, f"batch={batch_id}")
         )
@@ -428,7 +487,11 @@ def phash_store_dedup_sink(
             F.col("id_b").alias("new_id"),
             "hamming",
         )
-        pairs = store_pairs.unionByName(intra_pairs).localCheckpoint()
+        # write pairs FIRST, then derive rejects from the committed
+        # files: one job instead of localCheckpoint + write (r17) —
+        # idempotent under redelivery because the read-back sees
+        # exactly this batch's own (just rewritten) pairs
+        pairs = store_pairs.unionByName(intra_pairs)
         pairs.withColumn(
             "phase", F.lit(batch_id).cast("long")
         ).write.mode("overwrite").parquet(
@@ -437,24 +500,34 @@ def phash_store_dedup_sink(
         # dedup-at-ingest: any item that matched stored content or an
         # earlier batch item is REJECTED; the increments are computed
         # directly (∝ batch), never by subtracting the grown store.
-        rejects = pairs.select(F.col("new_id").alias("id")).distinct()
-        accepted = batch.join(rejects, "id", "left_anti").localCheckpoint()
-        fresh_h = (
-            accepted.select("h")
+        rejects = (
+            spark.read.schema(
+                "stored_id long, new_id long, hamming long, phase long"
+            )
+            .parquet(os.path.join(pairs_dir, f"batch={batch_id}"))
+            .select(F.col("new_id").alias("id"))
             .distinct()
-            .join(store.banded.select("h").distinct(), "h", "left_anti")
         )
-        banded_delta = _band_slices(
-            fresh_h, width, mask, bands
-        ).localCheckpoint()
-        # both deltas are materialized above before either write: on an
-        # at-least-once redelivery the overwrite of .../batch=k deletes
-        # files a lazy plan reading the store tree would still need
+        # members first, banded second, both straight to disk: each
+        # plan reads only the batch checkpoint, the just-committed
+        # pairs/members files and store partitions batch < batch_id,
+        # so the batch=k overwrites can never delete files the plans
+        # still need (static partition prune) — the pre-r17
+        # checkpoint-before-write pair of jobs is unnecessary.
+        accepted = batch.join(rejects, "id", "left_anti")
         accepted.write.mode("overwrite").parquet(
             os.path.join(members_dir, f"batch={batch_id}")
         )
-        banded_delta.write.mode("overwrite").parquet(
-            os.path.join(banded_dir, f"batch={batch_id}")
+        accepted_rb = spark.read.schema("id long, h long").parquet(
+            os.path.join(members_dir, f"batch={batch_id}")
         )
+        fresh_h = (
+            accepted_rb.select("h")
+            .distinct()
+            .join(store.banded.select("h").distinct(), "h", "left_anti")
+        )
+        _band_slices(fresh_h, width, mask, bands).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(banded_dir, f"batch={batch_id}"))
 
     return fn
