@@ -95,33 +95,72 @@ def docs_as_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def _docs_as_encoded_media(documents: DataFrame, encoder) -> DataFrame:
-    """Shared mapInPandas body of the BMP/PNG media adapters: each
-    document becomes an (h, w, 3) uint8 image whose dimensions derive
-    arithmetically from the utf-8 byte length (w = 4 + n%29,
-    h = 4 + n%23) and whose pixels tile the text bytes (zero-padded
-    for empty text — n == 0 must yield a valid 4x4 image, matching the
-    SQL oracles, not a reshape crash). ``encoder`` maps the pixel
-    array to container bytes; encoding runs Arrow-batched and
-    distributed, same shape as the decode side."""
+def _doc_pixels(text: str):
+    """The shared tiling arithmetic of the media adapters: an
+    (h, w, 3) uint8 image whose dimensions derive from the utf-8 byte
+    length (w = 4 + n%29, h = 4 + n%23) and whose pixels tile the
+    text bytes (zero-padded for empty text — n == 0 must yield a
+    valid 4x4 image, matching the SQL oracles, not a reshape
+    crash)."""
     import numpy as np
+
+    b = text.encode("utf-8")
+    n = len(b)
+    w, h = 4 + n % 29, 4 + n % 23
+    need = w * h * 3
+    tiled = (b * (need // n + 1))[:need] if n else b"\x00" * need
+    return np.frombuffer(tiled, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _docs_as_encoded_media(documents: DataFrame, encoder) -> DataFrame:
+    """Shared mapInPandas body of the BMP/PNG media adapters
+    (:func:`_doc_pixels` tiling). ``encoder`` maps the pixel array to
+    container bytes; encoding runs Arrow-batched and distributed,
+    same shape as the decode side."""
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, payloads = [], []
             for mid, text in zip(pdf["doc_id"], pdf["text"]):
-                b = text.encode("utf-8")
-                n = len(b)
-                w, h = 4 + n % 29, 4 + n % 23
-                need = w * h * 3
-                tiled = (b * (need // n + 1))[:need] if n else b"\x00" * need
-                buf = np.frombuffer(tiled, dtype=np.uint8)
                 ids.append(mid)
-                payloads.append(encoder(buf.reshape(h, w, 3)))
+                payloads.append(encoder(_doc_pixels(text)))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return documents.select("doc_id", "text").mapInPandas(
         _encode, schema="media_id long, payload binary"
+    )
+
+
+def docs_png_dhash(documents: DataFrame) -> DataFrame:
+    """Fused encode+fingerprint: ``image_dhash(docs_as_png_media(d))``
+    in ONE mapInPandas pass — (doc) -> real PNG bytes -> real decode ->
+    64-bit dHash, with the encoded payload never crossing the
+    JVM↔Python boundary (guide §4.1: the chained form ships every PNG
+    back to the JVM and out to a second Python worker purely to hash
+    it). Bit-identical to the chain (same ``_doc_pixels`` tiling, same
+    encode_png, same dhash64 — A/B-verified equal at sf0.1); used by
+    the streaming media replays where the chain runs once per
+    micro-batch. Output schema matches image_dhash: (id, dhash)."""
+    from ballista_extensions_spark.operators.imagecodec import (
+        dhash64,
+        encode_png,
+    )
+
+    def _fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                try:
+                    hv = dhash64(encode_png(_doc_pixels(text)))
+                except Exception:  # noqa: BLE001 — quarantine, match
+                    # image_dhash's corrupt-payload convention
+                    hv = None
+                ids.append(mid)
+                hashes.append(hv)
+            yield pd.DataFrame({"id": ids, "dhash": hashes})
+
+    return documents.select("doc_id", "text").mapInPandas(
+        _fused, schema="id long, dhash long"
     )
 
 

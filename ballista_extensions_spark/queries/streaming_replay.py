@@ -375,9 +375,8 @@ def streaming_media_dedup_replay(
     stages are narrow per-batch passes; state is one long per
     fingerprint; repeats route out of the pipeline at the earliest
     possible stage instead of costing downstream decode/storage."""
-    from ballista_extensions_spark.operators.imagedup import image_dhash
     from ballista_extensions_spark.operators.multimodal import (
-        docs_as_png_media,
+        docs_png_dhash,
     )
     from ballista_extensions_spark.streaming.stateful import (
         stream_first_occurrence,
@@ -396,7 +395,14 @@ def streaming_media_dedup_replay(
     )
 
     def transform(stream: DataFrame) -> DataFrame:
-        hashes = image_dhash(docs_as_png_media(stream)).select(
+        # fused PNG encode -> decode -> dHash (r17, guide §4.1): same
+        # chain, one Python pass, payload never re-crosses the boundary.
+        # repartition first: each micro-batch arrives as ONE file = ONE
+        # partition, so without it the whole encode->hash chain runs on
+        # a single task per batch (guide §2: the codec pass is the
+        # batch's compute; spread it over the cluster, then the
+        # stateful op re-shuffles by dhash as before)
+        hashes = docs_png_dhash(stream.repartition("doc_id")).select(
             F.col("id").alias("doc_id"), "dhash"
         )
         return stream_first_occurrence(hashes, "dhash", "doc_id")
@@ -477,9 +483,8 @@ def streaming_phash_store_replay(
     semantics bit-exactly. Scale: probe cost per batch is the
     phashstore plan (∝ increment x bucket collisions); ingest appends
     only the increment's members and never-seen banded hashes."""
-    from ballista_extensions_spark.operators.imagedup import image_dhash
     from ballista_extensions_spark.operators.multimodal import (
-        docs_as_png_media,
+        docs_png_dhash,
     )
     from ballista_extensions_spark.streaming.storededup import (
         phash_store_dedup_sink,
@@ -500,7 +505,11 @@ def streaming_phash_store_replay(
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
-    hashed = image_dhash(docs_as_png_media(stream))
+    # fused PNG encode -> decode -> dHash (r17, guide §4.1): one
+    # Python pass; the encoded payload never re-crosses the boundary.
+    # repartition first: one file per trigger = one partition, so the
+    # codec pass would otherwise run single-task per batch (guide §2)
+    hashed = docs_png_dhash(stream.repartition("doc_id"))
     q = (
         hashed.writeStream.outputMode("append")
         .foreachBatch(phash_store_dedup_sink(store_dir, threshold=6))

@@ -227,3 +227,25 @@ def test_hot_bucket_candidates_scale_with_distinct_hashes(spark):
     assert got[2] == 2000  # near pairs: `near` against every hot member
     assert set(got) == {0, 2}
     assert pairs.count() == pairs.distinct().count()
+
+
+def test_fused_docs_png_dhash_matches_chain(spark, documents):
+    """docs_png_dhash (r17 fused encode+hash, one Python pass) must be
+    bit-identical to the image_dhash(docs_as_png_media(...)) chain it
+    replaces in the streaming media replays — same tiling, same PNG
+    encoder, same hasher, payload just never re-crosses the JVM↔Python
+    boundary."""
+    from ballista_extensions_spark.operators.multimodal import (
+        docs_as_png_media,
+        docs_png_dhash,
+    )
+
+    d = documents.select("doc_id", "text").limit(200)
+    chain = sorted(
+        (r["id"], r["dhash"])
+        for r in image_dhash(docs_as_png_media(d)).collect()
+    )
+    fused = sorted(
+        (r["id"], r["dhash"]) for r in docs_png_dhash(d).collect()
+    )
+    assert fused == chain and len(fused) > 0
