@@ -127,37 +127,17 @@ def near_dup_pairs_exact(
     # shuffle join keyed by shingle — pairs sharing zero shingles (which
     # can never reach a positive threshold) are never materialized.
     #
-    # Postings come from exploding token POSITIONS (codegen'd int
-    # sequence) with the shingle text built in the post-Generate
-    # projection, then ``distinct()`` for set semantics; exploding the
-    # lambda-built shingle array directly keeps the whole Generate stage
-    # interpreted and measured ~7x slower (same cliff as the char-gram
-    # variant). The per-doc set size is a count over the same distinct
-    # exchange, which every downstream branch reuses.
-    tok_sql = TOKENS_SQL.format(col=text_col)
-    base = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc"), F.expr(tok_sql).alias("toks")
-    ).filter(F.size("toks") >= n)
-    pos = base.select(
-        "doc",
-        "toks",
-        F.explode(F.expr(f"sequence(1, size(toks) - {n - 1})")).alias("i"),
-    )
-    posting = pos.select(
-        "doc", F.expr(f"array_join(slice(toks, i, {n}), ' ')").alias("s")
-    ).distinct()
-    # Stop-shingle cap: the over-cap set is the (small) ubiquitous head
-    # of the shingle distribution. No broadcast hint — AQE converts the
-    # anti-join to broadcast while the heavy set fits and falls back to
-    # a shuffle anti-join if it ever doesn't (a fixed cap means the
-    # heavy-set size still grows with corpus size).
-    heavy = (
-        posting.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df_s"))
-        .filter(F.col("df_s") > max_df)
-        .select("s")
-    )
-    capped = posting.join(heavy, "s", "left_anti")
+    # The posting front is the SAME _capped_word_postings helper the LSH
+    # and incremental paths use (r17, guide §2.4): identical
+    # construction canonicalizes identically, so a plan that runs both
+    # the exact and LSH-verified paths over one corpus (the
+    # probabilistic audit) serves every consumer from ONE physical
+    # posting/cap exchange via ReusedExchange instead of re-tokenizing
+    # per branch. See _word_postings for why positions explode
+    # codegen'd (~7x) and _capped_word_postings for the stop-shingle
+    # cap/AQE notes. The per-doc set size is a count over the same
+    # distinct exchange, which every downstream branch reuses.
+    capped = _capped_word_postings(df, text_col, id_col, n, max_df)
     sizes = capped.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     if probe_mod == 1:
         grouped = (
@@ -244,12 +224,22 @@ def near_dup_pairs_lsh_verified(
       CPU-bound array_intersect over large string sets — the classic
       small-bytes/heavy-CPU case where AQE's size heuristic is wrong.
     """
-    capped = _capped_word_postings(df, text_col, id_col, n, max_df)
-    # one shuffle to per-doc capped sets; signatures + both verification
-    # sides read this SAME plan object, so Spark's ReusedExchange serves
-    # all three consumers from one physical shuffle — no checkpoint
-    # needed (an eager localCheckpoint re-materializes every shingle
-    # set, measured ~3.5s of pure overhead at sf0.1)
+    # checkpoint_posting: the three consumers (signature aggregation,
+    # capped-set aggregation, and the df-cap's own distinct) cannot
+    # share one exchange — RemoveRedundantAggregates legally drops the
+    # distinct below the duplicate-insensitive min/collect_set
+    # aggregates, so each consumer re-runs tokenize+explode from the
+    # scan (measured 3x the tokenize work at sf0.1, the dominant cost
+    # of this operator). Materializing the distinct postings once turns
+    # that into ONE tokenize pass (guide §8 decide-on-small-rows: the
+    # posting payload is derived once and re-read); blocks are released
+    # by the ContextCleaner when the frame goes unreferenced.
+    capped = _capped_word_postings(
+        df, text_col, id_col, n, max_df, checkpoint_posting=True
+    )
+    # one shuffle to per-doc capped sets; both verification sides read
+    # this SAME plan object, so Spark's ReusedExchange serves them from
+    # one physical shuffle
     capped_sets = capped.groupBy("doc").agg(
         F.collect_set("s").alias("shset")
     )
@@ -306,11 +296,36 @@ def _word_postings(
 
 
 def _capped_word_postings(
-    df: DataFrame, text_col: str, id_col: str, n: int, max_df: int
+    df: DataFrame, text_col: str, id_col: str, n: int, max_df: int,
+    checkpoint_posting: bool = False,
 ) -> DataFrame:
     """(doc, shingle) postings with the stop-shingle df cap applied —
-    the shared front of the exact, LSH and incremental near-dup paths."""
-    posting = _word_postings(df, text_col, id_col, n)
+    the shared front of the exact, LSH and incremental near-dup paths.
+
+    ``checkpoint_posting=True`` lazily localCheckpoints the distinct
+    posting frame so the tokenize+explode pass runs ONCE no matter how
+    many downstream consumers re-aggregate it (r17, guide §8:
+    RemoveRedundantAggregates legally drops the distinct below
+    duplicate-insensitive aggregates, so without materialization each
+    consumer re-tokenizes from the scan). Callers whose consumers all
+    share the one distinct exchange anyway (the exact pair join) keep
+    the default."""
+    if checkpoint_posting:
+        # hash-partition by doc BEFORE the distinct: HashPartitioning
+        # (doc) satisfies the (doc, s) clustering the dedup aggregate
+        # requires, so the distinct costs no second exchange, and the
+        # materialized blocks stay clustered by doc — every downstream
+        # per-doc aggregate (capped sets, MinHash signatures) then runs
+        # exchange-FREE off the checkpoint (guide §2.4: two operations
+        # keyed the same way share one exchange).
+        raw = _word_postings(df, text_col, id_col, n, distinct=False)
+        posting = (
+            raw.repartition("doc")
+            .dropDuplicates()
+            .localCheckpoint(eager=False)
+        )
+    else:
+        posting = _word_postings(df, text_col, id_col, n)
     heavy = (
         posting.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df_s"))

@@ -57,7 +57,7 @@ PRIOR_DRIVER_GRADED: frozenset[str] = frozenset({
     "customer_rfm_segments_demo", "customer_rfm_segments_scalable",
     "dataset_split", "date_functions", "dedup_components", "dedup_exact",
     "dedup_exact_normalized", "dedup_keep_best", "dedup_near_minhash",
-    "dedup_probabilistic_audit", "dedup_shrinkage_by_source", "dedup_simhash",
+    "dedup_shrinkage_by_source", "dedup_simhash",
     "deterministic_mode_priority", "distinct_segments_by_nation",
     "doc_char_class_profile", "doc_fingerprint", "doc_length_histogram",
     "docs_quality_quartiles", "domain_mix_resample", "dsir_gumbel_audit",
@@ -79,7 +79,7 @@ PRIOR_DRIVER_GRADED: frozenset[str] = frozenset({
     "lineitem_price_equidepth_hist", "lm_ce_quality_buckets",
     "media_mixed_decode", "multimodal_binary_meta",
     "multimodal_curation_funnel", "multimodal_decode_real",
-    "near_dup_char_ngram", "near_dup_lsh_verified", "near_dup_pairs_exact",
+    "near_dup_char_ngram", "near_dup_pairs_exact",
     "near_dup_threshold_sweep", "ngram_novelty_scores",
     "ntile_customer_quartiles", "orderkey_islands",
     "orders_interarrival_median", "orders_priority_scd2",
