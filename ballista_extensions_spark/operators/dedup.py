@@ -140,10 +140,18 @@ def near_dup_pairs_exact(
     capped = _capped_word_postings(df, text_col, id_col, n, max_df)
     sizes = capped.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     if probe_mod == 1:
+        from ballista_extensions_spark.io import default_parallelism
+
         grouped = (
             capped.groupBy("s")
             .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
             .filter(F.size("docs") >= 2)
+            # explicit repartition before the pair explosion: AQE sees a
+            # few-MB grouped-postings shuffle and coalesces it to a
+            # handful of tasks, but the C(df,2) expansion is CPU-bound —
+            # the same small-bytes/heavy-CPU case _verify_capped_jaccard
+            # guards against (r17, guide §2.5)
+            .repartition(default_parallelism(df.sparkSession))
         )
         pairs = grouped.select(
             F.explode(

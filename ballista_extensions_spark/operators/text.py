@@ -265,7 +265,8 @@ def chunk_documents(
 
 
 def repetition_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style repetition signals per document: distinct-token
     ratio, duplicate 2-gram / 3-gram fractions, and the frequency share
@@ -284,9 +285,16 @@ def repetition_stats(
 
     Documents with fewer than 3 tokens are dropped (their trigram set is
     empty; the filters are meaningless there).
+
+    ``keep`` carries extra payload columns through the projection so a
+    caller that gates on the signals can filter INLINE in the same
+    narrow pass instead of computing the stats separately and joining
+    them back by id (r17: the join-back shape instantiated this whole
+    per-row computation once per consumer subtree — guide §2.4).
     """
     d = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("toks")
+        F.col(id_col), *[F.col(c) for c in keep],
+        tokens(F.col(text_col)).alias("toks"),
     ).filter(F.size("toks") >= 3)
     bi = "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), (x, y) -> concat(x, ' ', y))"
     tri = (
@@ -295,6 +303,7 @@ def repetition_stats(
     )
     d = d.select(
         id_col,
+        *keep,
         "toks",
         F.expr(bi).alias("bi"),
         F.expr(tri).alias("tri"),
@@ -302,6 +311,7 @@ def repetition_stats(
     n = F.size("toks").cast("double")
     return d.select(
         id_col,
+        *keep,
         F.size("toks").cast("long").alias("n_tokens"),
         (F.size(F.array_distinct(F.col("toks"))).cast("double") / n).alias(
             "distinct_ratio"

@@ -1746,23 +1746,41 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_by_components,
     )
 
-    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    rep = T.repetition_stats(d)
-    gate_ids = rep.filter(
+    # lazy checkpoint below the gate: predicate pushdown would otherwise
+    # collapse the gate's expensive repetition expressions into the
+    # single-partition local parquet scan as DataFilters and run them
+    # serially BELOW the parallelism repair (r17, guide §6: filters on
+    # derived columns — an ExistingRDD is the one barrier pushdown
+    # cannot cross; at production scale the scan is already parallel
+    # and the materialized frame is consumed immediately by the window)
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
+    # gate INLINE (r17, guide §2.4): the repetition signals ride the
+    # same narrow projection as the payload, so the gate is one pass
+    # with no join-back (the id-join shape re-instantiated the whole
+    # per-row stats computation once per consumer subtree, serially on
+    # the broadcast-build side)
+    gated = T.repetition_stats(d, keep=("text", "source")).filter(
         (F.col("distinct_ratio") >= 0.2)
         & (F.col("dup_trigram_frac") <= 0.5)
         & (F.col("top_token_frac") <= 0.5)
-    ).select("doc_id", "n_tokens")
-    gated = d.join(gate_ids, "doc_id")
-    keep = (
-        gated.groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
     )
+    # exact dedup as the one-shuffle ranked window (dedup_keep_best's
+    # shape) instead of min-agg + join-back: same min-id survivor per
+    # content hash, and the payload crosses ONE exchange — the join
+    # shape broadcasts the survivor ids locally but degrades to TWO
+    # full shuffles at corpus scale
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     # the survivor set feeds four downstream branches (posting build,
     # sizes, components, final join) — checkpoint it so the quality gate
-    # and dedup joins run once, not per branch
-    exact = gated.join(keep, "doc_id").localCheckpoint()
+    # and dedup window run once, not per branch
+    exact = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "text", "source", "n_tokens")
+        .localCheckpoint()
+    )
     pairs = D.near_dup_pairs_exact(exact, threshold=0.35, probe_mod=1)
     comp = dedup_by_components(exact, pairs)
     reps = exact.join(
@@ -1847,20 +1865,23 @@ def curation_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_by_components,
     )
 
-    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    rep = T.repetition_stats(d)
-    gate_ids = rep.filter(
+    # inline gate + one-shuffle window dedup + pushdown barrier — see
+    # curation_pipeline_summary for the r17 rationale
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
+    gated = T.repetition_stats(d, keep=("text", "source")).filter(
         (F.col("distinct_ratio") >= 0.2)
         & (F.col("dup_trigram_frac") <= 0.5)
         & (F.col("top_token_frac") <= 0.5)
-    ).select("doc_id", "n_tokens")
-    gated = d.join(gate_ids, "doc_id")
-    keep = (
-        gated.groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
     )
-    exact = gated.join(keep, "doc_id").localCheckpoint()
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "text", "source", "n_tokens")
+        .localCheckpoint()
+    )
     pairs = D.near_dup_pairs_lsh_verified(exact, threshold=0.35)
     comp = dedup_by_components(exact, pairs)
     reps = exact.join(

@@ -48,9 +48,8 @@ PRIOR_DRIVER_GRADED: frozenset[str] = frozenset({
     "concurrent_open_orders", "contamination_check", "contrastive_pairs",
     "corpus_shift_by_source", "corpus_snapshot_diff", "corpus_stats_by_lang",
     "corpus_vocabulary", "crawl_curation_pipeline",
-    "crawl_curation_pipeline_classified", "cross_source_dup_matrix",
-    "cube_orders", "cumulative_revenue_scalable", "curation_pipeline_dsir",
-    "curation_pipeline_lsh", "curriculum_shard_schedule",
+    "crawl_curation_pipeline_classified", "cube_orders", "cumulative_revenue_scalable", "curation_pipeline_dsir",
+    "curriculum_shard_schedule",
     "custkey_overlap_sketch", "customer_order_gap_stats",
     "customer_percent_rank_scalable", "customer_rank_change",
     "customer_rank_scalable", "customer_repeat_rate_by_nation",
@@ -80,7 +79,7 @@ PRIOR_DRIVER_GRADED: frozenset[str] = frozenset({
     "media_mixed_decode", "multimodal_binary_meta",
     "multimodal_curation_funnel", "multimodal_decode_real",
     "near_dup_char_ngram", "near_dup_pairs_exact",
-    "near_dup_threshold_sweep", "ngram_novelty_scores",
+    "ngram_novelty_scores",
     "ntile_customer_quartiles", "orderkey_islands",
     "orders_interarrival_median", "orders_priority_scd2",
     "orders_rolling_7d_revenue", "orders_running_share",
