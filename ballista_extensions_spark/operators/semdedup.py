@@ -57,6 +57,7 @@ def semantic_dedup_assigned(
     tau: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pair_salt: int = 1,
 ) -> DataFrame:
     """Core SemDeDup over a pre-assigned frame ``(id, vec, cell)`` —
     the form a persisted ANN store already holds. Returns every input
@@ -91,8 +92,18 @@ def semantic_dedup_assigned(
         F.col("cell").cast("int").alias("cell"),
         F.expr(as_double(vec_col)).alias("__v"),
     )
+    from ballista_extensions_spark.io import default_parallelism
+
+    # strict repartition on the grouping keys: the (cell, vector) group
+    # aggregate hashes 64-double array keys — interpreted, CPU-heavy —
+    # and AQE coalesces its few-MB exchange to ~1 task (guide §2.5
+    # small-bytes/heavy-CPU); REPARTITION_BY_NUM pins the parallelism
+    # and satisfies the aggregate's clustering so no second exchange
     groups = (
-        base.groupBy("cell", "__v")
+        base.repartition(
+            default_parallelism(assigned.sparkSession), "cell", "__v"
+        )
+        .groupBy("cell", "__v")
         .agg(F.min("__id").alias("__gmin"))
         .select(
             "cell",
@@ -101,20 +112,36 @@ def semantic_dedup_assigned(
             F.expr(norm_sql("__v")).alias("__n"),
         )
     )
+    # pair_salt > 1 splits each cell's pairwise work across k join keys
+    # (guide §2.5 salting): side a gets a deterministic salt from its
+    # group-min id, side b is replicated k ways, so every same-cell
+    # (a, b) group pair is still computed exactly once while the
+    # CPU-bound cosine join spreads over cells x k tasks instead of one
+    # task per cell (AQE coalesces the few-MB exchange to ~1 task while
+    # the work is quadratic in cell occupancy — the documented
+    # small-bytes/heavy-CPU case). The explicit REPARTITION_BY_NUM on
+    # the salted key keeps AQE from re-coalescing the join.
+    k = max(1, int(pair_salt))
     a = groups.select(
         "cell",
         F.col("__v").alias("__va"),
         F.col("__n").alias("__na"),
         F.col("__gmin").alias("__gmin_a"),
+        F.pmod(F.xxhash64("__gmin"), F.lit(k)).cast("int").alias("__s"),
     )
     b = groups.select(
         "cell",
         F.col("__v").alias("__vb"),
         F.col("__n").alias("__nb"),
+        F.explode(F.expr(f"sequence(0, {k - 1})")).alias("__s"),
     )
+    if k > 1:
+        a = a.repartition(
+            default_parallelism(assigned.sparkSession), "cell", "__s"
+        )
     cos = F.expr(dot_sql("__va", "__vb")) / (F.col("__na") * F.col("__nb"))
     qual = (
-        a.join(b, "cell")
+        a.join(b, ["cell", "__s"])
         .filter(cos >= F.lit(float(tau)))
         .groupBy("cell", "__vb")
         .agg(F.min("__gmin_a").alias("__m"))
@@ -146,8 +173,18 @@ def semantic_dedup(
     assigned = assign_cells(
         corpus, centroids, id_col=id_col, vec_col=vec_col
     )
+    # salt so cells x salt ≈ 2 x cores: the quantizer's cell count is
+    # known here, and when n_lists is raised ∝ corpus (the operator's
+    # documented 100 TB scaling) the salt degrades to 1 — no replication
+    # overhead exactly when cells alone already saturate the cluster
+    from ballista_extensions_spark.io import default_parallelism
+
+    n_cells = max(1, len(centroids))
+    par = default_parallelism(corpus.sparkSession)
+    pair_salt = max(1, -(-2 * par // n_cells))
     return semantic_dedup_assigned(
-        assigned, tau=tau, id_col=id_col, vec_col=vec_col
+        assigned, tau=tau, id_col=id_col, vec_col=vec_col,
+        pair_salt=pair_salt,
     )
 
 

@@ -99,8 +99,7 @@ PRIOR_DRIVER_GRADED: frozenset[str] = frozenset({
     "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
     "q9_product_profit", "quality_classifier_scores", "range_join_bursts",
     "revenue_gini_customers", "revenue_trend_by_segment",
-    "sample_contract_audit", "semantic_dedup_cells",
-    "set_except_all_lineitems", "set_except_nations",
+    "sample_contract_audit", "set_except_all_lineitems", "set_except_nations",
     "set_intersect_all_keys", "set_intersect_nations", "set_union_nations",
     "shard_contract_audit", "shard_replay_audit",
     "shipping_delay_deciles_by_priority", "sketch_contract_audit",
