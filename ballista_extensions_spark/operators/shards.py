@@ -494,26 +494,37 @@ def write_training_shards(
     text_col: str = "text",
     id_col: str = "doc_id",
     cost_col: str | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Emit the shards: parquet under ``out_dir/shards/`` partitioned
     by ``shard_id`` (each shard one directory; rows carry ``rank`` so
     the trainer replays the intra-shard order) plus the manifest at
-    ``out_dir/manifest/``. ``repartition(shard_id)`` puts each shard
-    in exactly one task, so every shard directory holds ONE file — at
-    cluster scale the shard count (corpus_tokens/capacity) dwarfs the
-    executor count, so this stays fully parallel. Returns the manifest
-    DataFrame (read back from what was written). ``cost_col``: budget
-    by a precomputed token count (e.g. BPE) — same unit caveat as
-    :func:`extend_training_shards`."""
-    assigned = assign_training_shards(
-        df, capacity, seed, text_col, id_col, cost_col=cost_col
-    )
+    ``out_dir/manifest/``. ``repartition(n, shard_id)`` puts each
+    shard in exactly one task (hash on shard_id), so every shard
+    directory holds ONE file; the explicit ``n`` (the session's
+    default parallelism — conf-driven on a cluster) keeps the write
+    parallel: a bare ``repartition(col)`` is AQE-coalescible, and at
+    bench scale AQE collapsed the whole multi-shard write into ONE
+    task (r17 job profile: a 4.7 s single-task job). Returns the
+    manifest DataFrame (read back from what was written).
+    ``cost_col``: budget by a precomputed token count (e.g. BPE) —
+    same unit caveat as :func:`extend_training_shards`. ``assigned``:
+    a PRECOMPUTED frame from :func:`assign_training_shards` with the
+    same (capacity, seed, cost_col) — callers that also aggregate over
+    the assignment pass it so the checkpointed range shuffle is paid
+    once (shard_replay_audit)."""
+    from ballista_extensions_spark.io import default_parallelism
+
+    if assigned is None:
+        assigned = assign_training_shards(
+            df, capacity, seed, text_col, id_col, cost_col=cost_col
+        )
     keep = assigned.join(
         df.select(id_col, text_col), id_col
     )  # re-attach text for the emitted rows
     (
         keep.select(id_col, "rank", "n_tokens", "doc_hash", "shard_id", text_col)
-        .repartition(F.col("shard_id"))
+        .repartition(default_parallelism(df.sparkSession), F.col("shard_id"))
         .sortWithinPartitions("shard_id", "rank")
         .write.mode("overwrite")
         .partitionBy("shard_id")

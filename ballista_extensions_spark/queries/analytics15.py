@@ -152,31 +152,65 @@ def shard_replay_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ballista_extensions_spark.queries.audits import _lit_checks
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ballista_extensions_spark.operators.shards import (
+        position_weight_sql,
+    )
+
     cap, seed_a, seed_b = 1536, 21, 22
     d = ensure_parallelism(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text"
     )
+    order_hash = F.expr(
+        f"CAST(SUM((doc_hash * {position_weight_sql()}) % {P}) % {P}"
+        " AS BIGINT)"
+    )
+    set_hash = F.expr(f"CAST(SUM(doc_hash) % {P} AS BIGINT)")
     out = tempfile.mkdtemp(prefix="bx_shard_replay_")
     try:
-        man = write_training_shards(d, out, cap, seed_a)
-        man_rows = [tuple(r) for r in man.orderBy("shard_id").collect()]
-        shards = spark.read.parquet(os.path.join(out, "shards"))
-
-        re_man = manifest_agg(
-            shards.select("doc_id", "n_tokens", "doc_hash", "rank", "shard_id")
-        )
-        read_back = [tuple(r) for r in re_man.collect()] == man_rows
-
-        spans = (
-            shards.groupBy("shard_id")
-            .agg(
-                F.min("rank").alias("lo"),
-                F.max("rank").alias("hi"),
-                F.count(F.lit(1)).alias("n"),
+        # ONE checkpointed range shuffle for seed_a: the write AND the
+        # epoch-a hash aggregation read the same assignment (r17 —
+        # previously assign_training_shards(seed_a) re-derived the
+        # whole doc frame for the epoch hashes)
+        assigned_a = assign_training_shards(d, cap, seed_a)
+        # epoch-b is independent of everything the write produces: run
+        # its hash aggregation on a driver thread so its jobs back-fill
+        # the write's straggler tail (guide §2.6)
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut_b = pool.submit(
+                lambda: assign_training_shards(d, cap, seed_b)
+                .agg(set_hash.alias("s"), order_hash.alias("o"))
+                .collect()[0]
             )
-            .orderBy("shard_id")
-            .collect()
-        )  # O(shards) driver state
+            man = write_training_shards(
+                d, out, cap, seed_a, assigned=assigned_a
+            )
+            man_rows = [tuple(r) for r in man.orderBy("shard_id").collect()]
+            shards = spark.read.parquet(os.path.join(out, "shards"))
+
+            re_man = manifest_agg(
+                shards.select(
+                    "doc_id", "n_tokens", "doc_hash", "rank", "shard_id"
+                )
+            )
+            re_rows = re_man.collect()  # ordered by shard_id
+            read_back = [tuple(r) for r in re_rows] == man_rows
+            rb = fut_b.result()
+
+        # rank spans come straight off the read-back manifest rows
+        # (min_rank/max_rank/n_docs ARE lo/hi/n) — the separate
+        # groupBy-collect job this replaced aggregated the same
+        # read-back bytes a second time (r17)
+        spans = [
+            {
+                "shard_id": r["shard_id"],
+                "lo": r["min_rank"],
+                "hi": r["max_rank"],
+                "n": r["n_docs"],
+            }
+            for r in re_rows
+        ]  # O(shards) driver state
         contiguous = all(r["hi"] - r["lo"] + 1 == r["n"] for r in spans)
         tiles = (
             bool(spans)
@@ -195,9 +229,10 @@ def shard_replay_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         mid = spans[min(len(spans) // 2, len(spans) - 2)] if len(spans) > 1 else None
         ck_shard = int(mid["shard_id"]) if mid is not None else -1
         ck_rank = int(mid["hi"]) if mid is not None else 0
-        resumed = spark.read.parquet(os.path.join(out, "shards")).filter(
-            F.col("shard_id") > ck_shard
-        )
+        # same shards frame as the read-back check — a fresh
+        # read.parquet here re-listed all shard directories (r17); the
+        # filter still plans the partition-pruned scan the audit asserts
+        resumed = shards.filter(F.col("shard_id") > ck_shard)
         try:
             plan = resumed._jdf.queryExecution().executedPlan().toString()
         except Exception:
@@ -215,35 +250,23 @@ def shard_replay_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "PartitionFilters" in plan
             and "shard_id" in plan.split("PartitionFilters", 1)[1][:200]
         )
-        from ballista_extensions_spark.operators.shards import (
-            position_weight_sql,
-        )
-
-        order_hash = F.expr(
-            f"CAST(SUM((doc_hash * {position_weight_sql()}) % {P}) % {P}"
-            " AS BIGINT)"
-        )
         tail_hash = F.expr(
             f"CAST(SUM(CASE WHEN rank > {ck_rank} THEN "
             f"(doc_hash * {position_weight_sql()}) % {P} ELSE 0 END) "
             f"% {P} AS BIGINT)"
         )
-        set_hash = F.expr(f"CAST(SUM(doc_hash) % {P} AS BIGINT)")
         got_tail = resumed.agg(order_hash.alias("h")).collect()[0]["h"]
         # epoch-a set/order hashes AND the expected tail hash come out
-        # of ONE corpus pass over the re-derived assignment (the three
-        # separate aggregations here were the audit's main fixed cost)
-        full = assign_training_shards(d, cap, seed_a)
-        ra = full.agg(
+        # of ONE pass over the SAME checkpointed assignment the shards
+        # were written from (the three separate aggregations — and the
+        # full re-derivation of the seed_a assignment — were the
+        # audit's main fixed cost)
+        ra = assigned_a.agg(
             set_hash.alias("s"),
             order_hash.alias("o"),
             tail_hash.alias("t"),
         ).collect()[0]
         tail_ok = got_tail == ra["t"] and got_tail is not None
-        epoch_b = assign_training_shards(d, cap, seed_b)
-        rb = epoch_b.agg(set_hash.alias("s"), order_hash.alias("o")).collect()[
-            0
-        ]
         set_equal = ra["s"] == rb["s"] and ra["s"] is not None
         order_differs = ra["o"] != rb["o"]
     finally:
