@@ -96,10 +96,27 @@ def _members(
     """(id, h) with NULL hashes (undecodable media) dropped; a lazy
     localCheckpoint cuts recomputation of the upstream decode+hash —
     the checkpointed state is 8 B of hash per item, not the payloads
-    (measured 31 s vs 12 s at sf0.1 on the self-join)."""
+    (measured 31 s vs 12 s at sf0.1 on the self-join).
+
+    The hash-repartition below the checkpoint is load-bearing (r17):
+    the consumers are the build sides of several broadcast joins, and
+    AQE submits those build jobs CONCURRENTLY — concurrent jobs racing
+    a lazy localCheckpoint each recompute its lineage (block-cache
+    get-or-compute does not dedup across jobs), so the whole Python
+    decode+hash pass ran once PER BUILD (job-profiled: three equal
+    1.6 s x 32-task jobs on audio_near_dup_energy). A shuffle map
+    stage, by contrast, IS deduplicated across concurrent jobs by the
+    DAGScheduler, so pinning one exchange on ``h`` under the racers
+    runs the decode exactly once — and the exchange carries only the
+    16 B (id, h) proxy, never payloads (guide §8), while
+    HashPartitioning(h) is exactly the clustering the downstream
+    distinct and equi-self-join on ``h`` need (guide §2.4)."""
+    from ballista_extensions_spark.io import default_parallelism
+
     return (
         df.filter(F.col(hash_col).isNotNull())
         .select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+        .repartition(default_parallelism(df.sparkSession), "h")
         .localCheckpoint(eager=False)
     )
 

@@ -249,3 +249,41 @@ def test_fused_docs_png_dhash_matches_chain(spark, documents):
         (r["id"], r["dhash"]) for r in docs_png_dhash(d).collect()
     )
     assert fused == chain and len(fused) > 0
+
+
+def test_decode_pass_runs_once_across_concurrent_builds(spark):
+    """The r17 _members hash-repartition pins the expensive decode+hash
+    pass under ONE shuffle map stage. Without it, the pair query's
+    broadcast-build jobs race the lazy localCheckpoint concurrently and
+    each recomputes the full Python pass (job-profiled at sf0.1: three
+    equal 1.6 s x 32-task jobs on audio_near_dup_energy — a lazy
+    checkpoint's block-cache get-or-compute does NOT dedup across
+    concurrent jobs, while the DAGScheduler runs a shuffle map stage
+    exactly once). Two pins: (a) the exchange is structurally present
+    in the members lineage — that shuffle dependency is what makes the
+    dedup guarantee hold at any scale/timing; (b) an
+    accumulator-counting hasher shows exactly one hash per payload for
+    the full pair query (no over-decode at this scale either)."""
+    from ballista_extensions_spark.operators.imagedup import _members
+
+    calls = spark.sparkContext.accumulator(0)
+
+    def counting_hasher(payload: bytes) -> int:
+        calls.add(1)
+        return C.dhash64(payload)
+
+    rng = np.random.default_rng(11)
+    rows = [(i, C.encode_bmp(_img(int(s)))) for i, s in
+            enumerate(rng.integers(0, 1 << 30, size=64))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashes = image_dhash(media, hasher=counting_hasher)
+    # (a) end-to-end, each payload is decoded+hashed exactly once
+    pairs = phash_near_dup_pairs(hashes, threshold=6, bands=8)
+    pairs.write.format("noop").mode("overwrite").save()
+    assert calls.value == len(rows)
+    # (b) the load-bearing exchange sits under the checkpoint: the
+    # members RDD lineage must contain a shuffle (ShuffledRowRDD).
+    # Probed LAST — under AQE, Dataset.rdd materializes query stages,
+    # so this probe runs its own decode pass and would pollute (a).
+    lineage = _members(hashes, "id", "dhash").rdd.toDebugString()
+    assert b"ShuffledRowRDD" in lineage
