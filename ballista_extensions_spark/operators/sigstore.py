@@ -42,7 +42,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ballista_extensions_spark.operators.dedup import (
-    _minhash_band_buckets,
     _verify_capped_jaccard,
     _word_postings,
 )
@@ -56,14 +55,6 @@ class SignatureStore:
     bands: DataFrame  # (doc, bkey)
     sets: DataFrame  # (doc, shset)
     stop: DataFrame  # (s)
-
-
-def _postings(
-    df: DataFrame, text_col: str, id_col: str, n: int
-) -> DataFrame:
-    """Raw distinct (doc, s) shingle postings — the shared cap-free
-    posting front (the store applies its own frozen cap on top)."""
-    return _word_postings(df, text_col, id_col, n)
 
 
 def build_signature_store(
@@ -82,22 +73,59 @@ def build_signature_store(
     the three frames persist as ``{prefix}_bands`` (bucketed by bkey),
     ``{prefix}_sets`` (bucketed by doc) and ``{prefix}_stop``, and the
     returned handle reads from those tables — the cross-run form."""
-    raw = _postings(docs, text_col, id_col, n)
+    # Non-distinct postings + count_distinct df: every consumer below
+    # (countDistinct, collect_set, MinHash min) is duplicate-insensitive
+    # with map-side partial aggregation, so the set-semantics distinct
+    # was a whole extra exchange of the posting payload (r17, guide
+    # §2.3/§2.4 — the same restructure the streaming sigstore sink got).
+    raw = _word_postings(docs, text_col, id_col, n, distinct=False)
     stop = (
         raw.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df_s"))
+        .agg(F.count_distinct("doc").alias("df_s"))
         .filter(F.col("df_s") > max_df)
         .select("s")
     )
     capped = raw.join(stop, "s", "left_anti")
-    sets = capped.groupBy("doc").agg(F.collect_set("s").alias("shset"))
-    band_rows = _minhash_band_buckets(capped, bands, rows_per_band).select(
-        "doc", F.xxhash64("band_id", "band_hash").alias("bkey")
-    )
+    # ONE groupBy produces BOTH the capped sets and the MinHash
+    # signatures — the pre-r17 operator aggregated them separately, so
+    # the build tokenized and capped the corpus twice (job-profiled as
+    # equal-duration job pairs on signature_store_incremental). Lazy
+    # localCheckpoint: the two consumers (sets in the verification
+    # join, bands in the candidate join) read one materialized frame,
+    # and racers fall back to the groupBy's shuffle output, which the
+    # DAGScheduler dedups across concurrent jobs.
+    sets, band_rows = _fused_sets_and_bands(capped, bands, rows_per_band)
     store = SignatureStore(bands=band_rows, sets=sets, stop=stop)
     if table_prefix is None:
         return store
     return _persist(docs.sparkSession, store, table_prefix, buckets)
+
+
+def _fused_sets_and_bands(
+    capped: DataFrame, bands: int, rows_per_band: int
+) -> tuple[DataFrame, DataFrame]:
+    """(sets, band_rows) off ONE per-doc groupBy over capped postings
+    (collect_set fused with the codegen'd MinHash min lanes — the
+    streaming sink's r17 shape, shared by the batch store)."""
+    from ballista_extensions_spark.operators.dedup import (
+        _band_explode,
+        _minhash_sig_aggs,
+    )
+
+    grouped = (
+        capped.select("doc", "s", F.xxhash64("s").alias("h"))
+        .groupBy("doc")
+        .agg(
+            F.collect_set("s").alias("shset"),
+            *_minhash_sig_aggs(bands * rows_per_band),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sets = grouped.select("doc", "shset")
+    band_rows = _band_explode(grouped, bands, rows_per_band).select(
+        "doc", F.xxhash64("band_id", "band_hash").alias("bkey")
+    )
+    return sets, band_rows
 
 
 def _persist(
@@ -150,12 +178,11 @@ def batch_signatures(
     compose. ``n``/``bands``/``rows_per_band`` must match the store's
     build parameters (different banding would make bkeys incomparable).
     """
-    raw = _postings(batch, text_col, id_col, n)
+    # non-distinct postings + fused sets/signature aggregate — see
+    # build_signature_store (one tokenize + one groupBy per increment)
+    raw = _word_postings(batch, text_col, id_col, n, distinct=False)
     capped = raw.join(store.stop, "s", "left_anti")
-    sets = capped.groupBy("doc").agg(F.collect_set("s").alias("shset"))
-    band_rows = _minhash_band_buckets(capped, bands, rows_per_band).select(
-        "doc", F.xxhash64("band_id", "band_hash").alias("bkey")
-    )
+    sets, band_rows = _fused_sets_and_bands(capped, bands, rows_per_band)
     return SignatureStore(bands=band_rows, sets=sets, stop=store.stop)
 
 
