@@ -1018,12 +1018,25 @@ def events_value_mad_anomalies(
         .filter(F.col("value").isNotNull())
         .select("event_type", "value", "event_id")
     )
-    med = grouped_percentile_disc(
-        vals, "event_type", "value", [0.5], tiebreak_cols=("event_id",)
-    ).select(
-        F.col("event_type").alias("__g"),
-        F.col("value").alias("med"),
-        F.col("n"),
+    # EAGER checkpoints on the two dimension-sized frames (med, stats):
+    # without them the final plan re-instantiated the whole rank-filter
+    # subtree once per consumer — 48 checkpoint re-scans, 12 concurrent
+    # broadcast-build jobs each re-running a full fact-table pass
+    # (job-profiled ~15 s of task time; guide §2.4 duplicated subtrees,
+    # §5 localCheckpoint to cut lineage). Each checkpoint holds only
+    # O(event types) rows; after it, med/mad/stats are tiny RDD scans
+    # and the fact table is read exactly three times (rank pass for
+    # med, rank pass for dev/mad, final flag pass).
+    med = (
+        grouped_percentile_disc(
+            vals, "event_type", "value", [0.5], tiebreak_cols=("event_id",)
+        )
+        .select(
+            F.col("event_type").alias("__g"),
+            F.col("value").alias("med"),
+            F.col("n"),
+        )
+        .localCheckpoint()
     )
     # Null-safe re-joins throughout: grouped_percentile_disc treats a
     # NULL event_type as a group like any other, so the joins back onto
@@ -1042,9 +1055,11 @@ def events_value_mad_anomalies(
     # group-count-sized join, null-safe), so the fact table sees a
     # SINGLE broadcast re-join instead of two chained ones
     # (VERDICT r8 directive #6).
-    stats = med.join(
-        mad, med["__g"].eqNullSafe(mad["__g2"])
-    ).select("__g", "n", "med", "mad")
+    stats = (
+        med.join(mad, med["__g"].eqNullSafe(mad["__g2"]))
+        .select("__g", "n", "med", "mad")
+        .localCheckpoint()
+    )
     flagged = vals.join(
         F.broadcast(stats), vals["event_type"].eqNullSafe(stats["__g"])
     )

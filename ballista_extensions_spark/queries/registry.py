@@ -68,7 +68,7 @@ PRIOR_DRIVER_GRADED: frozenset[str] = frozenset({
     "event_transition_matrix", "events_gapfill_hourly",
     "events_hourly_rollup", "events_json_extract",
     "events_out_of_order_stats", "events_top_hour_per_user",
-    "events_user_p95_value", "events_value_mad_anomalies", "exact_span_scrub",
+    "events_user_p95_value", "exact_span_scrub",
     "fk_integrity_audit", "group_sample_customers", "heavy_hitter_tokens",
     "html_extract_quality", "image_contamination_check",
     "image_near_dup_phash", "image_signature_store_incremental",
