@@ -243,10 +243,23 @@ def multimodal_curation_funnel(
     png_part = docs_as_png_media(d.filter(F.col("doc_id") % 2 == 1)).join(
         d.select(F.col("doc_id").alias("media_id"), "source"), "media_id"
     )
-    mixed = text_part.unionByName(
+    # Routing stays per-payload magic-byte sniffing, but applied on
+    # each union branch BEFORE the union instead of on the mixed frame
+    # (r17): filtering the mixed union by `kind` cannot prune the
+    # other branch, so every text-side consumer also paid the PNG
+    # encode pass. Per-branch sniff + filter is row-for-row identical
+    # routing — the PNG signature byte 0x89 is an invalid first byte
+    # of utf-8, so a text payload can never sniff 'png' (and the
+    # encoder always emits the signature, so a png payload can never
+    # sniff text); the docstring's invariant, now load-bearing.
+    text_routed = text_part.withColumn(
+        "kind", detect_media_kind("payload")
+    ).filter(F.col("kind") != "png")
+    png_routed = (
         png_part.select("media_id", "source", "payload")
+        .withColumn("kind", detect_media_kind("payload"))
+        .filter(F.col("kind") == "png")
     )
-    routed = mixed.withColumn("kind", detect_media_kind("payload"))
 
     def _funnel(frame: DataFrame, key_col: str, modality: str) -> DataFrame:
         groups = frame.groupBy(key_col).agg(
@@ -275,18 +288,43 @@ def multimodal_curation_funnel(
             )
         )
 
-    text_frame = routed.filter(F.col("kind") != "png").withColumn(
-        "h", F.md5("payload")
+    # Per-modality SIGNATURE frames, each materialized under one
+    # exchange (r17, guide §8 decide-on-small-rows / §2.4): the funnel
+    # consumes each modality three ways (key groups, keeper join,
+    # per-source counts) and previously re-instantiated `routed` per
+    # consumer — and `routed` is the union whose png branch ENCODES
+    # every image, so the Python encode(+decode+hash) pass ran ~6x
+    # (job-profiled: 33s of task time for a 9s query, two 6-7s
+    # broadcast builds). Now each modality pays its payload pass once:
+    # the repartition-on-key exchange is stage-deduplicated across
+    # concurrent consumer jobs, carries only (media_id, source, key)
+    # proxies, and its clustering is exactly what the key groupBy
+    # needs. The image side takes `source` from the checkpointed scan
+    # instead of a third instantiation of the union (media_id == the
+    # routed doc_id by construction, so the attribution is identical).
+    from ballista_extensions_spark.io import default_parallelism
+
+    npart = default_parallelism(spark)
+    text_sigs = (
+        text_routed
+        .select("media_id", "source", F.md5("payload").alias("h"))
+        .repartition(npart, "h")
+        .localCheckpoint(eager=False)
     )
-    img_frame = image_dhash(
-        routed.filter(F.col("kind") == "png")
-    ).withColumnRenamed("id", "media_id").join(
-        routed.select(F.col("media_id").alias("mid2"), "source"),
-        F.col("media_id") == F.col("mid2"),
-    ).drop("mid2")
+    img_sigs = (
+        image_dhash(png_routed)
+        .withColumnRenamed("id", "media_id")
+        .join(
+            d.select(F.col("doc_id").alias("mid2"), "source"),
+            F.col("media_id") == F.col("mid2"),
+        )
+        .drop("mid2")
+        .repartition(npart, "dhash")
+        .localCheckpoint(eager=False)
+    )
     return (
-        _funnel(text_frame, "h", "text")
-        .unionByName(_funnel(img_frame, "dhash", "image"))
+        _funnel(text_sigs, "h", "text")
+        .unionByName(_funnel(img_sigs, "dhash", "image"))
         .orderBy("source", "modality")
     )
 

@@ -77,7 +77,7 @@ PRIOR_DRIVER_GRADED: frozenset[str] = frozenset({
     "lang_diversity_by_source", "lang_id_heuristic",
     "lineitem_price_equidepth_hist", "lm_ce_quality_buckets",
     "media_mixed_decode", "multimodal_binary_meta",
-    "multimodal_curation_funnel", "multimodal_decode_real",
+    "multimodal_decode_real",
     "near_dup_char_ngram", "near_dup_pairs_exact",
     "ngram_novelty_scores",
     "ntile_customer_quartiles", "orderkey_islands",
