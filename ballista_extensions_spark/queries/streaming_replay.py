@@ -32,18 +32,81 @@ at a live source.
 
 from __future__ import annotations
 
+import math
 import os
 import shutil
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ballista_extensions_spark.io import load_table
+from ballista_extensions_spark.io import default_parallelism, load_table
 from ballista_extensions_spark.queries.analytics7 import _DHASH_CTE
 from ballista_extensions_spark.queries.registry import register
 from ballista_extensions_spark.streaming.sinks import idempotent_parquet_sink
 
 _STAGE_ROOT = "/tmp/bx_stream_replay"
+
+#: Stateful-stage sizing constants. A stateful stage's partition count
+#: is PINNED by the checkpoint at first batch — AQE cannot coalesce it
+#: — and each stateful task carries a fixed setup cost (state-store
+#: provider load + commit; for the Python operators additionally the
+#: Arrow state-server handshake) measured at ~0.5-0.7 s REGARDLESS of
+#: data (probe: a 3-batch LOCF stream over 3k rows burned ~67 s of
+#: executor CPU at 32 state partitions vs ~6.5 s at 8, identical
+#: output). So state parallelism must derive from the stream's keyed
+#: work, never sit at a constant tuned to the core count (guide §2):
+#: a task should hold enough GROUPS to amortize the fixed cost against
+#: the ~1-2 ms per-group kernel-call overhead of the Python state
+#: runner, and enough ROWS that huge batches still fan out to the full
+#: cluster. Production-sized batches clamp both terms to the session's
+#: parallelism; the env overrides exist for cluster re-tuning.
+_STATE_GROUPS_PER_TASK = int(
+    os.environ.get("SPARK_GRAFT_STATE_GROUPS_PER_TASK", "512")
+)
+_STATE_ROWS_PER_TASK = int(
+    os.environ.get("SPARK_GRAFT_STATE_ROWS_PER_TASK", "65536")
+)
+
+
+def _state_parts(
+    spark: SparkSession,
+    keys: int,
+    rows: int | None = None,
+    python_op: bool = True,
+) -> int:
+    """Stateful-stage partition count for a stream whose per-batch
+    keyed state holds ``keys`` distinct groups over ``rows`` input
+    rows: enough tasks that no task exceeds the per-task group/row
+    budgets, never more tasks than groups (idle fixed-cost tasks),
+    clamped to the session's parallelism. The per-group budget only
+    applies to Python state operators (``applyInPandasWithState``
+    makes one kernel call per group); JVM stateful operators pay
+    nanoseconds per group, so only the rows budget sizes them."""
+    keys = max(int(keys), 1)
+    want = math.ceil(keys / _STATE_GROUPS_PER_TASK) if python_op else 1
+    if rows is not None:
+        want = max(want, math.ceil(max(int(rows), 1) / _STATE_ROWS_PER_TASK))
+    return max(1, min(default_parallelism(spark), keys, want))
+
+
+@contextmanager
+def _stream_shuffle_parts(spark: SparkSession, n: int | None):
+    """Scope ``spark.sql.shuffle.partitions`` around a stream's start +
+    awaitTermination (the stateful stage's partition count is captured
+    into the checkpoint at first batch). The replay queries run their
+    streams to completion before returning, so the set/restore cannot
+    race another query's planning."""
+    if n is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(int(n)))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def _stage_dir(name: str, sf_dir: str) -> str:
@@ -124,22 +187,26 @@ def _replay(
     out_dir: str,
     transform,
     output_mode: str = "append",
+    shuffle_parts: int | None = None,
 ) -> DataFrame:
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(in_dir)
-    )
-    q = (
-        transform(stream)
-        .writeStream.outputMode(output_mode)
-        .foreachBatch(idempotent_parquet_sink(out_dir))
-        .option("checkpointLocation", os.path.join(in_dir, "..", "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(300)
-    q.stop()
+    with _stream_shuffle_parts(spark, shuffle_parts):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            transform(stream)
+            .writeStream.outputMode(output_mode)
+            .foreachBatch(idempotent_parquet_sink(out_dir))
+            .option(
+                "checkpointLocation", os.path.join(in_dir, "..", "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        q.stop()
     if not finished:
         # A timed-out replay has committed only SOME micro-batches; the
         # sink would read as a silently-partial (wrong) result. Fail
@@ -205,10 +272,19 @@ def streaming_gapfill_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _stage_dir("gapfill", sf_dir)
     in_dir = os.path.join(stage, "in")
     os.makedirs(in_dir)
+    # materialize the per-bucket aggregate ONCE: the boundary probe and
+    # the three staged slices below otherwise each re-instantiate the
+    # whole events aggregation (4 passes for 1, guide §2.4)
+    per = per.localCheckpoint()
     # three contiguous time slices -> in-order buckets per series across
     # batches (the operator's input contract); boundaries from the
-    # GLOBAL bucket range so every series' slices line up
-    lo, hi = per.agg(F.min("bucket"), F.max("bucket")).first()
+    # GLOBAL bucket range so every series' slices line up. The series
+    # count rides the same 1-row probe: LOCF state parallelism IS the
+    # series cardinality (O(1) state per series), so the stateful
+    # stage's pinned partition count derives from it (guide §2).
+    lo, hi, n_series = per.agg(
+        F.min("bucket"), F.max("bucket"), F.count_distinct("event_type")
+    ).first()
     cut1 = lo + (hi - lo) // 3
     cut2 = lo + 2 * (hi - lo) // 3
     _write_ordered_slices(
@@ -225,6 +301,9 @@ def streaming_gapfill_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, bucket long, v double",
         os.path.join(stage, "out"),
         lambda s: locf_gapfill_stream(s, "event_type", "bucket", "v", 3600),
+        shuffle_parts=_state_parts(
+            spark, n_series, rows=(hi - lo) // 3600 + n_series
+        ),
     )
     return sink.select("series", "bucket", "value", "is_gap")
 
@@ -263,12 +342,20 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         [s0, s1.unionAll(s0), s2.unionAll(s1)],  # dupes cross batches
         in_dir,
     )
+    # dedup state keys = event_ids seen, ∝ batch rows (biggest batch =
+    # 2/3 of the corpus after the duplicate injection) — derive the
+    # pinned state-partition count from rows (the operator is a JVM
+    # stateful op: no per-group Python call, so the rows budget alone
+    # sizes it — guide §2)
+    n_batch = math.ceil(2 * e.count() / 3)
+    parts = _state_parts(spark, n_batch, rows=n_batch, python_op=False)
     sink = _replay(
         spark,
         in_dir,
         "event_id long, ts timestamp, user_id long, event_type string",
         os.path.join(stage, "out"),
         lambda s: dedup_stream(s, watermark="3650 days"),
+        shuffle_parts=parts,
     )
     return sink.select("event_id", "user_id", "event_type")
 
@@ -299,6 +386,7 @@ def streaming_heavy_hitters_replay(
     )
 
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    n_ev = e.count()
     stage = _stage_dir("heavy", sf_dir)
     in_dir = os.path.join(stage, "in")
     os.makedirs(in_dir)
@@ -313,6 +401,11 @@ def streaming_heavy_hitters_replay(
         os.path.join(stage, "out"),
         lambda s: mg_summary_stream(s, "user_id", shards=16, counters=1024),
         output_mode="update",
+        # Misra–Gries state keys ARE the 16 shards (more state
+        # partitions than shards is pure fixed-cost tasks); batch rows
+        # re-fan it out toward the full cluster at production batch
+        # sizes (guide §2)
+        shuffle_parts=_state_parts(spark, 16, rows=math.ceil(n_ev / 3)),
     )
     # update-mode emissions: the LAST batch that touched a shard carries
     # its current full summary; earlier emissions for that shard are
@@ -394,6 +487,14 @@ def streaming_media_dedup_replay(
         in_dir,
     )
 
+    # state keys = distinct fingerprints ∝ batch rows (biggest batch =
+    # 2/3 of the docs after the duplicate injection); the CODEC pass
+    # keeps the session's full parallelism via an explicit repartition
+    # count below — only the fixed-cost stateful stage shrinks
+    dp = default_parallelism(spark)
+    n_batch = math.ceil(2 * d.count() / 3)
+    parts = _state_parts(spark, n_batch, rows=n_batch)
+
     def transform(stream: DataFrame) -> DataFrame:
         # fused PNG encode -> decode -> dHash (r17, guide §4.1): same
         # chain, one Python pass, payload never re-crosses the boundary.
@@ -402,7 +503,7 @@ def streaming_media_dedup_replay(
         # a single task per batch (guide §2: the codec pass is the
         # batch's compute; spread it over the cluster, then the
         # stateful op re-shuffles by dhash as before)
-        hashes = docs_png_dhash(stream.repartition("doc_id")).select(
+        hashes = docs_png_dhash(stream.repartition(dp, "doc_id")).select(
             F.col("id").alias("doc_id"), "dhash"
         )
         return stream_first_occurrence(hashes, "dhash", "doc_id")
@@ -413,6 +514,7 @@ def streaming_media_dedup_replay(
         "doc_id long, text string",
         os.path.join(stage, "out"),
         transform,
+        shuffle_parts=parts,
     )
     return sink.filter(F.col("is_first")).select(
         F.col("doc_id").alias("media_id"), "dhash"

@@ -144,8 +144,16 @@ def stream_first_occurrence(
     ) -> Iterable[pd.DataFrame]:
         # concat the group's batch chunks: the first-occurrence flag
         # belongs to the min id across the WHOLE batch, which a
-        # chunk-at-a-time pass could hand to the wrong chunk's min
-        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # chunk-at-a-time pass could hand to the wrong chunk's min.
+        # (single-chunk groups — the overwhelmingly common case —
+        # skip the concat: this kernel runs once per KEY, so per-call
+        # pandas overhead is the stateful stage's unit cost)
+        chunks = list(pdfs)
+        pdf = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        )
         seen = state.get[0] if state.exists else None
         ids = pdf[id_col]
         batch_min = ids.min()

@@ -608,3 +608,35 @@ def test_stream_first_occurrence_string_key_and_id(spark, tmp_path_factory):
         "d": ("http://x", False),  # later batch: suppressed by STATE
         "e": ("http://z", True),
     }
+
+
+def test_state_parts_sizing(spark):
+    """Stateful stages derive their pinned partition count from keyed
+    work, clamped to [1, default_parallelism] (r18: each stateful task
+    costs ~0.5-0.7 s of fixed setup regardless of data, so partitions
+    must track keys/rows, never sit at the core count)."""
+    from ballista_extensions_spark.io import default_parallelism
+    from ballista_extensions_spark.queries.streaming_replay import (
+        _STATE_GROUPS_PER_TASK,
+        _STATE_ROWS_PER_TASK,
+        _state_parts,
+    )
+
+    dp = default_parallelism(spark)
+    # few keys -> one task; never more tasks than keys
+    assert _state_parts(spark, 1) == 1
+    assert _state_parts(spark, 5, rows=10_000) <= 5
+    # python ops split by the per-group budget
+    assert _state_parts(spark, 4 * _STATE_GROUPS_PER_TASK) == min(dp, 4)
+    # JVM ops ignore the group budget, split by rows only
+    assert _state_parts(
+        spark, 10 * _STATE_GROUPS_PER_TASK, rows=100, python_op=False
+    ) == 1
+    assert _state_parts(
+        spark,
+        10**9,
+        rows=3 * _STATE_ROWS_PER_TASK,
+        python_op=False,
+    ) == min(dp, 3)
+    # production-sized batches clamp to the session's parallelism
+    assert _state_parts(spark, 10**9, rows=10**9) == dp
